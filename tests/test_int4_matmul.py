@@ -1,0 +1,65 @@
+"""Pallas fused dequant-int4 matmul vs the jnp oracle (interpret mode on CPU).
+
+Plays the role of test_ops.cc's int4 linear cases (tests/non_cuda/test_ops.cc)
+with the naive ref kernel as oracle (kernels/matmul_int4.cc pattern)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinychatengine_tpu.ops.int4_matmul import int4_matmul, int4_matmul_xla
+from tinychatengine_tpu.ops.ref import int4_matmul_ref
+from tinychatengine_tpu.quant.numerics import quantize_groupwise_int4
+from tinychatengine_tpu.quant.packing import pack_qm_tpu, pack_scales
+
+
+def _mk(m, n, k, group_size, seed=0):
+    rng = np.random.default_rng(seed)
+    w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    q, scales = quantize_groupwise_int4(w, group_size)
+    return (jnp.asarray(x, jnp.bfloat16), jnp.asarray(pack_qm_tpu(q)),
+            jnp.asarray(pack_scales(scales)))
+
+
+@pytest.mark.parametrize("m,n,k,g", [
+    (1, 256, 512, 128),     # decode GEMV shape
+    (16, 256, 512, 128),    # small batch decode
+    (128, 512, 1024, 128),  # prefill GEMM
+    (7, 256, 512, 128),     # unaligned M (padding path)
+    (16, 256, 512, 32),     # reference CPU group size
+    (16, 384, 768, 128),    # non-power-of-two N/K multiples
+])
+def test_pallas_matches_ref(m, n, k, g):
+    x, packed, scales = _mk(m, n, k, g)
+    oracle = int4_matmul_ref(x, packed, scales, g)          # f32 weights oracle
+    xla = int4_matmul_xla(x, packed, scales, g)             # bf16 weights, XLA
+    got = int4_matmul(x, packed, scales, g, interpret=True)
+    assert got.shape == oracle.shape and got.dtype == oracle.dtype
+    # tight vs the matching-precision XLA path
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(xla, np.float32),
+        rtol=1e-2, atol=1e-2)
+    # loose vs the f32 oracle (bf16 weight-rounding tail scales with sqrt(K))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(oracle, np.float32),
+        rtol=2e-2, atol=0.1)
+
+
+def test_batched_leading_dims():
+    x, packed, scales = _mk(6, 256, 512, 128)
+    x3 = x.reshape(2, 3, 512)
+    got = int4_matmul(x3, packed, scales, 128, interpret=True)
+    assert got.shape == (2, 3, 256)
+    flat = int4_matmul(x, packed, scales, 128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.reshape(6, 256), np.float32),
+                               np.asarray(flat, np.float32), rtol=1e-6)
+
+
+def test_xla_fallback_matches_ref():
+    x, packed, scales = _mk(8, 256, 512, 128)
+    expected = int4_matmul_ref(x, packed, scales, 128)
+    got = int4_matmul_xla(x, packed, scales, 128)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(expected, np.float32),
+                               rtol=2e-2, atol=2e-2)

@@ -8,14 +8,15 @@ import pytest
 
 from tinychatengine_tpu.ops import ref
 from tinychatengine_tpu.quant.numerics import quantize_groupwise_int4, dequantize_groupwise_int4
-from tinychatengine_tpu.quant.packing import pack_qm_tpu
+from tinychatengine_tpu.quant.packing import pack_qm_tpu, pack_scales
 
 
 def test_unpack_int4_matches_numpy():
     rng = np.random.default_rng(0)
     q = rng.integers(0, 16, size=(8, 512), dtype=np.uint8)
     packed = jnp.asarray(pack_qm_tpu(q))
-    np.testing.assert_array_equal(np.asarray(ref.unpack_int4(packed)), q)
+    # jnp unpack stays K-major [IC, OC]
+    np.testing.assert_array_equal(np.asarray(ref.unpack_int4(packed)), q.T)
 
 
 @pytest.mark.parametrize("group_size", [32, 128])
@@ -28,7 +29,7 @@ def test_int4_matmul_ref_vs_dequant_matmul(group_size):
     deq = dequantize_groupwise_int4(q, scales, group_size)
     expected = x @ deq.T
     got = ref.int4_matmul_ref(jnp.asarray(x), jnp.asarray(pack_qm_tpu(q)),
-                              jnp.asarray(scales), group_size)
+                              jnp.asarray(pack_scales(scales)), group_size)
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4, atol=1e-4)
 
 

@@ -11,7 +11,12 @@ from tinychatengine_tpu.quant.numerics import (
     quantize_groupwise_int4,
     quantize_tensor_int8,
 )
-from tinychatengine_tpu.quant.packing import pack_qm_tpu, unpack_qm_tpu, pad_to_superblock
+from tinychatengine_tpu.quant.packing import (
+    pack_qm_tpu,
+    pack_scales,
+    pad_to_superblock,
+    unpack_qm_tpu,
+)
 
 
 @pytest.mark.parametrize("group_size", [32, 128])
@@ -58,17 +63,26 @@ def test_pack_unpack_roundtrip():
     rng = np.random.default_rng(1)
     q = rng.integers(0, 16, size=(16, 1024), dtype=np.uint8)
     packed = pack_qm_tpu(q)
-    assert packed.shape == (16, 512)
+    assert packed.shape == (512, 16)  # K-major [IC//2, OC]
     np.testing.assert_array_equal(unpack_qm_tpu(packed), q)
 
 
 def test_pack_layout_planes():
-    """Byte i of superblock s = w[s*256+i] | (w[s*256+128+i] << 4)."""
-    q = np.arange(512, dtype=np.uint16).reshape(2, 256) % 16
-    q = q.astype(np.uint8)
+    """Byte row s*128+i of column n = w[n, s*256+i] | (w[n, s*256+128+i] << 4)."""
+    q = (np.arange(2 * 512, dtype=np.uint16).reshape(2, 512) % 16).astype(np.uint8)
     packed = pack_qm_tpu(q)
-    for i in range(128):
-        assert packed[0, i] == (q[0, i] | (q[0, 128 + i] << 4))
+    for n in range(2):
+        for s in range(2):
+            for i in range(0, 128, 17):
+                assert packed[s * 128 + i, n] == (
+                    q[n, s * 256 + i] | (q[n, s * 256 + 128 + i] << 4))
+
+
+def test_pack_scales_layout():
+    s = np.arange(12, dtype=np.float32).reshape(3, 4)  # [OC=3, IC//G=4]
+    st = pack_scales(s)
+    assert st.shape == (4, 3)
+    np.testing.assert_array_equal(st, s.T)
 
 
 def test_pad_to_superblock():

@@ -1,0 +1,113 @@
+"""KV cache — functional, preallocated, jit-shaped.
+
+Replaces the reference's per-layer ping-pong buffers + memcpy concat
+(llm/src/nn_modules/non_cuda/Int4llamaAttention.cc:45-60,327-387) with a
+single stacked device array updated in place under jit via
+``lax.dynamic_update_slice`` (XLA aliases the donated buffer, so decode
+appends are true in-place writes, no copy of past context).
+
+Layout: [num_layers, batch, max_len, num_kv_heads, head_dim] — layer-stacked
+so the decoder can ``lax.scan`` over layers, sequence on axis 2 so appends
+are contiguous, kv-heads on the second-to-last axis so a ``model``-axis
+sharding of heads also shards the cache.
+
+Supports bf16 (default) and int8 (per-head-block dynamic scale) storage —
+the INT8 KV option mirrors the Int8OPT int8 KV cache semantics
+(llm/src/nn_modules/Int8OPTAttention.cc:27-58) generalized to all models.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class KVCache:
+    k: jax.Array  # [L, B, S_max, H_kv, D] (bf16 or int8)
+    v: jax.Array
+    length: jax.Array  # scalar int32: number of valid positions
+    k_scale: Optional[jax.Array] = None  # [L, B, S_max, H_kv, 1] f32 (int8 mode)
+    v_scale: Optional[jax.Array] = None
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+
+jax.tree_util.register_pytree_node(
+    KVCache,
+    lambda c: ((c.k, c.v, c.length, c.k_scale, c.v_scale), None),
+    lambda aux, ch: KVCache(*ch),
+)
+
+
+def init_cache(num_layers: int, batch: int, max_len: int, num_kv_heads: int,
+               head_dim: int, dtype=jnp.bfloat16, quantized: bool = False) -> KVCache:
+    shape = (num_layers, batch, max_len, num_kv_heads, head_dim)
+    if quantized:
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+            length=jnp.zeros((), jnp.int32),
+            k_scale=jnp.ones(shape[:-1] + (1,), jnp.float32),
+            v_scale=jnp.ones(shape[:-1] + (1,), jnp.float32),
+        )
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   length=jnp.zeros((), jnp.int32))
+
+
+def _quantize_kv(x: jax.Array):
+    """Per (position, head) symmetric int8: scale = absmax/127 over head_dim."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -128, 127).astype(jnp.int8)
+    return q, scale
+
+
+def update_layer(cache: KVCache, layer_k: jax.Array, layer_v: jax.Array,
+                 layer_idx, start: jax.Array) -> KVCache:
+    """Write new_k/new_v [B, S_new, H_kv, D] into layer ``layer_idx`` at
+    position ``start``. Returns the updated cache (same buffers under jit
+    donation). Does NOT advance ``length`` — call advance() once per step."""
+    if cache.quantized:
+        qk, sk = _quantize_kv(layer_k)
+        qv, sv = _quantize_kv(layer_v)
+        k = jax.lax.dynamic_update_slice(
+            cache.k, qk[None], (layer_idx, 0, start, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            cache.v, qv[None], (layer_idx, 0, start, 0, 0))
+        ks = jax.lax.dynamic_update_slice(
+            cache.k_scale, sk[None], (layer_idx, 0, start, 0, 0))
+        vs = jax.lax.dynamic_update_slice(
+            cache.v_scale, sv[None], (layer_idx, 0, start, 0, 0))
+        return KVCache(k=k, v=v, length=cache.length, k_scale=ks, v_scale=vs)
+    k = jax.lax.dynamic_update_slice(
+        cache.k, layer_k[None].astype(cache.k.dtype), (layer_idx, 0, start, 0, 0))
+    v = jax.lax.dynamic_update_slice(
+        cache.v, layer_v[None].astype(cache.v.dtype), (layer_idx, 0, start, 0, 0))
+    return KVCache(k=k, v=v, length=cache.length,
+                   k_scale=cache.k_scale, v_scale=cache.v_scale)
+
+
+def read_layer(cache: KVCache, layer_idx):
+    """Full-length K/V views [B, S_max, H_kv, D] for a layer, dequantized to
+    bf16 if int8 (in-kernel dequant comes with the Pallas decode-attention
+    kernel; positions beyond ``length`` must be masked by the consumer)."""
+    k = cache.k[layer_idx]
+    v = cache.v[layer_idx]
+    if cache.quantized:
+        k = (k.astype(jnp.float32) * cache.k_scale[layer_idx]).astype(jnp.bfloat16)
+        v = (v.astype(jnp.float32) * cache.v_scale[layer_idx]).astype(jnp.bfloat16)
+    return k, v
+
+
+def advance(cache: KVCache, n: jax.Array) -> KVCache:
+    return KVCache(k=cache.k, v=cache.v, length=cache.length + n,
+                   k_scale=cache.k_scale, v_scale=cache.v_scale)

@@ -1,0 +1,244 @@
+"""Sampling suite — on-device JAX equivalents of the reference's 13
+llama.cpp-derived ``sample_*`` functions (llm/src/Generate.cc:14-327,
+llm/include/Generate.h:74-119).
+
+The reference mutates a sorted candidate list on the CPU per token; on TPU we
+keep logits [B, V] on device and express every truncation filter as a mask to
+-inf (sort-based, static shapes, jit-friendly), then draw via Gumbel trick.
+All filters preserve the llama.cpp semantics the reference implements:
+
+- repetition penalty (Generate.cc:14): positive logits /= penalty, negative *= penalty
+- frequency/presence (:36): logit -= count*alpha_freq + (count>0)*alpha_pres
+- greedy (:62), temperature (:72), softmax (:81), multinomial (:103)
+- top-k (:120), top-p (:304), tail-free (:203), typical (:248)
+- mirostat v1 (:138) / v2 (:176) with carried mu state
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tinychatengine_tpu.core.config import GenerationConfig
+
+NEG_INF = -1e30
+
+
+def apply_repetition_penalty(logits: jax.Array, last_tokens: jax.Array,
+                             penalty: float) -> jax.Array:
+    """logits [B, V]; last_tokens [B, T] int32 (pad with -1).
+
+    llama.cpp rule: for penalized tokens, logit>0 → /penalty, else *penalty.
+    """
+    if penalty == 1.0:
+        return logits
+    b, v = logits.shape
+    counts = _token_counts(last_tokens, v)                    # [B, V]
+    hit = counts > 0
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(hit, penalized, logits)
+
+
+def apply_frequency_presence(logits: jax.Array, last_tokens: jax.Array,
+                             alpha_freq: float, alpha_pres: float) -> jax.Array:
+    if alpha_freq == 0.0 and alpha_pres == 0.0:
+        return logits
+    counts = _token_counts(last_tokens, logits.shape[-1])
+    return logits - counts * alpha_freq - (counts > 0) * alpha_pres
+
+
+def _token_counts(last_tokens: jax.Array, vocab: int) -> jax.Array:
+    """Occurrence counts per vocab id; -1 entries ignored. [B, T] -> [B, V]."""
+    b, t = last_tokens.shape
+    valid = (last_tokens >= 0).astype(jnp.float32)
+    clipped = jnp.clip(last_tokens, 0, vocab - 1)
+    return jax.vmap(
+        lambda ids, w: jnp.zeros((vocab,), jnp.float32).at[ids].add(w)
+    )(clipped, valid)
+
+
+def greedy(logits: jax.Array) -> jax.Array:
+    """sample_token_greedy (Generate.cc:62) — also ops/arg_max.cc."""
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def apply_temperature(logits: jax.Array, temp: float) -> jax.Array:
+    return logits / max(temp, 1e-6)
+
+
+def top_k_mask(logits: jax.Array, k: int) -> jax.Array:
+    """Keep the k highest logits (sample_top_k, Generate.cc:120)."""
+    v = logits.shape[-1]
+    if k <= 0 or k >= v:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def top_p_mask(logits: jax.Array, p: float, min_keep: int = 1) -> jax.Array:
+    """Nucleus sampling mask (sample_top_p, Generate.cc:304)."""
+    if p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep entries until cumulative prob exceeds p (inclusive), >= min_keep
+    keep_sorted = (cum - probs) < p                       # first idx always kept
+    keep_sorted = keep_sorted.at[..., :min_keep].set(True)
+    # threshold logit = smallest kept sorted logit
+    n_keep = jnp.sum(keep_sorted, axis=-1, keepdims=True)
+    thresh = jnp.take_along_axis(sorted_logits, n_keep - 1, axis=-1)
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def tail_free_mask(logits: jax.Array, z: float, min_keep: int = 1) -> jax.Array:
+    """Tail-free sampling (sample_tail_free, Generate.cc:203): drop the tail
+    where the normalized |second derivative| of sorted probs accumulates > z."""
+    if z >= 1.0:
+        return logits
+    v = logits.shape[-1]
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    d1 = probs[..., :-1] - probs[..., 1:]
+    d2 = jnp.abs(d1[..., :-1] - d1[..., 1:])               # [B, V-2]
+    d2 = d2 / jnp.maximum(jnp.sum(d2, axis=-1, keepdims=True), 1e-12)
+    cum = jnp.cumsum(d2, axis=-1)
+    keep_sorted = jnp.concatenate(
+        [jnp.ones_like(cum[..., :1], bool),
+         cum < z,
+         jnp.zeros_like(cum[..., :1], bool)], axis=-1)     # [B, V]
+    keep_sorted = keep_sorted.at[..., :min_keep].set(True)
+    n_keep = jnp.sum(keep_sorted, axis=-1, keepdims=True)
+    thresh = jnp.take_along_axis(sorted_logits, n_keep - 1, axis=-1)
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def typical_mask(logits: jax.Array, p: float, min_keep: int = 1) -> jax.Array:
+    """Locally-typical sampling (sample_typical, Generate.cc:248): keep tokens
+    whose surprise is closest to the entropy, until cum prob > p."""
+    if p >= 1.0:
+        return logits
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    probs = jnp.exp(log_probs)
+    entropy = -jnp.sum(probs * log_probs, axis=-1, keepdims=True)
+    shifted = jnp.abs(-log_probs - entropy)                # deviation from typicality
+    order = jnp.argsort(shifted, axis=-1)                  # ascending deviation
+    probs_sorted = jnp.take_along_axis(probs, order, axis=-1)
+    cum = jnp.cumsum(probs_sorted, axis=-1)
+    keep_sorted = (cum - probs_sorted) < p
+    keep_sorted = keep_sorted.at[..., :min_keep].set(True)
+    keep = jnp.zeros_like(keep_sorted).at[
+        jnp.arange(logits.shape[0])[:, None], order].set(keep_sorted)
+    return jnp.where(keep, logits, NEG_INF)
+
+
+def sample_token(logits: jax.Array, key: jax.Array) -> jax.Array:
+    """Multinomial draw (sample_token, Generate.cc:103) via Gumbel-max."""
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+@dataclasses.dataclass
+class SamplerState:
+    """Carried sampler state: PRNG key + mirostat mu [B]."""
+
+    key: jax.Array
+    mu: jax.Array
+
+    @staticmethod
+    def init(seed: int, batch: int, tau: float) -> "SamplerState":
+        return SamplerState(key=jax.random.PRNGKey(max(seed, 0)),
+                            mu=jnp.full((batch,), 2.0 * tau, jnp.float32))
+
+
+jax.tree_util.register_pytree_node(
+    SamplerState,
+    lambda s: ((s.key, s.mu), None),
+    lambda aux, ch: SamplerState(*ch),
+)
+
+
+def mirostat_v2_step(logits: jax.Array, state: SamplerState, tau: float,
+                     eta: float, temp: float):
+    """sample_token_mirostat_v2 (Generate.cc:176): truncate tokens with
+    surprise > mu, sample, then mu += -eta*(surprise_drawn - tau)."""
+    key, sub = jax.random.split(state.key)
+    logits = apply_temperature(logits, temp)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    surprise = -log_probs / jnp.log(2.0)                   # bits
+    masked = jnp.where(surprise > state.mu[:, None], NEG_INF, logits)
+    # guarantee at least the argmax survives
+    rows = jnp.arange(logits.shape[0])
+    best = jnp.argmax(logits, axis=-1)
+    masked = masked.at[rows, best].set(
+        jnp.take_along_axis(logits, best[:, None], axis=-1)[:, 0])
+    tok = sample_token(masked, sub)
+    s_drawn = jnp.take_along_axis(surprise, tok[:, None], axis=-1)[:, 0]
+    mu = state.mu - eta * (s_drawn - tau)
+    return tok, SamplerState(key=key, mu=mu)
+
+
+def mirostat_v1_step(logits: jax.Array, state: SamplerState, tau: float,
+                     eta: float, temp: float, n_vocab: int, m: int = 100):
+    """sample_token_mirostat (v1, Generate.cc:138): estimate Zipf s from the
+    top-m probs, derive k, top-k sample, update mu by observed surprise."""
+    key, sub = jax.random.split(state.key)
+    logits = apply_temperature(logits, temp)
+    probs = jax.nn.softmax(logits, axis=-1)
+    topm = jax.lax.top_k(probs, m)[0]                      # [B, m]
+    i = jnp.arange(1, m, dtype=jnp.float32)
+    t_i = jnp.log((i + 1.0) / i)
+    b_i = jnp.log(topm[:, :-1] / jnp.maximum(topm[:, 1:], 1e-12))
+    s_hat = jnp.sum(t_i * b_i, axis=-1) / jnp.sum(t_i * t_i)
+    eps = s_hat - 1.0
+    k = jnp.power((eps * jnp.power(2.0, state.mu)) /
+                  (1.0 - jnp.power(float(n_vocab), -eps)), 1.0 / s_hat)
+    k = jnp.clip(k, 1, n_vocab).astype(jnp.int32)          # dynamic k
+    # static-shape masking: keep ranks < k
+    order = jnp.argsort(logits, axis=-1)[..., ::-1]
+    ranks = jnp.zeros_like(order).at[
+        jnp.arange(logits.shape[0])[:, None], order].set(
+        jnp.broadcast_to(jnp.arange(logits.shape[-1]), logits.shape))
+    masked = jnp.where(ranks < k[:, None], logits, NEG_INF)
+    tok = sample_token(masked, sub)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    s_drawn = -jnp.take_along_axis(log_probs, tok[:, None], axis=-1)[:, 0] / jnp.log(2.0)
+    mu = state.mu - eta * (s_drawn - tau)
+    return tok, SamplerState(key=key, mu=mu)
+
+
+def sample(logits: jax.Array, state: SamplerState, gcfg: GenerationConfig,
+           last_tokens: Optional[jax.Array] = None):
+    """Full sampling pipeline in the reference's order (LLaMA3Generate.cc:142-181:
+    penalties → [greedy | mirostat | top_k→tfs→typical→top_p→temp→draw]).
+
+    logits: [B, V] f32. Returns (token [B] int32, new state).
+    """
+    logits = logits.astype(jnp.float32)
+    if gcfg.logit_bias:
+        for tid, bias in gcfg.logit_bias.items():
+            logits = logits.at[:, int(tid)].add(float(bias))
+    if last_tokens is not None:
+        logits = apply_repetition_penalty(logits, last_tokens, gcfg.repeat_penalty)
+        logits = apply_frequency_presence(
+            logits, last_tokens, gcfg.frequency_penalty, gcfg.presence_penalty)
+
+    if gcfg.temp <= 0:
+        return greedy(logits), state
+    if gcfg.mirostat == 1:
+        return mirostat_v1_step(logits, state, gcfg.mirostat_tau,
+                                gcfg.mirostat_eta, gcfg.temp, logits.shape[-1])
+    if gcfg.mirostat == 2:
+        return mirostat_v2_step(logits, state, gcfg.mirostat_tau,
+                                gcfg.mirostat_eta, gcfg.temp)
+
+    logits = top_k_mask(logits, gcfg.top_k)
+    logits = tail_free_mask(logits, gcfg.tfs_z)
+    logits = typical_mask(logits, gcfg.typical_p)
+    logits = top_p_mask(logits, gcfg.top_p)
+    logits = apply_temperature(logits, gcfg.temp)
+    key, sub = jax.random.split(state.key)
+    tok = sample_token(logits, sub)
+    return tok, SamplerState(key=key, mu=state.mu)

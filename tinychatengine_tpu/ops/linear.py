@@ -1,0 +1,123 @@
+"""Linear-layer parameter containers + dispatch.
+
+TPU-native analog of the reference op classes ``Linear_FP`` / ``Linear_FP_int4``
+/ ``W8A8B8O8Linear`` (llm/src/ops/linear.cc, llm/include/ops/linear.h,
+llm/src/ops/W8A8B8O8Linear.cc): instead of classes that own raw buffers and
+marshal into ``matmul_params``, parameters are registered pytrees and
+``apply`` dispatches on the container type (so the same model code runs FP,
+W4A16 or W8A8, and ``jax.tree_util`` / GSPMD sharding see the leaves).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tinychatengine_tpu.ops import ref
+from tinychatengine_tpu.ops.int4_matmul import int4_matmul, int4_matmul_xla
+
+
+def _pytree_dataclass(cls):
+    cls = dataclasses.dataclass(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_pytree_with_keys(
+        cls,
+        lambda obj: (
+            [(jax.tree_util.GetAttrKey(f), getattr(obj, f)) for f in fields],
+            None,
+        ),
+        lambda aux, children: cls(*children),
+    )
+    return cls
+
+
+@_pytree_dataclass
+class DenseLinear:
+    """Unquantized linear, weight stored K-major [K, N] (Linear_FP,
+    llm/src/ops/linear.cc:37-78)."""
+
+    weight: jax.Array  # [K, N]
+    bias: Optional[jax.Array] = None  # [N]
+
+
+@_pytree_dataclass
+class Int4Linear:
+    """AWQ group-wise INT4 linear in QM_TPU layout (Linear_FP_int4,
+    llm/include/ops/linear.h:27-144). group_size rides with the arrays'
+    shapes: group_size = 2*packed.shape[0] // scales.shape[0]."""
+
+    packed: jax.Array  # [K//2, N] uint8
+    scales: jax.Array  # [K//group_size, N] f32
+    bias: Optional[jax.Array] = None
+
+    @property
+    def group_size(self) -> int:
+        return 2 * self.packed.shape[-2] // self.scales.shape[-2]
+
+
+@_pytree_dataclass
+class W8A8Linear:
+    """SmoothQuant static int8 linear (W8A8B8O8Linear family,
+    llm/src/ops/W8A8B8O8Linear.cc): int8 weight [K, N], per-op requant alpha,
+    optional int-folded bias (beta) and fp32 bias."""
+
+    weight: jax.Array  # [K, N] int8
+    alpha: jax.Array   # scalar f32 requant multiplier
+    bias: Optional[jax.Array] = None  # [N] (int8-domain or fp32 per out_mode)
+
+
+def apply_linear(p, x: jax.Array, *, out_int8: bool = False,
+                 relu: bool = False) -> jax.Array:
+    """y = x @ W (+ bias). Dispatches on the parameter container.
+
+    The Pallas fused kernel runs on TPU; other backends (CPU tests) fall back
+    to the XLA dequant path, which is numerically equivalent at bf16.
+    """
+    if isinstance(p, DenseLinear):
+        y = jnp.einsum("...k,kn->...n", x, p.weight.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        if p.bias is not None:
+            y = y + p.bias.astype(y.dtype)
+        return y
+
+    if isinstance(p, Int4Linear):
+        if jax.default_backend() == "tpu":
+            y = int4_matmul(x, p.packed, p.scales, p.group_size)
+        else:
+            y = int4_matmul_xla(x, p.packed, p.scales, p.group_size)
+        if p.bias is not None:
+            y = y + p.bias.astype(y.dtype)
+        return y
+
+    if isinstance(p, W8A8Linear):
+        # x is int8 (statically quantized upstream, LayerNormQ-style)
+        y = ref.w8a8_linear_ref(x, p.weight.T, p.alpha, bias=p.bias,
+                                out_int8=False)
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        if out_int8:
+            return jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
+        return y
+
+    raise TypeError(f"unknown linear params {type(p)}")
+
+
+def random_int4_linear(key, k: int, n: int, group_size: int = 128,
+                       std: float = 0.02) -> Int4Linear:
+    """Random-initialized quantized linear (bench/tests; real checkpoints come
+    from tools.quantize)."""
+    import numpy as np
+
+    from tinychatengine_tpu.quant.numerics import quantize_groupwise_int4
+    from tinychatengine_tpu.quant.packing import pack_qm_tpu, pack_scales
+
+    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    w = (rng.standard_normal((n, k)) * std).astype(np.float32)
+    q, scales = quantize_groupwise_int4(w, group_size)
+    return Int4Linear(
+        packed=jnp.asarray(pack_qm_tpu(q)),
+        scales=jnp.asarray(pack_scales(scales)),
+    )

@@ -17,40 +17,40 @@ ZERO_POINT = 8
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
-    """jnp unpack of QM_TPU packed weights → int8 codes [OC, IC] in [0, 15].
-
-    Traceable mirror of quant.packing.unpack_qm_tpu.
+    """jnp unpack of QM_TPU packed weights [IC//2, OC] → int8 codes [IC, OC]
+    in [0, 15]. Traceable mirror of quant.packing.unpack_qm_tpu (kept K-major).
     """
-    oc, icp = packed.shape
-    p = packed.reshape(oc, icp // PLANE, PLANE)
+    icp, oc = packed.shape
+    p = packed.reshape(icp // PLANE, PLANE, oc)
     lo = (p & 0x0F).astype(jnp.int8)
     hi = ((p >> 4) & 0x0F).astype(jnp.int8)
-    return jnp.stack([lo, hi], axis=2).reshape(oc, icp * 2)
+    return jnp.stack([lo, hi], axis=1).reshape(icp * 2, oc)
 
 
 def dequantize_int4(packed: jax.Array, scales: jax.Array, group_size: int,
                     dtype=jnp.bfloat16) -> jax.Array:
-    """Dequantize QM_TPU weights → [OC, IC] in ``dtype``.
+    """Dequantize QM_TPU weights → [IC, OC] (K-major) in ``dtype``.
 
+    packed: [IC//2, OC]; scales: [IC//group_size, OC].
     Semantics of kernels/matmul_int4.cc naive loops: (q - 8) * d.
     """
-    codes = unpack_int4(packed)  # [OC, IC]
-    oc, ic = codes.shape
+    codes = unpack_int4(packed)  # [IC, OC]
+    ic, oc = codes.shape
     w = (codes - ZERO_POINT).astype(jnp.float32)
-    w = w.reshape(oc, ic // group_size, group_size) * scales[..., None].astype(jnp.float32)
-    return w.reshape(oc, ic).astype(dtype)
+    w = w.reshape(ic // group_size, group_size, oc) * scales[:, None, :].astype(jnp.float32)
+    return w.reshape(ic, oc).astype(dtype)
 
 
 def int4_matmul_ref(x: jax.Array, packed: jax.Array, scales: jax.Array,
                     group_size: int) -> jax.Array:
-    """W4A16 linear oracle: y = x @ dequant(W)^T.
+    """W4A16 linear oracle: y = x @ dequant(W).
 
-    x: [..., IC] bf16/f32; packed: [OC, IC//2] uint8; scales: [OC, IC//G].
+    x: [..., IC] bf16/f32; packed: [IC//2, OC] uint8; scales: [IC//G, OC].
     Matches Linear_FP_int4::forward_ref (llm/src/ops/linear.cc:80-117) modulo
     the activation dtype (bf16 here vs fp32 there).
     """
     w = dequantize_int4(packed, scales, group_size, dtype=jnp.float32)
-    y = jnp.einsum("...k,nk->...n", x.astype(jnp.float32), w,
+    y = jnp.einsum("...k,kn->...n", x.astype(jnp.float32), w,
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
     return y.astype(x.dtype)
