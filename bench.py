@@ -1,0 +1,100 @@
+"""Headline benchmark: Llama-3-8B AWQ-INT4 (W4A16) decode tokens/s, 1 chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = measured / roofline where roofline tokens/s is the
+HBM-bandwidth bound for streaming the quantized weights + KV cache per token
+on one TPU v5e (819 GB/s). BASELINE.json's target is >= 0.80 of roofline.
+
+Methodology (see utils/benchmark.py for why): the whole decode loop runs on
+device (lax.scan inside one jit), timed as t(prefill+N tokens) -
+t(prefill+1 token) with fresh prompts per trial to defeat the environment's
+execution caching; completion is forced by fetching the tokens.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tinychatengine_tpu.core.config import GenerationConfig, QuantConfig, get_model_config
+    from tinychatengine_tpu.generation.engine import Engine
+    from tinychatengine_tpu.models import llama
+
+    cfg = get_model_config("llama3_8b")
+    qcfg = QuantConfig(scheme="w4a16", group_size=128)
+    max_len = 2048  # reference max_sqlen (model.h:68-83)
+
+    print("building llama3_8b random-packed params...", file=sys.stderr)
+    params = llama.init_random_params(cfg, qcfg, seed=0, max_pos=max_len, fast=True)
+    params = jax.block_until_ready(params)
+
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=max_len)
+    g = GenerationConfig(temp=0.0, n_predict=128, repeat_penalty=1.1,
+                         repeat_last_n=64)
+
+    prompt_len = 64
+    n_decode = 64
+
+    def run(seed, n_tokens):
+        rng = np.random.default_rng(seed)
+        ids = rng.integers(100, cfg.vocab_size - 100, (1, prompt_len))
+        toks = eng.generate_device(ids, g, n_tokens=n_tokens)
+        return np.asarray(toks)  # forces completion
+
+    # compile both trip counts (first compile is slow over the tunnel)
+    print("compiling...", file=sys.stderr)
+    run(0, 1)
+    run(0, 1 + n_decode)
+
+    times = []
+    for trial in range(3):
+        t0 = time.perf_counter()
+        run(10 + trial, 1)
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(20 + trial, 1 + n_decode)
+        t_long = time.perf_counter() - t0
+        dt = (t_long - t_short) / n_decode
+        print(f"trial {trial}: short={t_short:.3f}s long={t_long:.3f}s "
+              f"-> {dt * 1e3:.2f} ms/token", file=sys.stderr)
+        if dt > 0:
+            times.append(dt)
+
+    per_token = float(np.median(times)) if times else float("nan")
+    tokens_per_s = 1.0 / per_token
+
+    # roofline: weight+scale bytes streamed per decoded token + avg KV read
+    def _wbytes(p):
+        return p.packed.size + p.scales.size * p.scales.dtype.itemsize
+
+    lw = jax.tree.map(lambda x: 0, params)  # placeholder
+    layer_bytes = 0
+    for leaf in jax.tree.leaves(params.layers):
+        layer_bytes += leaf.size * leaf.dtype.itemsize
+    head_bytes = sum(l.size * l.dtype.itemsize
+                     for l in jax.tree.leaves(params.lm_head))
+    avg_ctx = prompt_len + n_decode // 2
+    kv_bytes = cfg.num_layers * avg_ctx * cfg.num_kv_heads * cfg.head_dim * 2 * 2
+    bytes_per_token = layer_bytes + head_bytes + kv_bytes
+    HBM_BW = 819e9  # TPU v5e
+    roofline = HBM_BW / bytes_per_token
+
+    result = {
+        "metric": "llama3_8b_w4a16_decode_tokens_per_s_per_chip",
+        "value": round(tokens_per_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tokens_per_s / roofline, 3),
+    }
+    print(f"roofline={roofline:.1f} tok/s ({bytes_per_token / 1e9:.2f} GB/token)",
+          file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

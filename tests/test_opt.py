@@ -1,0 +1,73 @@
+"""OPT model tests — FP and W8A8 paths, prefill/decode equivalence
+(mirrors tests/non_cuda/test_Int8OPTDecoderLayer.cc strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinychatengine_tpu.core.config import ModelConfig
+from tinychatengine_tpu.generation import kv_cache as kvc
+from tinychatengine_tpu.models import opt
+
+TINY = ModelConfig(
+    name="tiny_opt", family="opt", num_heads=4, num_kv_heads=4, num_layers=2,
+    max_sqlen=32, embed_dim=128, hidden_dim=256, vocab_size=300,
+)
+
+
+def _cache(quantized, batch=1):
+    return kvc.init_cache(TINY.num_layers, batch, TINY.max_sqlen,
+                          TINY.num_kv_heads, TINY.head_dim,
+                          dtype=jnp.int8 if quantized else jnp.bfloat16)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_prefill_decode_equivalence(quantized):
+    params = opt.init_random_params(TINY, quantized=quantized, seed=0)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 300, (1, 8)), jnp.int32)
+
+    fwd = jax.jit(opt.forward, static_argnames=("cfg",))
+    la, _ = fwd(params, TINY, ids, _cache(quantized), jnp.int32(0))
+    lb, cache = fwd(params, TINY, ids[:, :5], _cache(quantized), jnp.int32(0))
+    for t in range(5, 8):
+        lb, cache = fwd(params, TINY, ids[:, t:t + 1], cache, jnp.int32(t))
+
+    a, b = np.asarray(la), np.asarray(lb)
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-2 * np.abs(a).max())
+
+
+def test_position_offset_used():
+    """OPT's +2 learned-position offset must be applied."""
+    params = opt.init_random_params(TINY, seed=1)
+    ids = jnp.asarray([[5, 6]], jnp.int32)
+    la, _ = opt.forward(params, TINY, ids, _cache(False), jnp.int32(0))
+    # zero out positions 0..1 (would be used WITHOUT offset); logits unchanged
+    import dataclasses
+    ep = params.embed_positions.at[:2].set(0.0)
+    p2 = jax.tree.map(lambda x: x, params)
+    p2 = opt.OPTParams(embed_tokens=params.embed_tokens, embed_positions=ep,
+                       layers=params.layers, final_ln_w=params.final_ln_w,
+                       final_ln_b=params.final_ln_b, lm_head=params.lm_head)
+    lb, _ = opt.forward(p2, TINY, ids, _cache(False), jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb))
+    # but zeroing 2..3 (used WITH offset) must change them
+    ep2 = params.embed_positions.at[2:4].set(0.0)
+    p3 = opt.OPTParams(embed_tokens=params.embed_tokens, embed_positions=ep2,
+                       layers=params.layers, final_ln_w=params.final_ln_w,
+                       final_ln_b=params.final_ln_b, lm_head=params.lm_head)
+    lc, _ = opt.forward(p3, TINY, ids, _cache(False), jnp.int32(0))
+    assert not np.allclose(np.asarray(la), np.asarray(lc))
+
+
+def test_w8a8_path_is_int8_on_wire():
+    """The quantized path must put int8 through the projections (not fp)."""
+    params = opt.init_random_params(TINY, quantized=True, seed=2)
+    from tinychatengine_tpu.ops.linear import W8A8Linear
+    assert isinstance(params.layers.q_proj, W8A8Linear)
+    assert params.layers.q_proj.weight.dtype == jnp.int8
+    ids = jnp.asarray([[1, 2, 3]], jnp.int32)
+    logits, cache = opt.forward(params, TINY, ids, _cache(True), jnp.int32(0))
+    assert cache.k.dtype == jnp.int8  # int8 KV cache
+    assert np.isfinite(np.asarray(logits)).all()

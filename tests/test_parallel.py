@@ -1,0 +1,86 @@
+"""Sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4:
+sharding-invariance — 1-dev vs N-dev numerical equality)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinychatengine_tpu.core.config import GenerationConfig, ModelConfig, QuantConfig
+from tinychatengine_tpu.generation import kv_cache as kvc
+from tinychatengine_tpu.generation.engine import Engine
+from tinychatengine_tpu.models import llama
+from tinychatengine_tpu.parallel.sharding import make_mesh, shard_cache, shard_params
+from tinychatengine_tpu.parallel.tp import make_tp_forward
+
+# TP constraint: every matmul K dim must stay a multiple of 256 per shard
+# (QM_TPU superblock), so the test model is a bit wider than the others.
+TINY = ModelConfig(
+    name="tiny", family="llama", num_heads=8, num_kv_heads=4, num_layers=2,
+    max_sqlen=64, embed_dim=1024, hidden_dim=1024, vocab_size=512,
+    rms_norm_eps=1e-5,
+)
+
+
+def _cache(cfg, batch=1):
+    return kvc.init_cache(cfg.num_layers, batch, cfg.max_sqlen,
+                          cfg.num_kv_heads, cfg.head_dim)
+
+
+@pytest.mark.parametrize("scheme", ["fp", "w4a16"])
+@pytest.mark.parametrize("n_model", [2, 4])
+def test_tp_matches_single_device(scheme, n_model):
+    cfg = TINY
+    params = llama.init_random_params(cfg, QuantConfig(scheme=scheme), seed=0)
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32)
+
+    logits_1, _ = jax.jit(
+        llama.forward, static_argnames=("cfg",))(params, cfg, ids, _cache(cfg),
+                                                 jnp.int32(0))
+
+    mesh = make_mesh(n_data=1, n_model=n_model)
+    sp = shard_params(params, mesh)
+    sc = shard_cache(_cache(cfg), mesh)
+    tp_fwd = make_tp_forward(mesh)
+    logits_n, cache_n = jax.jit(tp_fwd, static_argnames=("cfg",))(
+        sp, cfg, ids, sc, jnp.int32(0))
+
+    np.testing.assert_allclose(np.asarray(logits_1), np.asarray(logits_n),
+                               rtol=2e-2, atol=2e-2)
+    assert int(cache_n.length) == 8
+
+
+def test_dp_tp_mesh_decode_loop():
+    """2 data x 4 model: full generate_device through the TP forward."""
+    cfg = TINY
+    params = llama.init_random_params(cfg, QuantConfig(scheme="fp"), seed=1)
+    mesh = make_mesh(n_data=2, n_model=4)
+    sp = shard_params(params, mesh)
+
+    eng = Engine(sp, cfg, QuantConfig(scheme="fp"), batch=2,
+                 forward_fn=make_tp_forward(mesh))
+    g = GenerationConfig(temp=0.0, n_predict=4, repeat_penalty=1.0)
+    ids = np.asarray([[1, 2, 3], [4, 5, 6]], np.int32)
+    toks = np.asarray(eng.generate_device(ids, g, n_tokens=4))
+    assert toks.shape == (2, 4)
+
+    # single-device oracle
+    eng1 = Engine(params, cfg, QuantConfig(scheme="fp"), batch=2)
+    toks1 = np.asarray(eng1.generate_device(ids, g, n_tokens=4))
+    np.testing.assert_array_equal(toks, toks1)
+
+
+def test_tp_prefill_decode_cache_consistency():
+    cfg = TINY
+    params = llama.init_random_params(cfg, QuantConfig(scheme="fp"), seed=2)
+    mesh = make_mesh(n_data=1, n_model=4)
+    sp = shard_params(params, mesh)
+    tp_fwd = make_tp_forward(mesh)
+    fwd = jax.jit(tp_fwd, static_argnames=("cfg",))
+
+    ids = jnp.asarray([[7, 8, 9, 10, 11]], jnp.int32)
+    la, _ = fwd(sp, cfg, ids, shard_cache(_cache(cfg), mesh), jnp.int32(0))
+    lb, cache = fwd(sp, cfg, ids[:, :3], shard_cache(_cache(cfg), mesh), jnp.int32(0))
+    for t in range(3, 5):
+        lb, cache = fwd(sp, cfg, ids[:, t:t + 1], cache, jnp.int32(t))
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=2e-2, atol=2e-2)

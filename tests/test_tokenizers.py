@@ -1,0 +1,93 @@
+"""Tokenizer round-trip tests with synthetic vocabularies (model-zoo vocab
+files aren't available offline; reference tests use the same round-trip
+strategy, tests/test_{OPT,LLaMA}Tokenizer.cc)."""
+
+import json
+import struct
+
+import pytest
+
+from tinychatengine_tpu.tokenizers import ByteLevelBPE, Llama3BPE, SentencePieceBPE
+
+
+def _mini_sp_vocab(tmp_path):
+    """Build a llama_vocab.bin-format file with a tiny scored vocab."""
+    toks = ["<unk>", "<s>", "</s>"]
+    toks += [f"<0x{i:02X}>" for i in range(256)]
+    words = ["h", "e", "l", "o", " ", "he", "ll", "llo", "hello", " world",
+             "w", "r", "d", "wor", "ld", "world"]
+    toks += words
+    scores = [0.0] * len(toks)
+    for i, w in enumerate(words):
+        scores[259 + i] = float(len(w))  # longer merges score higher
+    path = tmp_path / "llama_vocab.bin"
+    with open(path, "wb") as f:
+        f.write(b"\0" * 36)
+        for t, s in zip(toks, scores):
+            b = t.encode("utf-8")
+            f.write(struct.pack("<I", len(b)) + b + struct.pack("<f", s))
+    return path, len(toks)
+
+
+def test_sentencepiece_bin_roundtrip(tmp_path):
+    path, n = _mini_sp_vocab(tmp_path)
+    tok = SentencePieceBPE.from_reference_bin(path, n_vocab=n)
+    ids = tok.encode("hello world", bos=True)
+    assert ids[0] == tok.bos_id
+    assert tok.decode(ids) == "hello world"
+    # greedy highest-score merge should find "hello" as one token
+    assert tok.token_to_id["hello"] in ids
+
+
+def test_sentencepiece_byte_fallback(tmp_path):
+    path, n = _mini_sp_vocab(tmp_path)
+    tok = SentencePieceBPE.from_reference_bin(path, n_vocab=n)
+    ids = tok.encode("héllo", bos=False)  # é not in vocab → byte tokens
+    assert tok.decode(ids) == "h\xc3\xa9llo" or "llo" in tok.decode(ids)
+
+
+def test_bytelevel_bpe_roundtrip(tmp_path):
+    # tiny GPT-2-style vocab: bytes + a few merges
+    from tinychatengine_tpu.tokenizers.bytelevel_bpe import _BYTE_ENC
+    base = sorted(set(_BYTE_ENC.values()))
+    vocab = {c: i for i, c in enumerate(base)}
+    merges = []
+    for pair in [("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o"),
+                 ("Ġ", "w"), ("Ġw", "o")]:
+        merged = pair[0] + pair[1]
+        if merged not in vocab:
+            vocab[merged] = len(vocab)
+        merges.append(pair)
+    (tmp_path / "opt_vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "opt_merges.txt").write_text(
+        "#version\n" + "\n".join(f"{a} {b}" for a, b in merges))
+    tok = ByteLevelBPE.load(str(tmp_path))
+    ids = tok.encode("hello world")
+    assert tok.decode(ids) == "hello world"
+    assert tok.vocab.get("hello") in ids
+
+
+def test_llama3_roundtrip():
+    # byte-complete synthetic vocab + some merges, tiktoken-rank semantics
+    tokens = [bytes([i]) for i in range(256)]
+    for w in [b"he", b"ll", b"llo", b"hello", b" wo", b"rld", b" world"]:
+        tokens.append(w)
+    tok = Llama3BPE(tokens, special={"<|begin_of_text|>": len(tokens),
+                                     "<|end_of_text|>": len(tokens) + 1,
+                                     "<|eot_id|>": len(tokens) + 2})
+    ids = tok.encode("hello world", bos=True)
+    assert ids[0] == tok.bos_id
+    assert tok.decode(ids) == "hello world"
+
+
+def test_llama3_tiktoken_model_loader(tmp_path):
+    import base64
+    lines = []
+    for rank, tok in enumerate([b"a", b"b", b"ab", b"ba"]):
+        lines.append(f"{base64.b64encode(tok).decode()} {rank}")
+    p = tmp_path / "tokenizer.model"
+    p.write_text("\n".join(lines))
+    tok = Llama3BPE.load(str(p))
+    assert tok.id_to_token[2] == b"ab"
+    ids = tok.encode("abab", bos=False)
+    assert tok.decode(ids) == "abab"

@@ -1,0 +1,165 @@
+"""Interactive chat CLI — the TPU-native ``./chat`` (llm/application/chat.cc).
+
+Usage:
+    python -m tinychatengine_tpu.chat --model llama3_8b --precision INT4 \
+        --checkpoint /path/to/converted/ckpt [--tokenizer /path/to/tokenizer]
+    python -m tinychatengine_tpu.chat --demo          # tiny random model
+
+Differences from the reference CLI (argv ``./chat <model> <precision>
+<threads>``, chat.cc:125-222): no thread-count argument (XLA owns
+parallelism); checkpoints are the converted format from tools.convert; a
+--demo mode runs a tiny random-weight model with a byte tokenizer so the full
+REPL path is exercisable without model downloads.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+import numpy as np
+
+from tinychatengine_tpu.core.config import (
+    GenerationConfig,
+    ModelConfig,
+    QuantConfig,
+    get_model_config,
+)
+from tinychatengine_tpu.generation.chat_templates import template_for
+from tinychatengine_tpu.generation.engine import Engine
+from tinychatengine_tpu.models import llama
+from tinychatengine_tpu.tokenizers.byte_fallback import ByteTokenizer
+
+# ANSI colors (reference: llm/src/interface.cc)
+_BOLD, _BLUE, _RESET = "\033[1m", "\033[34m", "\033[0m"
+
+# per-family generation defaults (chat.cc:245-251,372-381,525-530,1051-1055)
+FAMILY_GENCFG = {
+    "llama3": dict(n_predict=512, temp=0.7, top_p=0.9, repeat_penalty=1.1),
+    "llama2": dict(n_predict=512, temp=0.2),
+    "mistral": dict(temp=0.3),
+    "starcoder": dict(temp=0.2, top_k=0),
+}
+
+
+def _gen_config(model_name: str) -> GenerationConfig:
+    g = GenerationConfig()
+    for fam, overrides in FAMILY_GENCFG.items():
+        if fam.replace("2", "") in model_name.lower() or fam in model_name.lower():
+            for k, v in overrides.items():
+                setattr(g, k, v)
+            break
+    return g
+
+
+def build_demo_engine():
+    # vocab padded to a lane multiple (384); pad ids masked out at sampling
+    cfg = ModelConfig(
+        name="demo", family="llama", num_heads=8, num_kv_heads=4, num_layers=4,
+        max_sqlen=512, embed_dim=512, hidden_dim=1024, vocab_size=384,
+        rms_norm_eps=1e-5)
+    qcfg = QuantConfig(scheme="w4a16")
+    params = llama.init_random_params(cfg, qcfg, seed=0)
+    return Engine(params, cfg, qcfg), ByteTokenizer(), cfg
+
+
+def build_engine(model: str, precision: str, checkpoint: str,
+                 tokenizer_path: str | None):
+    from tinychatengine_tpu.tools.checkpoint import load_checkpoint, load_tokenizer
+    cfg = get_model_config(model)
+    params, qcfg = load_checkpoint(checkpoint, cfg, precision)
+    tok = load_tokenizer(tokenizer_path or checkpoint, cfg)
+    return Engine(params, cfg, qcfg), tok, cfg
+
+
+def repl(engine: Engine, tok, cfg: ModelConfig, gcfg: GenerationConfig):
+    tmpl = template_for(cfg.name)
+    stop_ids = [getattr(tok, "eos_id", -1)]
+    for name in tmpl.stop_token_names:
+        tid = getattr(tok, "special", {}).get(name) if hasattr(tok, "special") else None
+        if tid is not None:
+            stop_ids.append(tid)
+
+    cache = engine.new_cache()
+    start = 0
+    first = True
+    print(f"{_BOLD}TinyChatEngine-TPU{_RESET} — model {cfg.name} "
+          f"(ctx {engine.max_len}). Ctrl-D to exit.")
+    while True:
+        try:
+            user = input(f"{_BOLD}USER: {_RESET}")
+        except EOFError:
+            print()
+            return
+        if not user.strip():
+            continue
+        wrap = (tmpl.first if first else tmpl.next).replace("{image}", "")
+        prompt = wrap.format(input=user)
+        first = False
+        ids = tok.encode(prompt, bos=(start == 0))
+
+        print(f"{_BOLD}ASSISTANT: {_RESET}", end="", flush=True)
+        text_buf = []
+
+        def on_token(t):
+            piece = tok.decode([t])
+            text_buf.append(piece)
+            sys.stdout.write(_BLUE + piece + _RESET)
+            sys.stdout.flush()
+            # stop-string check (reference: break on "### Human" etc.)
+            tail = "".join(text_buf[-8:])
+            return not any(s_ in tail for s_ in tmpl.stop_strings)
+
+        result = engine.generate(
+            np.asarray([ids], np.int32), gcfg, stop_token_ids=stop_ids,
+            on_token=on_token, cache=cache, start=start)
+        cache = result.cache  # input cache buffer was donated
+        n_gen = len(result.tokens[0])
+        print()
+        # context persists across turns (reference keeps past_kv static;
+        # LLaMA3Generate.cc:74-75) — continue from the updated position
+        start += len(ids) + n_gen
+        if start >= engine.max_len - 8:
+            print("[context full — resetting]")
+            cache = engine.new_cache()
+            start = 0
+            first = True
+        if result is not None:
+            print(engine.profiler.report_turn(n_gen), file=sys.stderr)
+            engine.profiler.reset()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TinyChatEngine-TPU chat")
+    ap.add_argument("--model", default="llama3_8b")
+    ap.add_argument("--precision", default="INT4",
+                    choices=["FP32", "FP", "INT4", "INT8"])
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--tokenizer", default=None)
+    ap.add_argument("--demo", action="store_true",
+                    help="tiny random-weight model + byte tokenizer")
+    ap.add_argument("--n-predict", type=int, default=None)
+    ap.add_argument("--temp", type=float, default=None)
+    args = ap.parse_args(argv)
+
+    if args.demo:
+        engine, tok, cfg = build_demo_engine()
+    else:
+        if not args.checkpoint:
+            ap.error("--checkpoint required (or use --demo)")
+        engine, tok, cfg = build_engine(args.model, args.precision,
+                                        args.checkpoint, args.tokenizer)
+
+    gcfg = _gen_config(cfg.name)
+    if args.demo:  # mask vocab-padding ids beyond the byte tokenizer's range
+        gcfg.logit_bias = {i: -1e9 for i in range(tok.vocab_size, cfg.vocab_size)}
+    if args.n_predict is not None:
+        gcfg.n_predict = args.n_predict
+    if args.temp is not None:
+        gcfg.temp = args.temp
+    repl(engine, tok, cfg, gcfg)
+
+
+if __name__ == "__main__":
+    main()

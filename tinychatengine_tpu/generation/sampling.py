@@ -218,8 +218,11 @@ def sample(logits: jax.Array, state: SamplerState, gcfg: GenerationConfig,
     """
     logits = logits.astype(jnp.float32)
     if gcfg.logit_bias:
-        for tid, bias in gcfg.logit_bias.items():
-            logits = logits.at[:, int(tid)].add(float(bias))
+        items = (gcfg.logit_bias.items() if hasattr(gcfg.logit_bias, "items")
+                 else gcfg.logit_bias)  # hashable configs carry a tuple
+        ids = jnp.asarray([int(t) for t, _ in items], jnp.int32)
+        biases = jnp.asarray([float(v) for _, v in items], jnp.float32)
+        logits = logits.at[:, ids].add(biases)
     if last_tokens is not None:
         logits = apply_repetition_penalty(logits, last_tokens, gcfg.repeat_penalty)
         logits = apply_frequency_presence(

@@ -1,0 +1,152 @@
+"""GPTBigCode (StarCoder) decoder — FP and W4A16 paths.
+
+Replaces the reference's Fp32GPTBigCode*/Int4GPTBigCode* stacks
+(llm/src/nn_modules/{Fp32,Int4}GPTBigCode*.cc). Architecture facts:
+multi-query attention (kv_heads=1, Int4GPTBigCodeAttention.cc:64-71), fused
+``c_attn`` QKV projection with bias, tanh-GELU MLP, LayerNorm with bias,
+learned absolute positions (no offset), tied lm_head.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tinychatengine_tpu.core.config import ModelConfig
+from tinychatengine_tpu.generation import kv_cache as kvc
+from tinychatengine_tpu.ops import ref
+from tinychatengine_tpu.ops.linear import DenseLinear, apply_linear
+
+NEG_INF = -1e30
+
+
+def _pytree(cls):
+    cls = dataclasses.dataclass(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_pytree_with_keys(
+        cls,
+        lambda obj: ([(jax.tree_util.GetAttrKey(f), getattr(obj, f)) for f in fields], None),
+        lambda aux, ch: cls(*ch),
+    )
+    return cls
+
+
+@_pytree
+class GPTBigCodeLayerParams:
+    ln1_w: jax.Array
+    ln1_b: jax.Array
+    c_attn: object       # E -> E + 2*head_dim (fused q + single-head kv)
+    c_proj: object       # E -> E
+    ln2_w: jax.Array
+    ln2_b: jax.Array
+    fc_in: object        # E -> 4E
+    fc_out: object       # 4E -> E
+
+
+@_pytree
+class GPTBigCodeParams:
+    wte: jax.Array       # [V, E]
+    wpe: jax.Array       # [max_pos, E]
+    layers: GPTBigCodeLayerParams
+    lnf_w: jax.Array
+    lnf_b: jax.Array
+    lm_head: object
+
+
+def forward(params: GPTBigCodeParams, cfg: ModelConfig, input_ids: jax.Array,
+            cache: kvc.KVCache, start: jax.Array,
+            full_logits: bool = False, true_len: Optional[jax.Array] = None,
+            tp_axis: Optional[str] = None, input_embeds=None):
+    b, s = input_ids.shape
+    d = cfg.head_dim
+
+    positions = start + jnp.arange(s, dtype=jnp.int32)[None, :]
+    positions = jnp.broadcast_to(positions, (b, s))
+    x = (params.wte[input_ids] + params.wpe[positions]).astype(jnp.bfloat16)
+
+    def step(carry, layer_and_idx):
+        x, cache = carry
+        layer, layer_idx = layer_and_idx
+
+        h = ref.layer_norm_ref(x, layer.ln1_w, layer.ln1_b)
+        qkv = apply_linear(layer.c_attn, h)             # [B, S, Hq*D + 2D]
+        nq = qkv.shape[-1] - 2 * d
+        hq = nq // d
+        q = qkv[..., :nq].reshape(b, s, hq, d)
+        k = qkv[..., nq:nq + d].reshape(b, s, 1, d)     # MQA: 1 kv head
+        v = qkv[..., nq + d:].reshape(b, s, 1, d)
+
+        cache2 = kvc.update_layer(cache, k, v, layer_idx, start)
+        ck, cv = kvc.read_layer(cache2, layer_idx)      # [B, Smax, 1, D]
+        smax = ck.shape[1]
+
+        # MQA: the single kv head is shared by every query head
+        k2, v2 = ck[:, :, 0, :], cv[:, :, 0, :]         # [B, Smax, D]
+        logits = jnp.einsum("bshd,btd->bhst", q, k2,
+                            preferred_element_type=jnp.float32)
+        logits = logits / (d ** 0.5)
+        col = jnp.arange(smax)
+        allowed = (col[None, None, :] <= positions[:, :, None]) & (
+            col[None, None, :] < start + s)
+        logits = jnp.where(allowed[:, None, :, :], logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("bhst,btd->bshd", probs.astype(v2.dtype), v2,
+                          preferred_element_type=jnp.float32)
+        attn = apply_linear(layer.c_proj,
+                            attn.reshape(b, s, hq * d).astype(x.dtype))
+        if tp_axis is not None:
+            attn = jax.lax.psum(attn, tp_axis)
+        x = x + attn.astype(x.dtype)
+
+        h2 = ref.layer_norm_ref(x, layer.ln2_w, layer.ln2_b)
+        f = ref.gelu_ref(apply_linear(layer.fc_in, h2).astype(jnp.float32))
+        f = apply_linear(layer.fc_out, f.astype(h2.dtype))
+        if tp_axis is not None:
+            f = jax.lax.psum(f, tp_axis)
+        x = x + f.astype(x.dtype)
+        return (x, cache2), None
+
+    (x, cache), _ = jax.lax.scan(
+        step, (x, cache),
+        (params.layers, jnp.arange(cfg.num_layers, dtype=jnp.int32)))
+    n_new = jnp.asarray(s, jnp.int32) if true_len is None else true_len
+    cache = kvc.advance(cache, n_new)
+
+    x = ref.layer_norm_ref(x, params.lnf_w, params.lnf_b)
+    if not full_logits:
+        x = jax.lax.dynamic_slice_in_dim(x, n_new - 1, 1, axis=1)
+    logits = apply_linear(params.lm_head, x).astype(jnp.float32)
+    if tp_axis is not None:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    return (logits if full_logits else logits[:, 0, :]), cache
+
+
+def init_random_params(cfg: ModelConfig, seed: int = 0) -> GPTBigCodeParams:
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    e, v, d = cfg.embed_dim, cfg.vocab_size, cfg.head_dim
+
+    def dense(k, n):
+        return DenseLinear(
+            weight=jnp.asarray(rng.standard_normal((k, n)) * 0.02, jnp.bfloat16),
+            bias=jnp.asarray(rng.standard_normal(n) * 0.01, jnp.bfloat16))
+
+    layers = []
+    for _ in range(cfg.num_layers):
+        layers.append(GPTBigCodeLayerParams(
+            ln1_w=jnp.ones((e,), jnp.bfloat16), ln1_b=jnp.zeros((e,), jnp.bfloat16),
+            c_attn=dense(e, e + 2 * d), c_proj=dense(e, e),
+            ln2_w=jnp.ones((e,), jnp.bfloat16), ln2_b=jnp.zeros((e,), jnp.bfloat16),
+            fc_in=dense(e, cfg.hidden_dim), fc_out=dense(cfg.hidden_dim, e)))
+    layers = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    wte = jnp.asarray(rng.standard_normal((v, e)) * 0.02, jnp.bfloat16)
+    return GPTBigCodeParams(
+        wte=wte,
+        wpe=jnp.asarray(rng.standard_normal((cfg.max_sqlen, e)) * 0.02, jnp.bfloat16),
+        layers=layers,
+        lnf_w=jnp.ones((e,), jnp.bfloat16), lnf_b=jnp.zeros((e,), jnp.bfloat16),
+        lm_head=DenseLinear(weight=wte.T))

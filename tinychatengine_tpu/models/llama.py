@@ -78,13 +78,19 @@ class LlamaParams:
 def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
             cache: kvc.KVCache, start: jax.Array,
             input_embeds: Optional[jax.Array] = None,
-            full_logits: bool = False):
+            full_logits: bool = False, true_len: Optional[jax.Array] = None,
+            tp_axis: Optional[str] = None):
     """One forward pass (prefill S>1 or decode S=1).
 
     input_ids: [B, S] int32; start: scalar int32 = number of cached tokens.
     input_embeds: optional [B, S, E] — replaces the embedding lookup entirely
     (LLaVA image-embedding splice, Int4llamaDecoder.cc:81-92: the caller
     pre-splices text embeddings and CLIP image embeddings).
+    true_len: optional scalar int32 <= S. When the prompt is right-padded to a
+    jit bucket, pass the unpadded length: cache.length advances by true_len
+    (pad slots hold garbage but sit beyond length, and decode overwrites them
+    one by one), and the returned last-position logits are taken at
+    true_len-1. Causality keeps real tokens from attending to pad slots.
     Returns (logits [B, V] of the LAST position — or [B, S, V] if
     full_logits — and the updated cache).
     """
@@ -100,74 +106,110 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
     # RoPE is applied to q and k inside the scan via closure on rope caches.
     cos, sin = params.rope_cos, params.rope_sin
 
-    def step(carry, layer_and_idx):
-        x, cache = carry
-        layer, layer_idx = layer_and_idx
-        hq, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    layers = params.layers  # stacked [L, ...]; indexed INSIDE the step so the
+    # Pallas kernels stream tiles from the stacked HBM buffers directly —
+    # consuming scan xs slices would materialize a per-layer weight copy
+    # (measured at 35% of decode-step device time).
 
-        h = ref.rms_norm_ref(x, layer.input_norm, cfg.rms_norm_eps)
-        q = apply_linear(layer.wq, h).reshape(b, s, hq, d)
-        k = apply_linear(layer.wk, h).reshape(b, s, hkv, d)
-        v = apply_linear(layer.wv, h).reshape(b, s, hkv, d)
+    def step(carry, layer_idx):
+        x, cache = carry
+        d = cfg.head_dim
+
+        def norm_w(stacked):
+            return jax.lax.dynamic_index_in_dim(stacked, layer_idx, 0,
+                                                keepdims=False)
+
+        h = ref.rms_norm_ref(x, norm_w(layers.input_norm), cfg.rms_norm_eps)
+        # head counts derived from projection widths so the same code runs
+        # unsharded and inside shard_map with a tensor-parallel head slice
+        q_flat = apply_linear(layers.wq, h, layer_idx=layer_idx)
+        k_flat = apply_linear(layers.wk, h, layer_idx=layer_idx)
+        v_flat = apply_linear(layers.wv, h, layer_idx=layer_idx)
+        hq, hkv = q_flat.shape[-1] // d, k_flat.shape[-1] // d
+        q = q_flat.reshape(b, s, hq, d)
+        k = k_flat.reshape(b, s, hkv, d)
+        v = v_flat.reshape(b, s, hkv, d)
         q, k = ref.rotary_embed_ref(q, k, cos, sin, positions)
 
         cache2 = kvc.update_layer(cache, k, v, layer_idx, start)
         ck, cv = kvc.read_layer(cache2, layer_idx)
 
-        attn = _dense_attention(cfg, q, ck, cv, positions, start + s)
-        attn = apply_linear(layer.wo, attn.astype(x.dtype))
+        attn = _dense_attention(q, ck, cv, positions, start + s)
+        attn = apply_linear(layers.wo, attn.astype(x.dtype), layer_idx=layer_idx)
+        if tp_axis is not None:  # row-parallel o_proj partial sums
+            attn = jax.lax.psum(attn, tp_axis)
         x = x + attn
 
-        h2 = ref.rms_norm_ref(x, layer.post_norm, cfg.rms_norm_eps)
-        gated = jax.nn.silu(apply_linear(layer.gate, h2).astype(jnp.float32))
-        upd = apply_linear(layer.up, h2).astype(jnp.float32)
-        mlp = apply_linear(layer.down, (gated * upd).astype(h2.dtype))
+        h2 = ref.rms_norm_ref(x, norm_w(layers.post_norm), cfg.rms_norm_eps)
+        gated = jax.nn.silu(
+            apply_linear(layers.gate, h2, layer_idx=layer_idx).astype(jnp.float32))
+        upd = apply_linear(layers.up, h2, layer_idx=layer_idx).astype(jnp.float32)
+        mlp = apply_linear(layers.down, (gated * upd).astype(h2.dtype),
+                           layer_idx=layer_idx)
+        if tp_axis is not None:  # row-parallel down_proj partial sums
+            mlp = jax.lax.psum(mlp, tp_axis)
         x = x + mlp
         return (x, cache2), None
 
     n_layers = cfg.num_layers
     (x, cache), _ = jax.lax.scan(
-        step, (x, cache),
-        (params.layers, jnp.arange(n_layers, dtype=jnp.int32)))
-    cache = kvc.advance(cache, jnp.asarray(s, jnp.int32))
+        step, (x, cache), jnp.arange(n_layers, dtype=jnp.int32))
+    n_new = jnp.asarray(s, jnp.int32) if true_len is None else true_len
+    cache = kvc.advance(cache, n_new)
 
     x = ref.rms_norm_ref(x, params.final_norm, cfg.rms_norm_eps)
     if not full_logits:
-        x = x[:, -1:, :]
+        # last *real* position only — avoids the reference's full-sequence
+        # lm_head waste (Int4llamaForCausalLM.cc:48-51)
+        x = jax.lax.dynamic_slice_in_dim(x, n_new - 1, 1, axis=1)
     logits = apply_linear(params.lm_head, x).astype(jnp.float32)
+    if tp_axis is not None:  # column-parallel lm_head → full vocab for sampling
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     return (logits if full_logits else logits[:, 0, :]), cache
 
 
-def _dense_attention(cfg: ModelConfig, q, cache_k, cache_v, positions,
-                     kv_valid_len):
-    """GQA masked attention over the full cache (q [B, S, Hq, D])."""
+def _dense_attention(q, cache_k, cache_v, positions, kv_valid_len):
+    """GQA masked attention over the full cache.
+
+    q [B, S, Hq, D]; cache_k/v [B, Smax, Hkv, D] (local head slices under TP).
+    """
     b, s, hq, d = q.shape
-    hkv = cfg.num_kv_heads
+    hkv = cache_k.shape[2]
     groups = hq // hkv
     smax = cache_k.shape[1]
 
-    qf = q.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(b, hkv, groups, s, d)
-    kf = cache_k.astype(jnp.float32).transpose(0, 2, 1, 3)
-    vf = cache_v.astype(jnp.float32).transpose(0, 2, 1, 3)
+    # Keep K/V in cache dtype (bf16): the MXU multiplies bf16 natively with
+    # f32 accumulation — casting the cache to f32 would materialize 2x its
+    # bytes in HBM every step, which dominates decode.
+    qh = q.transpose(0, 2, 1, 3).reshape(b, hkv, groups, s, d)
+    kh = cache_k.transpose(0, 2, 1, 3)
+    vh = cache_v.transpose(0, 2, 1, 3)
 
     scale = 1.0 / (d ** 0.5)
-    logits = jnp.einsum("bhgsd,bhtd->bhgst", qf, kf) * scale
+    logits = jnp.einsum("bhgsd,bhtd->bhgst", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
 
     col = jnp.arange(smax)
     allowed = (col[None, None, :] <= positions[:, :, None]) & (
         col[None, None, :] < kv_valid_len)                    # [B, S, Smax]
     logits = jnp.where(allowed[:, None, None, :, :], logits, NEG_INF)
 
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhgst,bhtd->bhgsd", probs, vf)
-    return out.reshape(b, hq, s, d).transpose(0, 2, 1, 3).reshape(b, s, hq * d)
+    probs = jax.nn.softmax(logits, axis=-1)                   # fp32 island
+    out = jnp.einsum("bhgst,bhtd->bhgsd", probs.astype(cache_v.dtype), vh,
+                     preferred_element_type=jnp.float32)
+    return (out.astype(q.dtype)
+            .reshape(b, hq, s, d).transpose(0, 2, 1, 3).reshape(b, s, hq * d))
 
 
 def init_random_params(cfg: ModelConfig, qcfg: QuantConfig, seed: int = 0,
-                       max_pos: Optional[int] = None) -> LlamaParams:
+                       max_pos: Optional[int] = None,
+                       fast: bool = False) -> LlamaParams:
     """Random weights in the right structure (bench + tests; real checkpoints
-    via tools.convert)."""
+    via tools.convert). fast=True generates packed bytes directly on device
+    (layout-only fidelity — use for perf benchmarks of big models)."""
     import numpy as np
+
+    from tinychatengine_tpu.ops.linear import random_int4_linear_fast
 
     key = jax.random.PRNGKey(seed)
     e, f, v = cfg.embed_dim, cfg.hidden_dim, cfg.vocab_size
@@ -176,6 +218,8 @@ def init_random_params(cfg: ModelConfig, qcfg: QuantConfig, seed: int = 0,
 
     def lin(key, k, n):
         if qcfg.scheme == "w4a16":
+            if fast:
+                return random_int4_linear_fast(key, k, n, qcfg.group_size)
             return random_int4_linear(key, k, n, qcfg.group_size)
         w = jax.random.normal(key, (k, n), jnp.bfloat16) * 0.02
         return DenseLinear(weight=w)
@@ -195,8 +239,12 @@ def init_random_params(cfg: ModelConfig, qcfg: QuantConfig, seed: int = 0,
         return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
     cos, sin = ref.make_rope_cache(d, max_pos, cfg.rope_theta)
-    rng = np.random.default_rng(seed)
-    embed = jnp.asarray(rng.standard_normal((v, e)) * 0.02, jnp.bfloat16)
+    if fast:
+        embed = jax.random.normal(jax.random.PRNGKey(seed + 2), (v, e),
+                                  jnp.bfloat16) * 0.02
+    else:
+        rng = np.random.default_rng(seed)
+        embed = jnp.asarray(rng.standard_normal((v, e)) * 0.02, jnp.bfloat16)
     return LlamaParams(
         embed=embed,
         layers=stack_layers(),

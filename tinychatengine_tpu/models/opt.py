@@ -1,0 +1,224 @@
+"""OPT decoder — FP and SmoothQuant W8A8 paths.
+
+Replaces the reference's Fp32OPT*/Int8OPT*/Int4OPT* stacks
+(llm/src/nn_modules/{Fp32,Int8,Int4}OPT*.cc). The W8A8 path follows the
+Int8OPT dataflow exactly (Int8OPTAttention.cc:27-58, Int8OPTDecoderLayer.cc:24):
+
+    LayerNormQ (fp32 LN → round → int8; ops/LayerNormQ.cc:12-52)
+    → W8A8 q/k/v (y_s8 = clip(round(acc_i32*α + bias_s8*β)); ref
+      kernels/ref/matmul_ref_int8.cc:11-35)
+    → int8 KV cache (static scales folded into the BMM alphas)
+    → BMM_S8T_S8N_F32T: logits_f32 = (q_s8 @ k_s8^T)*α_qk
+    → softmax fp32 → ×127 requant → s8 probs
+    → BMM_S8T_S8N_S8T: (p_s8 @ v_s8)*α_pv → s8
+    → W8A8BFP32OFP32 out_proj (fp32 bias/out) + residual
+    FFN: LayerNormQ → W8A8+ReLU fc1 → W8A8BFP32OFP32 fc2.
+
+Architecture facts: learned positional embeddings with offset 2
+(Int8OPTDecoder.cc:26-39), pre-LN, ReLU FFN, tied lm_head.
+
+On TPU the s8×s8 matmuls use the int8 MXU path via
+preferred_element_type=int32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tinychatengine_tpu.core.config import ModelConfig
+from tinychatengine_tpu.generation import kv_cache as kvc
+from tinychatengine_tpu.ops import ref
+from tinychatengine_tpu.ops.linear import DenseLinear, W8A8Linear, apply_linear
+
+NEG_INF = -1e30
+POS_OFFSET = 2  # OPT's learned-position quirk (Int8OPTDecoder.cc:26-39)
+
+
+def _pytree(cls):
+    cls = dataclasses.dataclass(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_pytree_with_keys(
+        cls,
+        lambda obj: ([(jax.tree_util.GetAttrKey(f), getattr(obj, f)) for f in fields], None),
+        lambda aux, ch: cls(*ch),
+    )
+    return cls
+
+
+@_pytree
+class OPTLayerParams:
+    attn_ln_w: jax.Array    # LayerNorm(Q) weight [E]
+    attn_ln_b: jax.Array
+    q_proj: object
+    k_proj: object
+    v_proj: object
+    out_proj: object
+    final_ln_w: jax.Array   # pre-FFN LayerNorm(Q)
+    final_ln_b: jax.Array
+    fc1: object
+    fc2: object
+    qk_alpha: Optional[jax.Array] = None  # BMM_S8T_S8N_F32T alpha (int8 path)
+    pv_alpha: Optional[jax.Array] = None  # BMM_S8T_S8N_S8T alpha
+
+
+@_pytree
+class OPTParams:
+    embed_tokens: jax.Array     # [V, E]
+    embed_positions: jax.Array  # [max_pos + 2, E]
+    layers: OPTLayerParams      # stacked [L, ...]
+    final_ln_w: jax.Array
+    final_ln_b: jax.Array
+    lm_head: object             # DenseLinear (tied to embed by the converter)
+
+
+def _s8_requant_matmul(a_s8, b_s8, alpha, transpose_b=False):
+    """s8 x s8 → i32 on the MXU, then fp32 α scaling (BMM_S8T_S8N_* core)."""
+    eq = "bshd,bthd->bhst" if transpose_b else "bhst,bthd->bshd"
+    acc = jnp.einsum(eq, a_s8.astype(jnp.int8), b_s8.astype(jnp.int8),
+                     preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * alpha
+
+
+def forward(params: OPTParams, cfg: ModelConfig, input_ids: jax.Array,
+            cache: kvc.KVCache, start: jax.Array,
+            full_logits: bool = False, true_len: Optional[jax.Array] = None,
+            tp_axis: Optional[str] = None, input_embeds=None):
+    """Same contract as models.llama.forward. The int8/fp path is selected by
+    the parameter container types (static at trace time)."""
+    b, s = input_ids.shape
+    x = params.embed_tokens[input_ids].astype(jnp.float32)
+    positions = start + jnp.arange(s, dtype=jnp.int32)[None, :]
+    positions = jnp.broadcast_to(positions, (b, s))
+    x = x + params.embed_positions[positions + POS_OFFSET].astype(jnp.float32)
+
+    d = cfg.head_dim
+
+    def step(carry, layer_and_idx):
+        x, cache = carry
+        layer, layer_idx = layer_and_idx
+        int8_path = isinstance(layer.q_proj, W8A8Linear)
+
+        # ---- attention ----
+        if int8_path:
+            h = ref.layer_norm_q_ref(x, layer.attn_ln_w, layer.attn_ln_b)
+        else:
+            h = ref.layer_norm_ref(x, layer.attn_ln_w, layer.attn_ln_b)
+
+        q = apply_linear(layer.q_proj, h, out_int8=int8_path)
+        k = apply_linear(layer.k_proj, h, out_int8=int8_path)
+        v = apply_linear(layer.v_proj, h, out_int8=int8_path)
+        hq = q.shape[-1] // d
+        q = q.reshape(b, s, hq, d)
+        k = k.reshape(b, s, hq, d)
+        v = v.reshape(b, s, hq, d)
+
+        cache2 = kvc.update_layer(cache, k, v, layer_idx, start)
+        ck, cv = kvc.read_layer(cache2, layer_idx)  # [B, Smax, H, D]
+        smax = ck.shape[1]
+
+        if int8_path:
+            logits = _s8_requant_matmul(q, ck, layer.qk_alpha, transpose_b=True)
+        else:
+            logits = jnp.einsum("bshd,bthd->bhst", q.astype(jnp.float32),
+                                ck.astype(jnp.float32)) / (d ** 0.5)
+
+        col = jnp.arange(smax)
+        allowed = (col[None, None, :] <= positions[:, :, None]) & (
+            col[None, None, :] < start + s)
+        logits = jnp.where(allowed[:, None, :, :], logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+
+        if int8_path:
+            # ×127 requant of probs → s8 (Int8OPTAttention.cc dataflow)
+            p_s8 = jnp.clip(jnp.round(probs * 127.0), -128, 127).astype(jnp.int8)
+            attn = _s8_requant_matmul(p_s8, cv, layer.pv_alpha)  # [B,S,H,D] f32
+            attn_s8 = jnp.clip(jnp.round(attn), -128, 127).astype(jnp.int8)
+            attn_out = apply_linear(layer.out_proj, attn_s8.reshape(b, s, hq * d))
+        else:
+            attn = jnp.einsum("bhst,bthd->bshd", probs,
+                              cv.astype(jnp.float32))
+            attn_out = apply_linear(layer.out_proj,
+                                    attn.reshape(b, s, hq * d).astype(jnp.float32))
+        if tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        x = x + attn_out.astype(jnp.float32)
+
+        # ---- FFN ----
+        if int8_path:
+            h2 = ref.layer_norm_q_ref(x, layer.final_ln_w, layer.final_ln_b)
+            f = apply_linear(layer.fc1, h2, out_int8=True, relu=True)
+            f = apply_linear(layer.fc2, f)
+        else:
+            h2 = ref.layer_norm_ref(x, layer.final_ln_w, layer.final_ln_b)
+            f = jnp.maximum(apply_linear(layer.fc1, h2), 0.0)
+            f = apply_linear(layer.fc2, f.astype(h2.dtype))
+        if tp_axis is not None:
+            f = jax.lax.psum(f, tp_axis)
+        x = x + f.astype(jnp.float32)
+        return (x, cache2), None
+
+    (x, cache), _ = jax.lax.scan(
+        step, (x, cache),
+        (params.layers, jnp.arange(cfg.num_layers, dtype=jnp.int32)))
+    n_new = jnp.asarray(s, jnp.int32) if true_len is None else true_len
+    cache = kvc.advance(cache, n_new)
+
+    x = ref.layer_norm_ref(x, params.final_ln_w, params.final_ln_b)
+    if not full_logits:
+        x = jax.lax.dynamic_slice_in_dim(x, n_new - 1, 1, axis=1)
+    logits = apply_linear(params.lm_head, x.astype(jnp.bfloat16)).astype(jnp.float32)
+    if tp_axis is not None:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    return (logits if full_logits else logits[:, 0, :]), cache
+
+
+def init_random_params(cfg: ModelConfig, quantized: bool = False,
+                       seed: int = 0) -> OPTParams:
+    """Random weights (tests; real checkpoints via tools.convert_opt)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    e, f, v = cfg.embed_dim, cfg.hidden_dim, cfg.vocab_size
+
+    def dense(k, n):
+        return DenseLinear(
+            weight=jnp.asarray(rng.standard_normal((k, n)) * 0.02, jnp.float32),
+            bias=jnp.asarray(rng.standard_normal(n) * 0.01, jnp.float32))
+
+    def w8a8(k, n, alpha=0.002):
+        return W8A8Linear(
+            weight=jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8),
+            alpha=jnp.asarray(alpha, jnp.float32),
+            bias=jnp.asarray(rng.integers(-10, 10, (n,)), jnp.float32))
+
+    lin = (lambda k, n: w8a8(k, n)) if quantized else dense
+
+    layers = []
+    for _ in range(cfg.num_layers):
+        layers.append(OPTLayerParams(
+            attn_ln_w=jnp.ones((e,), jnp.float32) * (20.0 if quantized else 1.0),
+            attn_ln_b=jnp.zeros((e,), jnp.float32),
+            q_proj=lin(e, e), k_proj=lin(e, e), v_proj=lin(e, e),
+            out_proj=dense(e, e) if not quantized else w8a8(e, e, 0.004),
+            final_ln_w=jnp.ones((e,), jnp.float32) * (20.0 if quantized else 1.0),
+            final_ln_b=jnp.zeros((e,), jnp.float32),
+            fc1=lin(e, f), fc2=dense(f, e) if not quantized else w8a8(f, e, 0.004),
+            qk_alpha=jnp.asarray(1e-4, jnp.float32) if quantized else None,
+            pv_alpha=jnp.asarray(1e-4, jnp.float32) if quantized else None,
+        ))
+    layers = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    embed = jnp.asarray(rng.standard_normal((v, e)) * 0.02, jnp.float32)
+    return OPTParams(
+        embed_tokens=embed,
+        embed_positions=jnp.asarray(
+            rng.standard_normal((cfg.max_sqlen + POS_OFFSET, e)) * 0.02, jnp.float32),
+        layers=layers,
+        final_ln_w=jnp.ones((e,), jnp.float32),
+        final_ln_b=jnp.zeros((e,), jnp.float32),
+        lm_head=DenseLinear(weight=embed.T.astype(jnp.bfloat16)),
+    )

@@ -10,11 +10,18 @@ Design:
   decode GEMV is HBM-bandwidth-bound, so halving weight bytes vs int8 and 4x
   vs bf16 is the headline win).
 - K-major storage [K//2, N]: the MXU consumes y = x @ W directly; N rides the
-  128-lane axis so every block is tile-aligned; nibble planes are sublane
-  runs (no lane shuffles to unpack).
-- Unpack (VPU bitwise) + zero-point subtract + per-group scale happen
-  in-register; dequantized bf16 tiles feed the MXU immediately and are never
-  written back to HBM.
+  128-lane axis so every block is tile-aligned; nibble planes are contiguous
+  sublane runs (no lane shuffles to unpack).
+- The kernel walks each K-block superblock by superblock (static unroll):
+  per 128-row packed plane it unpacks one nibble plane, applies the
+  per-group scale (one scale row per plane at group_size=128), and issues a
+  [TM,128]x[128,TN] MXU dot — intermediates stay one plane large (~256 KB),
+  so the Mosaic pipeline overlaps HBM streaming with compute instead of
+  serializing on multi-MB unpack buffers.
+- Scales ride as a full-[K//G] block per N-tile (a few hundred KB max) and
+  are indexed per plane — this frees block_k from the sublane-alignment
+  constraint on a blocked scales operand (any multiple of 256 works, which
+  matters for K=11008-style dims whose only 1024-aligned divisor is K).
 - fp32 accumulation across K blocks in VMEM scratch.
 
 Numerics: (q - 8) * d with group-wise d (quantize_methods.py:212-232).
@@ -29,41 +36,41 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tinychatengine_tpu.quant.packing import PLANE
+from tinychatengine_tpu.quant.packing import PLANE, SUPERBLOCK
 
 ZERO_POINT = 8
 
 
-def _unpack_block(packed_blk: jax.Array) -> jax.Array:
-    """Unpack a [TKp, TN] uint8 QM_TPU block → int8 codes [2*TKp, TN].
-
-    Lo/hi nibble planes are contiguous 128-row sublane runs; reassembly is a
-    sublane-dim stack + reshape (the lane axis is untouched).
-    """
-    tkp, tn = packed_blk.shape
-    # int32 lanes: Mosaic has no int8 vector shift (arith.shrui on i8).
-    p = packed_blk.reshape(tkp // PLANE, PLANE, tn).astype(jnp.int32)
-    lo = p & 0x0F
-    hi = (p >> 4) & 0x0F
-    return jnp.stack([lo, hi], axis=1).reshape(2 * tkp, tn)
-
-
-def _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, group_size: int,
-                        n_kblocks: int):
-    """Grid (I, J, K): x [TM, TK] bf16; w [TK//2, TN] uint8; s [TK//G, TN];
-    o [TM, TN]; acc VMEM f32 [TM, TN]."""
+def _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
+                        group_size: int, n_kblocks: int, block_k: int):
+    """Grid (I, J, K): x [TM, TK] bf16; w [TK//2, TN] uint8 (blocked on K);
+    s [K//G, TN] (FULL K extent); o [TM, TN]; acc VMEM f32 [TM, TN]."""
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    codes = _unpack_block(w_ref[:])                      # [TK, TN] int32
-    centered = (codes - ZERO_POINT).astype(jnp.float32)  # exact
-    scales = jnp.repeat(s_ref[:], group_size, axis=0)    # [TK, TN] f32 (sublane bcast)
-    w = (centered * scales).astype(jnp.bfloat16)         # single bf16 rounding
-
-    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    gpp = PLANE // group_size  # groups per nibble plane (>=1; G<=128)
+    n_sb = block_k // SUPERBLOCK
+    acc = acc_ref[:]
+    for sb in range(n_sb):  # static unroll over superblocks in this K block
+        p = w_ref[sb * PLANE:(sb + 1) * PLANE, :].astype(jnp.int32)  # [128, TN]
+        for plane in range(2):
+            codes = (p & 0x0F) if plane == 0 else ((p >> 4) & 0x0F)
+            # global group row(s) for this plane
+            g0 = kb * (block_k // group_size) + (2 * sb + plane) * gpp
+            if gpp == 1:
+                srow = s_ref[pl.ds(g0, 1), :]                     # [1, TN]
+                scales = srow  # broadcasts over 128 sublanes
+            else:
+                srow = s_ref[pl.ds(g0, gpp), :]                   # [gpp, TN]
+                scales = jnp.repeat(srow, group_size, axis=0)     # [128, TN]
+            w = ((codes - ZERO_POINT).astype(jnp.float32)
+                 * scales.astype(jnp.float32)).astype(jnp.bfloat16)
+            x_slice = x_ref[:, (2 * sb + plane) * PLANE:(2 * sb + plane + 1) * PLANE]
+            acc += jnp.dot(x_slice, w, preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
 
     @pl.when(kb == n_kblocks - 1)
     def _store():
@@ -81,46 +88,98 @@ def _pick_block(dim: int, preferred: int, align: int) -> int:
     return b
 
 
+def _stacked_kernel(layer_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, **kw):
+    """Wrapper when weights keep a leading layer dim (blocked to 1)."""
+    _int4_matmul_kernel(x_ref, w_ref.at[0], s_ref.at[0], o_ref, acc_ref, **kw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("group_size", "block_m", "block_n", "block_k", "interpret", "out_dtype"),
 )
-def _int4_matmul_2d(x, packed, scales, *, group_size, block_m, block_n, block_k,
-                    interpret=False, out_dtype=jnp.bfloat16):
+def _int4_matmul_2d(x, packed, scales, layer_idx=None, *, group_size, block_m,
+                    block_n, block_k, interpret=False, out_dtype=jnp.bfloat16):
+    """packed [K//2, N] — or stacked [L, K//2, N] with ``layer_idx`` selecting
+    the layer INSIDE the kernel's BlockSpec (scalar prefetch): the scan over
+    layers then streams weight tiles straight from the stacked HBM buffer
+    instead of materializing a per-layer dynamic-slice copy (which showed up
+    as 35% of decode-step device time)."""
     m, k = x.shape
-    n = packed.shape[1]
+    stacked = packed.ndim == 3
+    n = packed.shape[-1]
     grid = (m // block_m, n // block_n, k // block_k)
     kernel = functools.partial(
-        _int4_matmul_kernel, group_size=group_size, n_kblocks=grid[2])
+        _int4_matmul_kernel, group_size=group_size, n_kblocks=grid[2],
+        block_k=block_k)
     flops = 2 * m * n * k
     bytes_accessed = m * k * 2 + n * k // 2 + (n * k // group_size) * 4 + m * n * 2
-    return pl.pallas_call(
-        kernel,
+    cost = pl.CostEstimate(flops=flops, bytes_accessed=bytes_accessed,
+                           transcendentals=0)
+    x_spec = pl.BlockSpec((block_m, block_k), lambda i, j, kb, *_: (i, kb),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((block_m, block_n), lambda i, j, kb, *_: (i, j),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((m, n), out_dtype)
+    scratch = [pltpu.VMEM((block_m, block_n), jnp.float32)]
+
+    if not stacked:
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                x_spec,
+                pl.BlockSpec((block_k // 2, block_n), lambda i, j, kb: (kb, j),
+                             memory_space=pltpu.VMEM),
+                # full K extent of scales for this N tile (few hundred KB max)
+                pl.BlockSpec((k // group_size, block_n), lambda i, j, kb: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(x, packed, scales)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_m, block_k), lambda i, j, kb: (i, kb),
+            x_spec,
+            pl.BlockSpec((1, block_k // 2, block_n),
+                         lambda i, j, kb, lref: (lref[0], kb, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k // 2, block_n), lambda i, j, kb: (kb, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k // group_size, block_n), lambda i, j, kb: (kb, j),
+            pl.BlockSpec((1, k // group_size, block_n),
+                         lambda i, j, kb, lref: (lref[0], 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kb: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        out_specs=out_spec,
+        scratch_shapes=scratch,
+    )
+    wrapped = functools.partial(
+        _stacked_kernel, group_size=group_size, n_kblocks=grid[2],
+        block_k=block_k)
+    return pl.pallas_call(
+        wrapped,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        cost_estimate=cost,
         interpret=interpret,
-    )(x, packed, scales)
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x, packed, scales)
 
 
 def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
-                group_size: int = 128, *, interpret: bool = False) -> jax.Array:
+                group_size: int = 128, *, layer_idx=None,
+                interpret: bool = False,
+                block_m: int | None = None, block_n: int | None = None,
+                block_k: int | None = None) -> jax.Array:
     """y[..., N] = x[..., K] @ dequant(packed, scales), fused in one kernel.
 
     x: [..., K] (bf16 recommended); packed: [K//2, N] uint8 QM_TPU (K-major);
-    scales: [K//group_size, N] float.
+    scales: [K//group_size, N] float. Alternatively packed/scales may carry a
+    leading stacked-layer dim ([L, K//2, N] / [L, K//G, N]) with ``layer_idx``
+    (traced scalar) selecting the layer inside the kernel — the zero-copy path
+    for lax.scan over layer-stacked weights.
 
     Replaces Linear_FP_int4::forward dispatch (llm/src/ops/linear.cc:171-236):
     there is no GEMV/GEMM split — small M is padded to the bf16 sublane tile
@@ -129,11 +188,13 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
     """
     orig_shape = x.shape
     k = orig_shape[-1]
-    kp, n = packed.shape
+    stacked = packed.ndim == 3
+    assert stacked == (layer_idx is not None), "layer_idx iff stacked weights"
+    kp, n = packed.shape[-2:]
     assert kp == k // 2, (packed.shape, k)
-    assert k % (2 * PLANE) == 0, f"K={k} must be a multiple of {2 * PLANE}"
-    assert scales.shape == (k // group_size, n), scales.shape
-    assert group_size % 8 == 0  # scales block sublane alignment
+    assert k % SUPERBLOCK == 0, f"K={k} must be a multiple of {SUPERBLOCK}"
+    assert scales.shape[-2:] == (k // group_size, n), scales.shape
+    assert group_size <= PLANE and PLANE % group_size == 0, group_size
 
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
@@ -142,18 +203,12 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
     pad = (-m) % 16
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
-    block_m = _pick_block(m + pad, 256, 16)
-    block_n = _pick_block(n, 512, 128)
-    # block_k // group_size must be >= 8 sublanes when blocked, unless the
-    # whole K fits one block.
-    min_bk = max(2 * PLANE, 8 * group_size)
-    if k <= 4096 or k % min_bk != 0:
-        block_k = k  # single K block: scales block = full array, any sublane ok
-    else:
-        block_k = _pick_block(k, max(2048, min_bk), min_bk)
+    block_m = block_m or _pick_block(m + pad, 256, 16)
+    block_n = block_n or _pick_block(n, 512, 128)
+    block_k = block_k or _pick_block(k, 1024, SUPERBLOCK)
 
     y = _int4_matmul_2d(
-        x2.astype(jnp.bfloat16), packed, scales.astype(jnp.float32),
+        x2.astype(jnp.bfloat16), packed, scales.astype(jnp.float32), layer_idx,
         group_size=group_size, block_m=block_m, block_n=block_n,
         block_k=block_k, interpret=interpret)
     y = y[:m]

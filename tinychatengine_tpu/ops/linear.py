@@ -70,32 +70,57 @@ class W8A8Linear:
 
 
 def apply_linear(p, x: jax.Array, *, out_int8: bool = False,
-                 relu: bool = False) -> jax.Array:
+                 relu: bool = False, layer_idx=None) -> jax.Array:
     """y = x @ W (+ bias). Dispatches on the parameter container.
+
+    ``layer_idx``: when the params are layer-stacked (leading [L] dim inside a
+    lax.scan over layers), pass the traced layer index instead of pre-slicing
+    — the Int4 Pallas kernel then reads tiles straight from the stacked HBM
+    buffer (pre-slicing materializes a full per-layer weight copy each step).
 
     The Pallas fused kernel runs on TPU; other backends (CPU tests) fall back
     to the XLA dequant path, which is numerically equivalent at bf16.
     """
+    def unstack(leaf):
+        if leaf is None or layer_idx is None:
+            return leaf
+        return jax.lax.dynamic_index_in_dim(leaf, layer_idx, 0, keepdims=False)
+
     if isinstance(p, DenseLinear):
-        y = jnp.einsum("...k,kn->...n", x, p.weight.astype(x.dtype),
+        w = unstack(p.weight)
+        bias = unstack(p.bias)
+        y = jnp.einsum("...k,kn->...n", x, w.astype(x.dtype),
                        preferred_element_type=jnp.float32).astype(x.dtype)
-        if p.bias is not None:
-            y = y + p.bias.astype(y.dtype)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
         return y
 
     if isinstance(p, Int4Linear):
+        gs = 2 * p.packed.shape[-2] // p.scales.shape[-2]
         if jax.default_backend() == "tpu":
-            y = int4_matmul(x, p.packed, p.scales, p.group_size)
+            if layer_idx is not None:
+                y = int4_matmul(x, p.packed, p.scales, gs, layer_idx=layer_idx)
+            else:
+                y = int4_matmul(x, p.packed, p.scales, gs)
         else:
-            y = int4_matmul_xla(x, p.packed, p.scales, p.group_size)
-        if p.bias is not None:
-            y = y + p.bias.astype(y.dtype)
+            y = int4_matmul_xla(x, unstack(p.packed), unstack(p.scales), gs)
+        bias = unstack(p.bias)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
         return y
 
     if isinstance(p, W8A8Linear):
-        # x is int8 (statically quantized upstream, LayerNormQ-style)
-        y = ref.w8a8_linear_ref(x, p.weight.T, p.alpha, bias=p.bias,
-                                out_int8=False)
+        # x is int8 (statically quantized upstream, LayerNormQ-style).
+        # y = clip(round(acc_i32*α + bias'), ...) where bias' = bias_s8*β is
+        # pre-folded to fp32 by the converter (ref/matmul_ref_int8.cc:28-31).
+        w = unstack(p.weight)
+        bias = unstack(p.bias)
+        alpha = unstack(p.alpha)
+        acc = jnp.einsum("...k,kn->...n", x.astype(jnp.int8), w,
+                         preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * alpha
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
         if relu:
             y = jnp.maximum(y, 0.0)
         if out_int8:
@@ -103,6 +128,17 @@ def apply_linear(p, x: jax.Array, *, out_int8: bool = False,
         return y
 
     raise TypeError(f"unknown linear params {type(p)}")
+
+
+def random_int4_linear_fast(key, k: int, n: int, group_size: int = 128,
+                            std: float = 0.02) -> Int4Linear:
+    """Random packed bytes + scales generated on device — for benchmarks where
+    only shapes/layout matter (8B-scale init in milliseconds, no host quantize)."""
+    k1, k2 = jax.random.split(key)
+    packed = jax.random.randint(k1, (k // 2, n), 0, 256, jnp.int32).astype(jnp.uint8)
+    scales = jax.random.uniform(k2, (k // group_size, n), jnp.float32,
+                                minval=0.5, maxval=1.5) * (std / 4.0)
+    return Int4Linear(packed=packed, scales=scales)
 
 
 def random_int4_linear(key, k: int, n: int, group_size: int = 128,

@@ -21,6 +21,9 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
     in [0, 15]. Traceable mirror of quant.packing.unpack_qm_tpu (kept K-major).
     """
     icp, oc = packed.shape
+    assert icp % PLANE == 0, (
+        f"packed K/2={icp} must be a multiple of {PLANE}; under tensor "
+        f"parallelism keep K per shard a multiple of {2 * PLANE}")
     p = packed.reshape(icp // PLANE, PLANE, oc)
     lo = (p & 0x0F).astype(jnp.int8)
     hi = ((p >> 4) & 0x0F).astype(jnp.int8)

@@ -1,0 +1,124 @@
+"""GSPMD mesh + sharding rules — the multi-device layer.
+
+The reference has NO distribution (SURVEY.md §2.8: pthread pool intra-op only,
+no MPI/NCCL/sockets). This module is the TPU-native replacement for both: a
+``("data", "model")`` mesh where
+
+- the ``model`` axis tensor-parallelizes weights and KV heads over ICI
+  (column-parallel q/k/v/gate/up, row-parallel o/down — GSPMD inserts the
+  psum/all-gathers that Megatron-style TP implies),
+- the ``data`` axis batch-parallelizes independent sequences (multi-host DCN).
+
+Everything is expressed as PartitionSpecs on the parameter/cache pytrees and
+applied with jax.device_put + jit sharding propagation (pjit); no explicit
+collectives in model code.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tinychatengine_tpu.models.llama import LlamaLayerParams, LlamaParams
+from tinychatengine_tpu.ops.linear import DenseLinear, Int4Linear, W8A8Linear
+
+
+def make_mesh(n_data: int = 1, n_model: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev, ("data", "model"))
+
+
+def _linear_spec(p, shard_axis: str):
+    """PartitionSpec pytree for one (possibly layer-stacked) linear.
+
+    shard_axis: "col" → shard output features N on "model" (q/k/v/gate/up);
+                "row" → shard input features K on "model" (o/down).
+    Works for both [K, N]-shaped leaves and stacked [L, K, N]: the spec names
+    the trailing two axes and pads leading axes with None.
+    """
+    def spec(leaf, k_axis_shard, n_axis_shard):
+        nd = leaf.ndim if hasattr(leaf, "ndim") else 2
+        lead = (None,) * (nd - 2)
+        return P(*lead, k_axis_shard, n_axis_shard)
+
+    col = shard_axis == "col"
+    if isinstance(p, Int4Linear):
+        return Int4Linear(
+            packed=spec(p.packed, None if col else "model", "model" if col else None),
+            scales=spec(p.scales, None if col else "model", "model" if col else None),
+            bias=None if p.bias is None else P(*((None,) * (p.bias.ndim - 1)),
+                                               "model" if col else None),
+        )
+    if isinstance(p, DenseLinear):
+        return DenseLinear(
+            weight=spec(p.weight, None if col else "model", "model" if col else None),
+            bias=None if p.bias is None else P(*((None,) * (p.bias.ndim - 1)),
+                                               "model" if col else None),
+        )
+    if isinstance(p, W8A8Linear):
+        return W8A8Linear(
+            weight=spec(p.weight, None if col else "model", "model" if col else None),
+            alpha=P(),
+            bias=None if p.bias is None else P(*((None,) * (p.bias.ndim - 1)),
+                                               "model" if col else None),
+        )
+    raise TypeError(type(p))
+
+
+def llama_param_specs(params: LlamaParams) -> LlamaParams:
+    """Megatron-style TP specs for the LLaMA parameter pytree."""
+    def norm_spec(leaf):
+        return P(*((None,) * leaf.ndim))
+
+    layers = params.layers
+    layer_specs = LlamaLayerParams(
+        input_norm=norm_spec(layers.input_norm),
+        wq=_linear_spec(layers.wq, "col"),
+        wk=_linear_spec(layers.wk, "col"),
+        wv=_linear_spec(layers.wv, "col"),
+        wo=_linear_spec(layers.wo, "row"),
+        post_norm=norm_spec(layers.post_norm),
+        gate=_linear_spec(layers.gate, "col"),
+        up=_linear_spec(layers.up, "col"),
+        down=_linear_spec(layers.down, "row"),
+    )
+    return LlamaParams(
+        embed=P(None, None),  # replicated (gather-heavy; revisit with V-sharding)
+        layers=layer_specs,
+        final_norm=norm_spec(params.final_norm),
+        lm_head=_linear_spec(params.lm_head, "col"),
+        rope_cos=P(None, None),
+        rope_sin=P(None, None),
+    )
+
+
+def cache_spec() -> P:
+    """KV cache [L, B, S, H_kv, D]: batch on data, kv-heads on model."""
+    return P(None, "data", None, "model", None)
+
+
+def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
+    specs = llama_param_specs(params)
+    return jax.tree.map(
+        lambda x, s: None if x is None else jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs, is_leaf=lambda x: x is None)
+
+
+def shard_cache(cache, mesh: Mesh):
+    ns = NamedSharding(mesh, cache_spec())
+    scalar = NamedSharding(mesh, P())
+    import dataclasses as dc
+
+    from tinychatengine_tpu.generation.kv_cache import KVCache
+    return KVCache(
+        k=jax.device_put(cache.k, ns), v=jax.device_put(cache.v, ns),
+        length=jax.device_put(cache.length, scalar),
+        k_scale=None if cache.k_scale is None else jax.device_put(
+            cache.k_scale, NamedSharding(mesh, cache_spec())),
+        v_scale=None if cache.v_scale is None else jax.device_put(
+            cache.v_scale, NamedSharding(mesh, cache_spec())),
+    )
