@@ -36,10 +36,11 @@ def test_pallas_matches_ref(m, n, k, g):
     xla = int4_matmul_xla(x, packed, scales, g)             # bf16 weights, XLA
     got = int4_matmul(x, packed, scales, g, interpret=True)
     assert got.shape == oracle.shape and got.dtype == oracle.dtype
-    # tight vs the matching-precision XLA path
+    # vs the XLA dequant path (rounding differs: the kernel factors the
+    # zero-point/scale out of the dot, XLA rounds W to bf16 elementwise)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(xla, np.float32),
-        rtol=1e-2, atol=1e-2)
+        rtol=2e-2, atol=0.05)
     # loose vs the f32 oracle (bf16 weight-rounding tail scales with sqrt(K))
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(oracle, np.float32),
