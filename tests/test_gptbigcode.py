@@ -35,7 +35,7 @@ def test_mqa_single_kv_head():
     params = gptbigcode.init_random_params(TINY, seed=1)
     ids = jnp.asarray([[1, 2, 3]], jnp.int32)
     logits, cache = gptbigcode.forward(params, TINY, ids, _cache(), jnp.int32(0))
-    assert cache.k.shape[3] == 1  # one kv head in cache
+    assert cache.k.shape[2] == 1  # one kv head in cache
     assert np.isfinite(np.asarray(logits)).all()
 
 

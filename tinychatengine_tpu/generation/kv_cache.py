@@ -6,14 +6,19 @@ single stacked device array updated in place under jit via
 ``lax.dynamic_update_slice`` (XLA aliases the donated buffer, so decode
 appends are true in-place writes, no copy of past context).
 
-Layout: [num_layers, batch, max_len, num_kv_heads, head_dim] — layer-stacked
-so the decoder can ``lax.scan`` over layers, sequence on axis 2 so appends
-are contiguous, kv-heads on the second-to-last axis so a ``model``-axis
-sharding of heads also shards the cache.
+Layout: [num_layers, batch, num_kv_heads, max_len, head_dim] — layer-stacked
+so the decoder can ``lax.scan`` over layers; kv-heads BEFORE sequence so (a) a
+``model``-axis sharding of heads also shards the cache and (b) the minor two
+dims of any (layer, batch, head) slice are [seq_block, head_dim] — exactly the
+sublane×lane tile the Pallas flash-attention kernels stream (a seq-major
+layout would make each cached position its own (1, 128) tile, an 8x DMA
+waste).
 
-Supports bf16 (default) and int8 (per-head-block dynamic scale) storage —
-the INT8 KV option mirrors the Int8OPT int8 KV cache semantics
+Supports bf16 (default) and int8 (per-position absmax scale) storage — the
+INT8 KV option mirrors the Int8OPT int8 KV cache semantics
 (llm/src/nn_modules/Int8OPTAttention.cc:27-58) generalized to all models.
+Scales are stored [L, B, H, S_max] (seq on lanes) so the attention kernels
+can fetch a [seq_block] scale row per KV block.
 """
 
 from __future__ import annotations
@@ -27,15 +32,15 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass
 class KVCache:
-    k: jax.Array  # [L, B, S_max, H_kv, D] (bf16 or int8)
+    k: jax.Array  # [L, B, H_kv, S_max, D] (bf16 or int8)
     v: jax.Array
     length: jax.Array  # scalar int32: number of valid positions
-    k_scale: Optional[jax.Array] = None  # [L, B, S_max, H_kv, 1] f32 (int8 mode)
+    k_scale: Optional[jax.Array] = None  # [L, B, H_kv, S_max] f32 (int8 mode)
     v_scale: Optional[jax.Array] = None
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def quantized(self) -> bool:
@@ -51,24 +56,26 @@ jax.tree_util.register_pytree_node(
 
 def init_cache(num_layers: int, batch: int, max_len: int, num_kv_heads: int,
                head_dim: int, dtype=jnp.bfloat16, quantized: bool = False) -> KVCache:
-    shape = (num_layers, batch, max_len, num_kv_heads, head_dim)
+    shape = (num_layers, batch, num_kv_heads, max_len, head_dim)
     if quantized:
         return KVCache(
             k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
             length=jnp.zeros((), jnp.int32),
-            k_scale=jnp.ones(shape[:-1] + (1,), jnp.float32),
-            v_scale=jnp.ones(shape[:-1] + (1,), jnp.float32),
+            k_scale=jnp.ones(shape[:-1], jnp.float32),
+            v_scale=jnp.ones(shape[:-1], jnp.float32),
         )
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                    length=jnp.zeros((), jnp.int32))
 
 
 def _quantize_kv(x: jax.Array):
-    """Per (position, head) symmetric int8: scale = absmax/127 over head_dim."""
+    """Per (head, position) symmetric int8: scale = absmax/127 over head_dim.
+
+    x: [B, H, S, D] → (q int8 [B, H, S, D], scale f32 [B, H, S])."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.maximum(absmax / 127.0, 1e-8)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -128, 127).astype(jnp.int8)
-    return q, scale
+    return q, scale[..., 0]
 
 
 def update_layer(cache: KVCache, layer_k: jax.Array, layer_v: jax.Array,
@@ -76,35 +83,40 @@ def update_layer(cache: KVCache, layer_k: jax.Array, layer_v: jax.Array,
     """Write new_k/new_v [B, S_new, H_kv, D] into layer ``layer_idx`` at
     position ``start``. Returns the updated cache (same buffers under jit
     donation). Does NOT advance ``length`` — call advance() once per step."""
+    layer_k = layer_k.transpose(0, 2, 1, 3)  # [B, H, S_new, D]
+    layer_v = layer_v.transpose(0, 2, 1, 3)
     if cache.quantized:
         qk, sk = _quantize_kv(layer_k)
         qv, sv = _quantize_kv(layer_v)
         k = jax.lax.dynamic_update_slice(
-            cache.k, qk[None], (layer_idx, 0, start, 0, 0))
+            cache.k, qk[None], (layer_idx, 0, 0, start, 0))
         v = jax.lax.dynamic_update_slice(
-            cache.v, qv[None], (layer_idx, 0, start, 0, 0))
+            cache.v, qv[None], (layer_idx, 0, 0, start, 0))
         ks = jax.lax.dynamic_update_slice(
-            cache.k_scale, sk[None], (layer_idx, 0, start, 0, 0))
+            cache.k_scale, sk[None], (layer_idx, 0, 0, start))
         vs = jax.lax.dynamic_update_slice(
-            cache.v_scale, sv[None], (layer_idx, 0, start, 0, 0))
+            cache.v_scale, sv[None], (layer_idx, 0, 0, start))
         return KVCache(k=k, v=v, length=cache.length, k_scale=ks, v_scale=vs)
     k = jax.lax.dynamic_update_slice(
-        cache.k, layer_k[None].astype(cache.k.dtype), (layer_idx, 0, start, 0, 0))
+        cache.k, layer_k[None].astype(cache.k.dtype), (layer_idx, 0, 0, start, 0))
     v = jax.lax.dynamic_update_slice(
-        cache.v, layer_v[None].astype(cache.v.dtype), (layer_idx, 0, start, 0, 0))
+        cache.v, layer_v[None].astype(cache.v.dtype), (layer_idx, 0, 0, start, 0))
     return KVCache(k=k, v=v, length=cache.length,
                    k_scale=cache.k_scale, v_scale=cache.v_scale)
 
 
 def read_layer(cache: KVCache, layer_idx):
-    """Full-length K/V views [B, S_max, H_kv, D] for a layer, dequantized to
-    bf16 if int8 (in-kernel dequant comes with the Pallas decode-attention
-    kernel; positions beyond ``length`` must be masked by the consumer)."""
+    """Full-length K/V views [B, H_kv, S_max, D] for a layer, dequantized to
+    bf16 if int8 (the Pallas attention kernels instead read the raw stacked
+    buffers and dequantize in-kernel; positions beyond ``length`` must be
+    masked by the consumer)."""
     k = cache.k[layer_idx]
     v = cache.v[layer_idx]
     if cache.quantized:
-        k = (k.astype(jnp.float32) * cache.k_scale[layer_idx]).astype(jnp.bfloat16)
-        v = (v.astype(jnp.float32) * cache.v_scale[layer_idx]).astype(jnp.bfloat16)
+        k = (k.astype(jnp.float32) * cache.k_scale[layer_idx][..., None]
+             ).astype(jnp.bfloat16)
+        v = (v.astype(jnp.float32) * cache.v_scale[layer_idx][..., None]
+             ).astype(jnp.bfloat16)
     return k, v
 
 

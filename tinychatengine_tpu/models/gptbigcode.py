@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from tinychatengine_tpu.core.config import ModelConfig
 from tinychatengine_tpu.generation import kv_cache as kvc
 from tinychatengine_tpu.ops import ref
+from tinychatengine_tpu.ops.attention import attention_xla, flash_decode, flash_prefill
 from tinychatengine_tpu.ops.linear import DenseLinear, apply_linear
 
 NEG_INF = -1e30
@@ -80,23 +81,24 @@ def forward(params: GPTBigCodeParams, cfg: ModelConfig, input_ids: jax.Array,
         v = qkv[..., nq + d:].reshape(b, s, 1, d)
 
         cache2 = kvc.update_layer(cache, k, v, layer_idx, start)
-        ck, cv = kvc.read_layer(cache2, layer_idx)      # [B, Smax, 1, D]
-        smax = ck.shape[1]
 
-        # MQA: the single kv head is shared by every query head
-        k2, v2 = ck[:, :, 0, :], cv[:, :, 0, :]         # [B, Smax, D]
-        logits = jnp.einsum("bshd,btd->bhst", q, k2,
-                            preferred_element_type=jnp.float32)
-        logits = logits / (d ** 0.5)
-        col = jnp.arange(smax)
-        allowed = (col[None, None, :] <= positions[:, :, None]) & (
-            col[None, None, :] < start + s)
-        logits = jnp.where(allowed[:, None, :, :], logits, NEG_INF)
-        probs = jax.nn.softmax(logits, axis=-1)
-        attn = jnp.einsum("bhst,btd->bshd", probs.astype(v2.dtype), v2,
-                          preferred_element_type=jnp.float32)
-        attn = apply_linear(layer.c_proj,
-                            attn.reshape(b, s, hq * d).astype(x.dtype))
+        # MQA: the single kv head is shared by every query head — the flash
+        # decode kernel fetches each KV block once for all Hq query rows.
+        use_flash = jax.default_backend() == "tpu" and d % 128 == 0
+        if use_flash:
+            if s == 1:
+                attn = flash_decode(
+                    q[:, 0], cache2.k, cache2.v, layer_idx,
+                    jnp.broadcast_to(start + 1, (b,)),
+                    cache2.k_scale, cache2.v_scale).reshape(b, 1, hq * d)
+            else:
+                attn = flash_prefill(
+                    q, cache2.k, cache2.v, layer_idx, start, start + s,
+                    cache2.k_scale, cache2.v_scale)
+        else:
+            ck, cv = kvc.read_layer(cache2, layer_idx)  # [B, 1, Smax, D]
+            attn = attention_xla(q, ck, cv, positions, start + s)
+        attn = apply_linear(layer.c_proj, attn.astype(x.dtype))
         if tp_axis is not None:
             attn = jax.lax.psum(attn, tp_axis)
         x = x + attn.astype(x.dtype)

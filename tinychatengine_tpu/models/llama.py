@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from tinychatengine_tpu.core.config import ModelConfig, QuantConfig
 from tinychatengine_tpu.generation import kv_cache as kvc
 from tinychatengine_tpu.ops import ref
+from tinychatengine_tpu.ops.attention import attention_xla, flash_decode, flash_prefill
 from tinychatengine_tpu.ops.linear import (
     DenseLinear,
     Int4Linear,
@@ -132,9 +133,23 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
         q, k = ref.rotary_embed_ref(q, k, cos, sin, positions)
 
         cache2 = kvc.update_layer(cache, k, v, layer_idx, start)
-        ck, cv = kvc.read_layer(cache2, layer_idx)
 
-        attn = _dense_attention(q, ck, cv, positions, start + s)
+        use_flash = jax.default_backend() == "tpu" and d % 128 == 0
+        if use_flash:
+            # Pallas flash kernels stream the raw stacked cache (int8 codes
+            # dequantized in-kernel); O(context) HBM traffic, no transposes.
+            if s == 1:
+                attn = flash_decode(
+                    q[:, 0], cache2.k, cache2.v, layer_idx,
+                    jnp.broadcast_to(start + 1, (b,)),
+                    cache2.k_scale, cache2.v_scale).reshape(b, 1, hq * d)
+            else:
+                attn = flash_prefill(
+                    q, cache2.k, cache2.v, layer_idx, start, start + s,
+                    cache2.k_scale, cache2.v_scale)
+        else:
+            ck, cv = kvc.read_layer(cache2, layer_idx)
+            attn = attention_xla(q, ck, cv, positions, start + s)
         attn = apply_linear(layers.wo, attn.astype(x.dtype), layer_idx=layer_idx)
         if tp_axis is not None:  # row-parallel o_proj partial sums
             attn = jax.lax.psum(attn, tp_axis)
@@ -166,39 +181,6 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
     if tp_axis is not None:  # column-parallel lm_head → full vocab for sampling
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     return (logits if full_logits else logits[:, 0, :]), cache
-
-
-def _dense_attention(q, cache_k, cache_v, positions, kv_valid_len):
-    """GQA masked attention over the full cache.
-
-    q [B, S, Hq, D]; cache_k/v [B, Smax, Hkv, D] (local head slices under TP).
-    """
-    b, s, hq, d = q.shape
-    hkv = cache_k.shape[2]
-    groups = hq // hkv
-    smax = cache_k.shape[1]
-
-    # Keep K/V in cache dtype (bf16): the MXU multiplies bf16 natively with
-    # f32 accumulation — casting the cache to f32 would materialize 2x its
-    # bytes in HBM every step, which dominates decode.
-    qh = q.transpose(0, 2, 1, 3).reshape(b, hkv, groups, s, d)
-    kh = cache_k.transpose(0, 2, 1, 3)
-    vh = cache_v.transpose(0, 2, 1, 3)
-
-    scale = 1.0 / (d ** 0.5)
-    logits = jnp.einsum("bhgsd,bhtd->bhgst", qh, kh,
-                        preferred_element_type=jnp.float32) * scale
-
-    col = jnp.arange(smax)
-    allowed = (col[None, None, :] <= positions[:, :, None]) & (
-        col[None, None, :] < kv_valid_len)                    # [B, S, Smax]
-    logits = jnp.where(allowed[:, None, None, :, :], logits, NEG_INF)
-
-    probs = jax.nn.softmax(logits, axis=-1)                   # fp32 island
-    out = jnp.einsum("bhgst,bhtd->bhgsd", probs.astype(cache_v.dtype), vh,
-                     preferred_element_type=jnp.float32)
-    return (out.astype(q.dtype)
-            .reshape(b, hq, s, d).transpose(0, 2, 1, 3).reshape(b, s, hq * d))
 
 
 def init_random_params(cfg: ModelConfig, qcfg: QuantConfig, seed: int = 0,

@@ -76,8 +76,10 @@ class OPTParams:
 
 
 def _s8_requant_matmul(a_s8, b_s8, alpha, transpose_b=False):
-    """s8 x s8 → i32 on the MXU, then fp32 α scaling (BMM_S8T_S8N_* core)."""
-    eq = "bshd,bthd->bhst" if transpose_b else "bhst,bthd->bshd"
+    """s8 x s8 → i32 on the MXU, then fp32 α scaling (BMM_S8T_S8N_* core).
+
+    b_s8 is a cache-layout tensor [B, H, T, D]."""
+    eq = "bshd,bhtd->bhst" if transpose_b else "bhst,bhtd->bshd"
     acc = jnp.einsum(eq, a_s8.astype(jnp.int8), b_s8.astype(jnp.int8),
                      preferred_element_type=jnp.int32)
     return acc.astype(jnp.float32) * alpha
@@ -117,13 +119,13 @@ def forward(params: OPTParams, cfg: ModelConfig, input_ids: jax.Array,
         v = v.reshape(b, s, hq, d)
 
         cache2 = kvc.update_layer(cache, k, v, layer_idx, start)
-        ck, cv = kvc.read_layer(cache2, layer_idx)  # [B, Smax, H, D]
-        smax = ck.shape[1]
+        ck, cv = kvc.read_layer(cache2, layer_idx)  # [B, H, Smax, D]
+        smax = ck.shape[2]
 
         if int8_path:
             logits = _s8_requant_matmul(q, ck, layer.qk_alpha, transpose_b=True)
         else:
-            logits = jnp.einsum("bshd,bthd->bhst", q.astype(jnp.float32),
+            logits = jnp.einsum("bshd,bhtd->bhst", q.astype(jnp.float32),
                                 ck.astype(jnp.float32)) / (d ** 0.5)
 
         col = jnp.arange(smax)
@@ -139,7 +141,7 @@ def forward(params: OPTParams, cfg: ModelConfig, input_ids: jax.Array,
             attn_s8 = jnp.clip(jnp.round(attn), -128, 127).astype(jnp.int8)
             attn_out = apply_linear(layer.out_proj, attn_s8.reshape(b, s, hq * d))
         else:
-            attn = jnp.einsum("bhst,bthd->bshd", probs,
+            attn = jnp.einsum("bhst,bhtd->bshd", probs,
                               cv.astype(jnp.float32))
             attn_out = apply_linear(layer.out_proj,
                                     attn.reshape(b, s, hq * d).astype(jnp.float32))

@@ -1,0 +1,399 @@
+"""Fused flash attention over the stacked KV cache — Pallas TPU kernels.
+
+TPU-native replacement for the reference's dense-masked attention dataflow
+(QK^T BMM → +mask → inf-clamp → softmax → PV BMM,
+llm/src/nn_modules/non_cuda/Int4llamaAttention.cc:288-433 + ops/BMM_F32T.cc,
+ops/softmax.cc, ops/batch_add.cc). Instead of materializing [S, S_max]
+logits in HBM and reading a transposed copy of the whole preallocated cache,
+these kernels:
+
+- stream K/V blocks straight from the LAYER-STACKED cache buffer
+  [L, B, H_kv, S_max, D] (``layer_idx`` selects the layer inside the
+  BlockSpec via scalar prefetch — the lax.scan over layers never slices a
+  per-layer copy);
+- run online (flash) softmax entirely in VMEM with fp32 accumulators;
+- read only the VALID prefix of the cache: KV blocks past ``length`` (and,
+  at prefill, past the causal diagonal) are remapped to the last needed
+  block in the index map, and Mosaic's revolving-buffer pipeline skips the
+  re-DMA of a repeated block — bandwidth is O(context), not O(max_len);
+- GQA/MQA: at decode the q heads sharing one KV head form the rows of a
+  single [G, D] MXU operand, so each KV block is fetched once per KV head
+  (not once per q head);
+- INT8 KV option: int8 codes are converted to bf16 in-register and the
+  per-position scales multiply the [rows, block] score/prob columns — the
+  in-kernel analog of BMM_S8T_S8N_* dequant (Int8OPTAttention.cc:27-58),
+  at half the cache bandwidth of bf16.
+
+The XLA fallback (attention_xla) is the correctness oracle and the CPU path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# shared flash update
+# ---------------------------------------------------------------------------
+
+def _flash_update(s, v, vs_row, m_ref, l_ref, acc_ref):
+    """One online-softmax block update. s: [R, T] f32 masked scores;
+    v: [T, D] bf16 or int8 codes; vs_row: [1, T] f32 or None (int8 V scales,
+    applied to the prob columns so the int8→bf16 code conversion is exact)."""
+    v = v.astype(jnp.bfloat16)
+    m_prev = m_ref[:, :1]                                   # [R, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)                         # [R, 1]
+    p = jnp.exp(s - m_new)                                  # [R, T]
+    l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:, :1] = m_new
+    if vs_row is not None:
+        p = p * vs_row
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+
+def _mask_cols(s, col0: jax.Array, limit, block: int):
+    """Mask score columns at absolute position >= limit. limit: [R,1] or scalar."""
+    r, t = s.shape
+    col = col0 + jax.lax.broadcasted_iota(jnp.int32, (r, t), 1)
+    return jnp.where(col < limit, s, NEG_INF)
+
+
+# ---------------------------------------------------------------------------
+# decode kernel: q_len == 1, rows = G query heads per KV head
+# ---------------------------------------------------------------------------
+
+def _decode_kernel(info_ref, q_ref, k_ref, v_ref, *rest, block_s: int,
+                   sm_scale: float, quantized: bool, hkv: int):
+    """Grid (B, KB). One block carries ALL local KV heads ([Hkv, T, D]) so a
+    2048-context decode step is ~8 grid steps of 0.5 MB DMAs instead of 64
+    steps of 64 KB ones — the decode kernel is latency-bound, not FLOP-bound,
+    so fewer/fatter grid steps is the whole game."""
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+    length = info_ref[1 + b]
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j * block_s < length)
+    def _block():
+        # ONE MXU contraction for all heads: rows = (head, group) query
+        # pairs, cols = (head, position) keys; off-diagonal head pairs are
+        # masked to -inf (8x redundant MXU flops, but decode is
+        # bandwidth/latency-bound — one fat dot beats Hkv thin ones).
+        g = q_ref.shape[2]
+        d = q_ref.shape[3]
+        rows, cols = hkv * g, hkv * block_s
+        q = q_ref[0].reshape(rows, d)                       # [Hkv*G, D]
+        k = k_ref[0, 0].reshape(cols, d)                    # [Hkv*T, D]
+        v = v_ref[0, 0].reshape(cols, d)
+        s = jax.lax.dot_general(
+            q, k.astype(q.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale   # [rows, cols]
+        vs_row = None
+        if quantized:
+            s = s * ks_ref[0, 0].reshape(1, cols)
+            vs_row = vs_ref[0, 0].reshape(1, cols)
+        row_h = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // g
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        col_h = col_i // block_s
+        pos = j * block_s + col_i % block_s
+        s = jnp.where((row_h == col_h) & (pos < length), s, NEG_INF)
+        _flash_update(s, v, vs_row, m_ref, l_ref, acc_ref)
+
+    @pl.when(j == nb - 1)
+    def _fin():
+        hg, d = acc_ref.shape
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype).reshape(
+            hkv, hg // hkv, d)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_s", "sm_scale", "interpret"))
+def _flash_decode_impl(info, q, ck, cv, ks, vs, *, block_s, sm_scale,
+                       interpret):
+    bq, hkv, g, d = q.shape
+    smax = ck.shape[3]
+    nb = smax // block_s
+    quantized = ks is not None
+    grid = (bq, nb)
+
+    def last_blk(info_ref, b):
+        return jnp.minimum(
+            jax.lax.div(jnp.maximum(info_ref[1 + b], 1) - 1, block_s), nb - 1)
+
+    def kv_map(b, j, info_ref):
+        return (info_ref[0], b, 0, jnp.minimum(j, last_blk(info_ref, b)), 0)
+
+    def kvs_map(b, j, info_ref):
+        return (info_ref[0], b, 0, jnp.minimum(j, last_blk(info_ref, b)))
+
+    in_specs = [
+        pl.BlockSpec((1, hkv, g, d), lambda b, j, i: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hkv, block_s, d), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hkv, block_s, d), kv_map, memory_space=pltpu.VMEM),
+    ]
+    args = [q, ck, cv]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, hkv, block_s), kvs_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hkv, block_s), kvs_map, memory_space=pltpu.VMEM),
+        ]
+        args += [ks, vs]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, hkv, g, d), lambda b, j, i: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((hkv * g, 128), jnp.float32),   # m
+            pltpu.VMEM((hkv * g, 128), jnp.float32),   # l
+            pltpu.VMEM((hkv * g, d), jnp.float32),     # acc
+        ],
+    )
+    kernel = functools.partial(_decode_kernel, block_s=block_s,
+                               sm_scale=sm_scale, quantized=quantized,
+                               hkv=hkv)
+    bytes_kv = 2 * hkv * smax * d * (1 if quantized else 2)
+    cost = pl.CostEstimate(flops=2 * 2 * bq * hkv * g * smax * d,
+                           bytes_accessed=bq * bytes_kv, transcendentals=bq * hkv * g * smax)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bq, hkv, g, d), q.dtype),
+        cost_estimate=cost, interpret=interpret,
+    )(info, *args)
+
+
+def flash_decode(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
+                 layer_idx, lengths, k_scale=None, v_scale=None, *,
+                 sm_scale: float | None = None, block_s: int = 256,
+                 interpret: bool = False) -> jax.Array:
+    """Single-step attention: q [B, Hq, D] against the stacked cache.
+
+    cache_k/v: [L, B, H_kv, S_max, D] (bf16 or int8 with k/v_scale
+    [L, B, H_kv, S_max]); layer_idx: traced scalar; lengths: [B] int32 valid
+    KV lengths (keys at positions < lengths[b] participate).
+    Returns [B, Hq, D] in q.dtype.
+    """
+    b, hq, d = q.shape
+    hkv, smax = cache_k.shape[2], cache_k.shape[3]
+    g = hq // hkv
+    block_s = min(block_s, smax)
+    assert smax % block_s == 0, (smax, block_s)
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    info = jnp.concatenate([
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        jnp.broadcast_to(jnp.asarray(lengths, jnp.int32).reshape(-1), (b,)),
+    ])
+    qg = q.reshape(b, hkv, g, d).astype(jnp.bfloat16)
+    out = _flash_decode_impl(
+        info, qg, cache_k, cache_v, k_scale, v_scale,
+        block_s=block_s, sm_scale=float(sm_scale), interpret=interpret)
+    return out.reshape(b, hq, d).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# prefill kernel: rows = a block of query positions for ONE query head
+# ---------------------------------------------------------------------------
+
+def _prefill_kernel(info_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
+                    block_s: int, sm_scale: float, quantized: bool):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
+    qb = pl.program_id(2)
+    j = pl.program_id(3)
+    nb = pl.num_programs(3)
+    start, length = info_ref[1], info_ref[2]
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    needed = jnp.minimum(length, start + (qb + 1) * block_q)
+
+    @pl.when(j * block_s < needed)
+    def _block():
+        q = q_ref[0, 0]                                     # [Bq, D]
+        k = k_ref[0, 0, 0]                                  # [T, D]
+        v = v_ref[0, 0, 0]
+        s = jax.lax.dot_general(
+            q, k.astype(q.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale   # [Bq, T]
+        vs_row = None
+        if quantized:
+            s = s * ks_ref[0, 0, 0].reshape(1, block_s)
+            vs_row = vs_ref[0, 0, 0].reshape(1, block_s)
+        # causal: key pos <= query pos; and key pos < length
+        qpos = start + qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_s), 0)
+        limit = jnp.minimum(qpos + 1, length)                # [Bq, T] elementwise
+        col = j * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_s), 1)
+        s = jnp.where(col < limit, s, NEG_INF)
+        _flash_update(s, v, vs_row, m_ref, l_ref, acc_ref)
+
+    @pl.when(j == nb - 1)
+    def _fin():
+        o_ref[0, 0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("groups", "block_q", "block_s", "sm_scale", "interpret"))
+def _flash_prefill_impl(info, q, ck, cv, ks, vs, *, groups, block_q, block_s,
+                        sm_scale, interpret):
+    bq, hq, sq, d = q.shape
+    smax = ck.shape[3]
+    nb = smax // block_s
+    nqb = sq // block_q
+    quantized = ks is not None
+    grid = (bq, hq, nqb, nb)
+
+    def last_blk(info_ref, qb):
+        needed = jnp.minimum(info_ref[2], info_ref[1] + (qb + 1) * block_q)
+        return jnp.minimum(
+            jax.lax.div(jnp.maximum(needed, 1) - 1, block_s), nb - 1)
+
+    def kv_map(b, h, qb, j, info_ref):
+        return (info_ref[0], b, h // groups,
+                jnp.minimum(j, last_blk(info_ref, qb)), 0)
+
+    def kvs_map(b, h, qb, j, info_ref):
+        return (info_ref[0], b, h // groups,
+                jnp.minimum(j, last_blk(info_ref, qb)))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b, h, qb, j, i: (b, h, qb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, block_s, d), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, block_s, d), kv_map, memory_space=pltpu.VMEM),
+    ]
+    args = [q, ck, cv]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, block_s), kvs_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block_s), kvs_map, memory_space=pltpu.VMEM),
+        ]
+        args += [ks, vs]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda b, h, qb, j, i: (b, h, qb, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_prefill_kernel, block_q=block_q,
+                               block_s=block_s, sm_scale=sm_scale,
+                               quantized=quantized)
+    cost = pl.CostEstimate(
+        flops=2 * 2 * bq * hq * sq * smax * d,
+        bytes_accessed=bq * hq * sq * d * 2 + 2 * bq * hq * smax * d * 2,
+        transcendentals=bq * hq * sq * smax)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bq, hq, sq, d), q.dtype),
+        cost_estimate=cost, interpret=interpret,
+    )(info, *args)
+
+
+def flash_prefill(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
+                  layer_idx, start, length, k_scale=None, v_scale=None, *,
+                  sm_scale: float | None = None, block_q: int = 256,
+                  block_s: int = 256, interpret: bool = False) -> jax.Array:
+    """Causal attention for a prompt chunk: q [B, S, Hq, D] (positions
+    start..start+S-1) against the stacked cache (which already holds the
+    chunk's own K/V — the caller runs kv_cache.update_layer first).
+
+    length: scalar int32 total valid KV length (= start + true_len). Rows past
+    the true prompt length attend to the full valid prefix (never an empty
+    row, so no NaNs; their outputs are discarded downstream).
+    Returns [B, S, Hq * D].
+    """
+    b, s, hq, d = q.shape
+    hkv = cache_k.shape[2]
+    g = hq // hkv
+    block_q = min(block_q, s)
+    block_s = min(block_s, cache_k.shape[3])
+    pad = (-s) % block_q
+    qt = q.transpose(0, 2, 1, 3).astype(jnp.bfloat16)       # [B, Hq, S, D]
+    if pad:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    info = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
+                      jnp.asarray(start, jnp.int32),
+                      jnp.asarray(length, jnp.int32)])
+    out = _flash_prefill_impl(
+        info, qt, cache_k, cache_v, k_scale, v_scale, groups=g,
+        block_q=block_q, block_s=block_s, sm_scale=float(sm_scale),
+        interpret=interpret)
+    out = out[:, :, :s, :].transpose(0, 2, 1, 3)             # [B, S, Hq, D]
+    return out.reshape(b, s, hq * d).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference (correctness oracle + CPU fallback)
+# ---------------------------------------------------------------------------
+
+def attention_xla(q, cache_k, cache_v, positions, kv_valid_len):
+    """Dense masked GQA attention, new cache layout.
+
+    q [B, S, Hq, D]; cache_k/v [B, H_kv, S_max, D] (bf16, pre-dequantized);
+    positions [B, S] absolute query positions; kv_valid_len scalar or [B].
+    Returns [B, S, Hq*D].
+    """
+    b, s, hq, d = q.shape
+    hkv = cache_k.shape[1]
+    groups = hq // hkv
+    smax = cache_k.shape[2]
+
+    qh = q.transpose(0, 2, 1, 3).reshape(b, hkv, groups, s, d)
+    scale = 1.0 / (d ** 0.5)
+    logits = jnp.einsum("bhgsd,bhtd->bhgst", qh, cache_k,
+                        preferred_element_type=jnp.float32) * scale
+
+    col = jnp.arange(smax)
+    valid = jnp.asarray(kv_valid_len).reshape(-1, 1, 1)
+    allowed = (col[None, None, :] <= positions[:, :, None]) & (
+        col[None, None, :] < valid)                            # [B, S, Smax]
+    logits = jnp.where(allowed[:, None, None, :, :], logits, NEG_INF)
+
+    probs = jax.nn.softmax(logits, axis=-1)                    # fp32 island
+    out = jnp.einsum("bhgst,bhtd->bhgsd", probs.astype(cache_v.dtype), cache_v,
+                     preferred_element_type=jnp.float32)
+    return (out.astype(q.dtype)
+            .reshape(b, hq, s, d).transpose(0, 2, 1, 3).reshape(b, s, hq * d))

@@ -208,9 +208,13 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
     pad = (-m) % 16
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    # Fat blocks: the kernel is VPU-bound on nibble unpack, and per-grid-step
+    # fixed costs (pipeline bubbles, semaphores) showed up as ~2x wall time at
+    # the old (512, 1024) blocking. (2048, 2048) = 2 MB weight tiles measured
+    # fastest on v5e for the decode GEMV shapes.
     block_m = block_m or _pick_block(m + pad, 256, 16)
-    block_n = block_n or _pick_block(n, 512, 128)
-    block_k = block_k or _pick_block(k, 1024, SUPERBLOCK)
+    block_n = block_n or _pick_block(n, 2048, 128)
+    block_k = block_k or _pick_block(k, 2048, SUPERBLOCK)
 
     y = _int4_matmul_2d(
         x2.astype(jnp.bfloat16), packed, scales.astype(jnp.float32), layer_idx,

@@ -97,8 +97,8 @@ def llama_param_specs(params: LlamaParams) -> LlamaParams:
 
 
 def cache_spec() -> P:
-    """KV cache [L, B, S, H_kv, D]: batch on data, kv-heads on model."""
-    return P(None, "data", None, "model", None)
+    """KV cache [L, B, H_kv, S, D]: batch on data, kv-heads on model."""
+    return P(None, "data", "model", None, None)
 
 
 def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
@@ -118,7 +118,7 @@ def shard_cache(cache, mesh: Mesh):
         k=jax.device_put(cache.k, ns), v=jax.device_put(cache.v, ns),
         length=jax.device_put(cache.length, scalar),
         k_scale=None if cache.k_scale is None else jax.device_put(
-            cache.k_scale, NamedSharding(mesh, cache_spec())),
+            cache.k_scale, NamedSharding(mesh, P(*cache_spec()[:-1]))),
         v_scale=None if cache.v_scale is None else jax.device_put(
-            cache.v_scale, NamedSharding(mesh, cache_spec())),
+            cache.v_scale, NamedSharding(mesh, P(*cache_spec()[:-1]))),
     )

@@ -25,11 +25,12 @@ from tinychatengine_tpu.parallel.sharding import cache_spec, llama_param_specs
 
 
 def _cache_specs(cache: KVCache) -> KVCache:
-    cs = cache_spec()
+    cs = cache_spec()                        # [L, B, H_kv, S, D]
+    ss = P(*cs[:-1])                         # scales drop the head_dim axis
     return KVCache(
         k=cs, v=cs, length=P(),
-        k_scale=None if cache.k_scale is None else cs,
-        v_scale=None if cache.v_scale is None else cs,
+        k_scale=None if cache.k_scale is None else ss,
+        v_scale=None if cache.v_scale is None else ss,
     )
 
 
