@@ -1,0 +1,97 @@
+"""Continuous-batching serving runtime.
+
+The key invariant: a request decoded in a shared ragged batch produces
+EXACTLY the tokens it would produce alone (greedy) — slots, ragged lengths,
+admission order and dead rows must not leak across sequences.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tinychatengine_tpu.core.config import GenerationConfig, ModelConfig, QuantConfig
+from tinychatengine_tpu.generation.engine import Engine
+from tinychatengine_tpu.models import llama
+from tinychatengine_tpu.runtime.serving import ServingEngine
+
+
+def _tiny():
+    cfg = ModelConfig(
+        name="tiny", family="llama", num_heads=4, num_kv_heads=2,
+        num_layers=2, max_sqlen=128, embed_dim=128, hidden_dim=256,
+        vocab_size=256, rms_norm_eps=1e-5)
+    qcfg = QuantConfig(scheme="fp")
+    params = llama.init_random_params(cfg, qcfg, seed=0)
+    return cfg, qcfg, params
+
+
+PROMPTS = [
+    np.array([5, 9, 11], np.int32),
+    np.array([7, 3], np.int32),
+    np.array([100, 101, 102, 103, 104, 105], np.int32),
+    np.array([42], np.int32),
+    np.array([1, 2, 3, 4], np.int32),
+]
+
+
+def test_batched_greedy_matches_single():
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=12, repeat_penalty=1.0,
+                         repeat_last_n=1)
+
+    # oracle: one at a time through the single-request engine
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=cfg.max_sqlen)
+    want = [eng.generate(p[None, :], g).tokens[0] for p in PROMPTS]
+
+    # serving engine with fewer slots than requests → queueing + backfill
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g)
+    reqs = [srv.submit(p, n_predict=12) for p in PROMPTS]
+    srv.run()
+    assert all(r.finished for r in reqs)
+    for r, w in zip(reqs, want):
+        assert r.output_ids == list(w), (r.request_id, r.output_ids, w)
+        assert r.finish_reason == "length"
+
+
+def test_stop_tokens_free_slots_early():
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=50, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=cfg.max_sqlen)
+    ref_tokens = eng.generate(PROMPTS[0][None, :], g).tokens[0]
+    stop = ref_tokens[3]  # force an early stop on the 4th generated token
+
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g)
+    r1 = srv.submit(PROMPTS[0], stop_token_ids=(stop,))
+    r2 = srv.submit(PROMPTS[1])
+    r3 = srv.submit(PROMPTS[2])
+    srv.run()
+    assert r1.finish_reason == "stop"
+    assert r1.output_ids[-1] == stop and len(r1.output_ids) <= 4 + 1
+    assert r2.finish_reason == "length" and len(r2.output_ids) == 50
+    assert r3.finished
+
+
+def test_streaming_callback_and_metrics():
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=5, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g)
+    seen = []
+    r = srv.submit(PROMPTS[0], on_token=lambda t, req: seen.append(t))
+    srv.run()
+    assert seen == r.output_ids
+    assert r.first_token_t >= r.submit_t
+    assert r.done_t >= r.first_token_t
+
+
+def test_sampled_batch_runs_and_fills_slots():
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.7, top_p=0.9, n_predict=8, seed=1)
+    srv = ServingEngine(params, cfg, qcfg, slots=3, gcfg=g)
+    reqs = [srv.submit(p) for p in PROMPTS]
+    done = srv.run()
+    assert len(done) == len(PROMPTS)
+    for r in reqs:
+        assert len(r.output_ids) == 8
+        assert all(0 <= t < cfg.vocab_size for t in r.output_ids)

@@ -82,9 +82,17 @@ def update_layer(cache: KVCache, layer_k: jax.Array, layer_v: jax.Array,
                  layer_idx, start: jax.Array) -> KVCache:
     """Write new_k/new_v [B, S_new, H_kv, D] into layer ``layer_idx`` at
     position ``start``. Returns the updated cache (same buffers under jit
-    donation). Does NOT advance ``length`` — call advance() once per step."""
+    donation). Does NOT advance ``length`` — call advance() once per step.
+
+    ``start`` may be a scalar (all rows at the same offset — the single-
+    request engine) or a [B] vector (each batch row at its own offset — the
+    continuous-batching serving path, where slots hold different sequence
+    lengths)."""
     layer_k = layer_k.transpose(0, 2, 1, 3)  # [B, H, S_new, D]
     layer_v = layer_v.transpose(0, 2, 1, 3)
+    start = jnp.asarray(start, jnp.int32)
+    if start.ndim == 1:
+        return _update_layer_per_slot(cache, layer_k, layer_v, layer_idx, start)
     if cache.quantized:
         qk, sk = _quantize_kv(layer_k)
         qv, sv = _quantize_kv(layer_v)
@@ -103,6 +111,36 @@ def update_layer(cache: KVCache, layer_k: jax.Array, layer_v: jax.Array,
         cache.v, layer_v[None].astype(cache.v.dtype), (layer_idx, 0, 0, start, 0))
     return KVCache(k=k, v=v, length=cache.length,
                    k_scale=cache.k_scale, v_scale=cache.v_scale)
+
+
+def _update_layer_per_slot(cache: KVCache, layer_k, layer_v, layer_idx,
+                           starts: jax.Array) -> KVCache:
+    """Ragged write: row b of [B, H, S_new, D] lands at position starts[b]."""
+    def write(buf, new):  # buf [L, B, H, S, D]
+        layer = jax.lax.dynamic_index_in_dim(buf, layer_idx, 0, keepdims=False)
+        layer = jax.vmap(
+            lambda lb, nb, st: jax.lax.dynamic_update_slice(lb, nb, (0, st, 0))
+        )(layer, new.astype(buf.dtype), starts)
+        return jax.lax.dynamic_update_slice(
+            buf, layer[None], (layer_idx, 0, 0, 0, 0))
+
+    def write_scale(buf, new):  # buf [L, B, H, S]
+        layer = jax.lax.dynamic_index_in_dim(buf, layer_idx, 0, keepdims=False)
+        layer = jax.vmap(
+            lambda lb, nb, st: jax.lax.dynamic_update_slice(lb, nb, (0, st))
+        )(layer, new, starts)
+        return jax.lax.dynamic_update_slice(buf, layer[None], (layer_idx, 0, 0, 0))
+
+    if cache.quantized:
+        qk, sk = _quantize_kv(layer_k)
+        qv, sv = _quantize_kv(layer_v)
+        return KVCache(k=write(cache.k, qk), v=write(cache.v, qv),
+                       length=cache.length,
+                       k_scale=write_scale(cache.k_scale, sk),
+                       v_scale=write_scale(cache.v_scale, sv))
+    return KVCache(k=write(cache.k, layer_k), v=write(cache.v, layer_v),
+                   length=cache.length, k_scale=cache.k_scale,
+                   v_scale=cache.v_scale)
 
 
 def read_layer(cache: KVCache, layer_idx):

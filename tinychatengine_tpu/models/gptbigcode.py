@@ -64,7 +64,9 @@ def forward(params: GPTBigCodeParams, cfg: ModelConfig, input_ids: jax.Array,
     b, s = input_ids.shape
     d = cfg.head_dim
 
-    positions = start + jnp.arange(s, dtype=jnp.int32)[None, :]
+    start = jnp.asarray(start, jnp.int32)
+    start_col = start[:, None] if start.ndim == 1 else start[None, None]
+    positions = start_col + jnp.arange(s, dtype=jnp.int32)[None, :]
     positions = jnp.broadcast_to(positions, (b, s))
     x = (params.wte[input_ids] + params.wpe[positions]).astype(jnp.bfloat16)
 

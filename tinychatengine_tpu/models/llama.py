@@ -101,7 +101,10 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
     else:
         x = params.embed[input_ids].astype(jnp.bfloat16)  # gather (ops/embedding.cc:11)
 
-    positions = start + jnp.arange(s, dtype=jnp.int32)[None, :]
+    # start: scalar (uniform batch) or [B] (per-slot offsets, serving path)
+    start = jnp.asarray(start, jnp.int32)
+    start_col = start[:, None] if start.ndim == 1 else start[None, None]
+    positions = start_col + jnp.arange(s, dtype=jnp.int32)[None, :]
     positions = jnp.broadcast_to(positions, (b, s))
 
     # RoPE is applied to q and k inside the scan via closure on rope caches.

@@ -93,7 +93,9 @@ def forward(params: OPTParams, cfg: ModelConfig, input_ids: jax.Array,
     the parameter container types (static at trace time)."""
     b, s = input_ids.shape
     x = params.embed_tokens[input_ids].astype(jnp.float32)
-    positions = start + jnp.arange(s, dtype=jnp.int32)[None, :]
+    start = jnp.asarray(start, jnp.int32)
+    start_col = start[:, None] if start.ndim == 1 else start[None, None]
+    positions = start_col + jnp.arange(s, dtype=jnp.int32)[None, :]
     positions = jnp.broadcast_to(positions, (b, s))
     x = x + params.embed_positions[positions + POS_OFFSET].astype(jnp.float32)
 
@@ -129,8 +131,9 @@ def forward(params: OPTParams, cfg: ModelConfig, input_ids: jax.Array,
                                 ck.astype(jnp.float32)) / (d ** 0.5)
 
         col = jnp.arange(smax)
+        kv_valid = jnp.asarray(start + s).reshape(-1, 1, 1)  # scalar or [B]
         allowed = (col[None, None, :] <= positions[:, :, None]) & (
-            col[None, None, :] < start + s)
+            col[None, None, :] < kv_valid)
         logits = jnp.where(allowed[:, None, :, :], logits, NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1)
 

@@ -1,0 +1,262 @@
+"""Serving runtime: continuous batching over slot-based KV.
+
+The reference is hard-wired to batch 1 (assert at
+llm/src/nn_modules/non_cuda/Int4llamaAttention.cc:309, model_config.batch=1 in
+llm/include/model.h:68-83) and has no request scheduler at all — this module
+is the TPU framework's serving layer above the single-request Engine:
+
+- a fixed pool of B decode *slots*, each a row of one shared KV cache
+  [L, B, H_kv, S_max, D] (jit shapes never change — no recompiles as
+  requests come and go);
+- **continuous batching**: new requests are admitted the moment a slot
+  frees, not at generation boundaries. Admission runs a bucketed single-
+  request prefill into a scratch cache (reusing Engine bucketing) and then
+  splices the prefix into the slot with one device-to-device copy;
+- **ragged decode**: one jit'd step decodes every active slot at its own
+  position (vector ``start``; per-slot causal lengths flow into the flash
+  decode kernel's per-batch ``lengths``);
+- inactive slots still run (dead rows keep shapes static) but their cache
+  writes land beyond their frozen lengths and their outputs are discarded.
+
+Sampling parameters are per-engine (one compiled sampler); per-request
+seeds/states are per-slot. Per-request sampling params would force a
+recompile per distinct config — batch requests with like configs instead.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import functools
+import itertools
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinychatengine_tpu.core.config import GenerationConfig, ModelConfig, QuantConfig
+from tinychatengine_tpu.generation import kv_cache as kvc
+from tinychatengine_tpu.generation import sampling
+from tinychatengine_tpu.generation.engine import Engine, _bucket, _hashable_gcfg
+from tinychatengine_tpu.models import llama
+
+
+@dataclasses.dataclass
+class Request:
+    """One generation request."""
+
+    prompt_ids: np.ndarray                    # [n] int32
+    n_predict: int
+    stop_token_ids: tuple = ()
+    on_token: Optional[Callable[[int, "Request"], None]] = None
+    request_id: int = 0
+    # filled by the engine:
+    output_ids: list = dataclasses.field(default_factory=list)
+    finished: bool = False
+    finish_reason: Optional[str] = None       # "stop" | "length"
+    submit_t: float = 0.0
+    first_token_t: float = 0.0
+    done_t: float = 0.0
+
+
+@dataclasses.dataclass
+class _Slot:
+    request: Optional[Request] = None
+    length: int = 0          # valid KV positions
+    remaining: int = 0
+
+    @property
+    def active(self) -> bool:
+        return self.request is not None
+
+
+class ServingEngine:
+    """Continuous-batching server for one model replica."""
+
+    def __init__(self, params, cfg: ModelConfig, qcfg: QuantConfig | None = None,
+                 slots: int = 8, max_len: Optional[int] = None,
+                 gcfg: GenerationConfig | None = None,
+                 forward_fn=llama.forward):
+        self.params = params
+        self.cfg = cfg
+        self.qcfg = qcfg or QuantConfig()
+        self.n_slots = slots
+        self.max_len = max_len or cfg.max_sqlen
+        self.gcfg = gcfg or GenerationConfig()
+        self._hcfg = _hashable_gcfg(self.gcfg)
+        self._forward = forward_fn
+
+        quantized = self.qcfg.kv_cache_dtype == "int8"
+        self.cache = kvc.init_cache(
+            cfg.num_layers, slots, self.max_len, cfg.num_kv_heads,
+            cfg.head_dim, quantized=quantized)
+        # single-request prefill engine writing into a scratch cache
+        self._prefill_engine = Engine(params, cfg, self.qcfg, batch=1,
+                                      max_len=self.max_len, forward_fn=forward_fn)
+        self._scratch = self._prefill_engine.new_cache()
+
+        self.slots = [_Slot() for _ in range(slots)]
+        self.queue: collections.deque[Request] = collections.deque()
+        self.done: list[Request] = []
+        self._ids = itertools.count()
+
+        window = max(self.gcfg.repeat_last_n, 1)
+        self._last = np.full((slots, window), -1, np.int32)
+        self._next_tok = np.zeros((slots,), np.int32)
+        self._state = sampling.SamplerState.init(
+            self.gcfg.seed, slots, self.gcfg.mirostat_tau)
+
+        self._jit_decode = jax.jit(
+            functools.partial(_decode_step, forward_fn),
+            static_argnames=("cfg",), donate_argnames=("cache",))
+        self._jit_insert = _insert_slot  # jitted below (donates cache)
+
+    # -- public API ----------------------------------------------------------
+    def submit(self, prompt_ids, n_predict: Optional[int] = None,
+               stop_token_ids=(), on_token=None) -> Request:
+        req = Request(
+            prompt_ids=np.asarray(prompt_ids, np.int32).reshape(-1),
+            n_predict=n_predict or self.gcfg.n_predict,
+            stop_token_ids=tuple(int(t) for t in stop_token_ids),
+            on_token=on_token, request_id=next(self._ids),
+            submit_t=time.perf_counter())
+        self.queue.append(req)
+        return req
+
+    def run(self) -> list:
+        """Drain the queue; returns finished requests in completion order."""
+        while self.queue or any(s.active for s in self.slots):
+            self.step()
+        return self.done
+
+    @property
+    def n_active(self) -> int:
+        return sum(1 for s in self.slots if s.active)
+
+    # -- scheduler core --------------------------------------------------------
+    def step(self):
+        """One scheduler tick: admit while slots are free, then one batched
+        decode step for every active slot (continuous batching: admission is
+        per-tick, not per-generation)."""
+        while self.queue and self._free_slot() is not None:
+            self._admit(self._free_slot(), self.queue.popleft())
+        if not any(s.active for s in self.slots):
+            return
+        self._decode_once()
+
+    def _free_slot(self) -> Optional[int]:
+        for i, s in enumerate(self.slots):
+            if not s.active:
+                return i
+        return None
+
+    def _admit(self, slot_idx: int, req: Request):
+        n = len(req.prompt_ids)
+        cap = self.max_len - 2
+        if n > cap:
+            req.prompt_ids = req.prompt_ids[-cap:]  # keep the tail
+            n = cap
+        # bucketed single-request prefill into the scratch cache
+        logits, scratch = self._prefill_engine.prefill(
+            req.prompt_ids[None, :], _reset(self._scratch), start=0)
+        self._scratch = scratch
+        bucket = _bucket(n)
+        self.cache = self._jit_insert(
+            self.cache, scratch, jnp.asarray(slot_idx, jnp.int32),
+            bucket=bucket)
+
+        slot = self.slots[slot_idx]
+        slot.request = req
+        slot.length = n
+        slot.remaining = min(req.n_predict, self.max_len - n - 1)
+
+        # first token from the prefill logits (fresh mirostat mu; PRNG key is
+        # engine-wide, mu is per-slot)
+        mu0 = jnp.asarray(2.0 * self.gcfg.mirostat_tau, jnp.float32)
+        state_b = sampling.SamplerState(key=self._state.key, mu=mu0[None])
+        window = self._last.shape[1]
+        self._last[slot_idx] = -1
+        tail = min(window, n)
+        self._last[slot_idx, window - tail:] = req.prompt_ids[n - tail:]
+        tok, state_b = self._prefill_engine._jit_sample(
+            logits, state_b, jnp.asarray(self._last[slot_idx][None]), self._hcfg)
+        self._state = sampling.SamplerState(
+            key=state_b.key, mu=self._state.mu.at[slot_idx].set(state_b.mu[0]))
+        t = int(np.asarray(tok)[0])
+        req.first_token_t = time.perf_counter()
+        self._emit(slot_idx, t)
+
+    def _decode_once(self):
+        lengths = jnp.asarray([s.length for s in self.slots], jnp.int32)
+        toks = jnp.asarray(self._next_tok)
+        logits, self.cache = self._jit_decode(
+            self.params, self.cfg, toks, self.cache, lengths)
+        tok, self._state = self._prefill_engine._jit_sample(
+            logits, self._state, jnp.asarray(self._last), self._hcfg)
+        tok_host = np.asarray(tok)
+        for i, slot in enumerate(self.slots):
+            if slot.active:
+                slot.length += 1
+                self._emit(i, int(tok_host[i]))
+
+    def _emit(self, slot_idx: int, token: int):
+        """Record a sampled token for a slot; finish/free on stop or length."""
+        slot = self.slots[slot_idx]
+        req = slot.request
+        req.output_ids.append(token)
+        if req.on_token is not None:
+            req.on_token(token, req)
+        self._next_tok[slot_idx] = token
+        self._last[slot_idx] = np.roll(self._last[slot_idx], -1)
+        self._last[slot_idx, -1] = token
+        slot.remaining -= 1
+
+        if token in req.stop_token_ids:
+            req.finish_reason = "stop"
+        elif slot.remaining <= 0 or slot.length + 1 >= self.max_len:
+            req.finish_reason = "length"
+        else:
+            return
+        req.finished = True
+        req.done_t = time.perf_counter()
+        self.done.append(req)
+        slot.request = None
+        slot.length = 0  # frozen; dead-row writes land at pos 0 and are masked
+
+
+def _reset(cache: kvc.KVCache) -> kvc.KVCache:
+    return kvc.KVCache(k=cache.k, v=cache.v,
+                       length=jnp.zeros((), jnp.int32),
+                       k_scale=cache.k_scale, v_scale=cache.v_scale)
+
+
+@functools.partial(jax.jit, static_argnames=("bucket",),
+                   donate_argnames=("cache",))
+def _insert_slot(cache: kvc.KVCache, scratch: kvc.KVCache, slot_idx,
+                 bucket: int) -> kvc.KVCache:
+    """Splice scratch[:, 0, :, :bucket] into cache[:, slot_idx] (one D2D copy
+    per buffer; bucket is the jit-static prefill bucket length)."""
+    def put(dst, src):
+        piece = jax.lax.slice_in_dim(src, 0, bucket, axis=3)
+        return jax.lax.dynamic_update_slice(
+            dst, piece, (0, slot_idx, 0, 0, 0))
+
+    def put_scale(dst, src):
+        piece = jax.lax.slice_in_dim(src, 0, bucket, axis=3)
+        return jax.lax.dynamic_update_slice(dst, piece, (0, slot_idx, 0, 0))
+
+    return kvc.KVCache(
+        k=put(cache.k, scratch.k), v=put(cache.v, scratch.v),
+        length=cache.length,
+        k_scale=None if cache.k_scale is None else put_scale(cache.k_scale,
+                                                             scratch.k_scale),
+        v_scale=None if cache.v_scale is None else put_scale(cache.v_scale,
+                                                             scratch.v_scale))
+
+
+def _decode_step(forward_fn, params, cfg, tokens, cache, lengths):
+    """One ragged decode step: tokens [B], lengths [B] → logits [B, V]."""
+    logits, cache = forward_fn(params, cfg, tokens[:, None], cache, lengths)
+    return logits, cache
