@@ -45,7 +45,35 @@ class ByteLevelBPE:
         self.ranks = {pair: i for i, pair in enumerate(merges)}
         self.bos_id, self.eos_id = bos_id, eos_id
         self.unk_id = vocab.get(unk_token, 0)
-        self._cache: dict[str, list[str]] = {}
+        self._cache: dict[str, list[int]] = {}
+        self._native = None
+        self._native_tried = False
+
+    def _native_merger(self):
+        """C++ rank-merge engine over vocab ids (native/src/bpe.cc); None if
+        unavailable or a merge references a token missing from the vocab."""
+        if self._native_tried:
+            return self._native
+        self._native_tried = True
+        try:
+            from tinychatengine_tpu import native
+            if not native.available():
+                return None
+            lefts, rights, merged, prio = [], [], [], []
+            for (a, b), rank in self.ranks.items():
+                ia, ib, iab = (self.vocab.get(a), self.vocab.get(b),
+                               self.vocab.get(a + b))
+                if ia is None or ib is None or iab is None:
+                    continue
+                lefts.append(ia)
+                rights.append(ib)
+                merged.append(iab)
+                prio.append(-float(rank))
+            self._native = native.NativeMerger(lefts, rights, merged, prio,
+                                               native.RANK)
+        except Exception:
+            self._native = None
+        return self._native
 
     @classmethod
     def load(cls, path: str) -> "ByteLevelBPE":
@@ -73,26 +101,37 @@ class ByteLevelBPE:
             merges.append((a, b))
         return cls(vocab, merges)
 
-    def _bpe(self, word: str) -> list[str]:
+    def _bpe(self, word: str) -> list[int]:
+        """word (byte-mapped) → token ids. Native C++ merge loop when
+        available; identical pure-Python loop otherwise."""
         if word in self._cache:
             return self._cache[word]
-        parts = list(word)
-        while len(parts) > 1:
-            pairs = [(self.ranks.get((parts[i], parts[i + 1]), 1 << 60), i)
-                     for i in range(len(parts) - 1)]
-            rank, i = min(pairs)
-            if rank >= 1 << 60:
-                break
-            parts = parts[:i] + [parts[i] + parts[i + 1]] + parts[i + 2:]
-        self._cache[word] = parts
-        return parts
+        nat = self._native_merger()
+        init_ids = None
+        if nat is not None:
+            init_ids = [self.vocab.get(c) for c in word]
+            if any(i is None for i in init_ids):
+                init_ids = None  # char outside vocab: python path handles unk
+        if init_ids is not None:
+            ids = nat.encode(init_ids)
+        else:
+            parts = list(word)
+            while len(parts) > 1:
+                pairs = [(self.ranks.get((parts[i], parts[i + 1]), 1 << 60), i)
+                         for i in range(len(parts) - 1)]
+                rank, i = min(pairs)
+                if rank >= 1 << 60:
+                    break
+                parts = parts[:i] + [parts[i] + parts[i + 1]] + parts[i + 2:]
+            ids = [self.vocab.get(tok, self.unk_id) for tok in parts]
+        self._cache[word] = ids
+        return ids
 
     def encode(self, text: str, bos: bool = False) -> list[int]:
         out = [self.bos_id] if bos else []
         for word in _PAT.findall(text):
             mapped = "".join(_BYTE_ENC[b] for b in word.encode("utf-8"))
-            for tok in self._bpe(mapped):
-                out.append(self.vocab.get(tok, self.unk_id))
+            out.extend(self._bpe(mapped))
         return out
 
     def decode(self, ids) -> str:

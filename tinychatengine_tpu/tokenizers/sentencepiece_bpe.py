@@ -42,6 +42,29 @@ class SentencePieceBPE:
         self.token_to_id = {t: i for i, t in enumerate(tokens)}
         self.bos_id, self.eos_id, self.unk_id = bos_id, eos_id, unk_id
         self.sp_space = sp_space  # vocab uses ▁ (HF) vs literal space (ref bin)
+        self._native = None        # lazily-built C++ encoder (native/)
+        self._native_tried = False
+
+    def _native_encoder(self):
+        """C++ whole-text encoder (native/src/bpe.cc tce_spm_*); None if the
+        native library is unavailable. Byte fallback uses the contiguous
+        <0x00>..<0xFF> id range when the vocab has one."""
+        if self._native_tried:
+            return self._native
+        self._native_tried = True
+        try:
+            from tinychatengine_tpu import native
+            if not native.available():
+                return None
+            base = self.token_to_id.get("<0x00>", -1)
+            if base >= 0 and self.token_to_id.get("<0xFF>") != base + 255:
+                base = -1  # non-contiguous byte tokens: let unk handle it
+            self._native = native.NativeSPM(
+                [t.encode("utf-8") for t in self.id_to_token], self.scores,
+                byte_fallback_base=base, unk_id=self.unk_id)
+        except Exception:
+            self._native = None
+        return self._native
 
     # -- loading -------------------------------------------------------------
     @classmethod
@@ -89,6 +112,10 @@ class SentencePieceBPE:
             out.append(self.bos_id)
         if not text:
             return out
+
+        nat = self._native_encoder()
+        if nat is not None:
+            return out + nat.encode(text.encode("utf-8"))
 
         # symbols = utf-8 characters; greedy highest-score merges via heap
         chars = []

@@ -160,7 +160,10 @@ def convert_reference_llama(src: str, cfg: ModelConfig, qcfg: QuantConfig):
     root = Path(src)
 
     def raw(rel, shape):
-        data = np.fromfile(root / rel, dtype=np.float32)
+        # threaded C++ pread when built (native/src/loader.cc, the analog of
+        # the reference's read_to_array, llm/src/utils.cc); else np.fromfile
+        from tinychatengine_tpu import native
+        data = native.read_file(str(root / rel), np.float32)
         return data.reshape(shape)
 
     e, f, v = cfg.embed_dim, cfg.hidden_dim, cfg.vocab_size
