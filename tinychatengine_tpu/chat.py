@@ -73,7 +73,10 @@ def build_engine(model: str, precision: str, checkpoint: str,
     return Engine(params, cfg, qcfg), tok, cfg
 
 
-def repl(engine: Engine, tok, cfg: ModelConfig, gcfg: GenerationConfig):
+def repl(engine: Engine, tok, cfg: ModelConfig, gcfg: GenerationConfig,
+         vlm_ctx=None):
+    """vlm_ctx: optional (clip_params, clip_cfg, image_path) — the image is
+    encoded once and spliced into the first turn (LLaVAGenerate.cc:126)."""
     tmpl = template_for(cfg.name)
     stop_ids = [getattr(tok, "eos_id", -1)]
     for name in tmpl.stop_token_names:
@@ -94,10 +97,22 @@ def repl(engine: Engine, tok, cfg: ModelConfig, gcfg: GenerationConfig):
             return
         if not user.strip():
             continue
-        wrap = (tmpl.first if first else tmpl.next).replace("{image}", "")
-        prompt = wrap.format(input=user)
+        wrap = tmpl.first if first else tmpl.next
+        input_embeds = None
+        if vlm_ctx is not None and first and "{image}" in wrap:
+            from tinychatengine_tpu.generation import vlm
+            clip_params, clip_cfg, image_path = vlm_ctx
+            image_embeds = vlm.encode_image(clip_params, clip_cfg,
+                                            vlm.load_image(image_path))
+            prompt = wrap.replace("{image}", vlm.IMAGE_MARKER).format(input=user)
+            ids_arr, input_embeds = vlm.build_multimodal_inputs(
+                tok, engine.params.embed, prompt, image_embeds,
+                bos=(start == 0))
+            ids = ids_arr[0].tolist()
+        else:
+            prompt = wrap.replace("{image}", "").format(input=user)
+            ids = tok.encode(prompt, bos=(start == 0))
         first = False
-        ids = tok.encode(prompt, bos=(start == 0))
 
         print(f"{_BOLD}ASSISTANT: {_RESET}", end="", flush=True)
         text_buf = []
@@ -113,7 +128,8 @@ def repl(engine: Engine, tok, cfg: ModelConfig, gcfg: GenerationConfig):
 
         result = engine.generate(
             np.asarray([ids], np.int32), gcfg, stop_token_ids=stop_ids,
-            on_token=on_token, cache=cache, start=start)
+            on_token=on_token, cache=cache, start=start,
+            input_embeds=input_embeds)
         cache = result.cache  # input cache buffer was donated
         n_gen = len(result.tokens[0])
         print()
@@ -141,15 +157,35 @@ def main(argv=None):
                     help="tiny random-weight model + byte tokenizer")
     ap.add_argument("--n-predict", type=int, default=None)
     ap.add_argument("--temp", type=float, default=None)
+    ap.add_argument("--image", default=None,
+                    help="image file for VLM (LLaVA/VILA) models — spliced "
+                         "into the first turn (llm/scripts/vila.sh semantics)")
     args = ap.parse_args(argv)
 
+    vlm_ctx = None
     if args.demo:
         engine, tok, cfg = build_demo_engine()
+        if args.image:
+            # llava chat template (image splice) for the demo VLM
+            cfg = dataclasses.replace(cfg, name="demo_llava")
+            engine.cfg = cfg
+            from tinychatengine_tpu.models import clip as clip_mod
+            clip_cfg = ModelConfig(
+                name="demo_clip", family="clip", num_heads=4, num_kv_heads=4,
+                num_layers=2, max_sqlen=0, embed_dim=256, hidden_dim=512,
+                vocab_size=0, image_size=56, patch_size=14,
+                mmproj_dim=cfg.embed_dim)
+            vlm_ctx = (clip_mod.init_random_params(clip_cfg), clip_cfg,
+                       args.image)
     else:
         if not args.checkpoint:
             ap.error("--checkpoint required (or use --demo)")
         engine, tok, cfg = build_engine(args.model, args.precision,
                                         args.checkpoint, args.tokenizer)
+        if args.image:
+            from tinychatengine_tpu.tools.checkpoint import load_clip
+            clip_params, clip_cfg = load_clip(args.checkpoint)
+            vlm_ctx = (clip_params, clip_cfg, args.image)
 
     gcfg = _gen_config(cfg.name)
     if args.demo:  # mask vocab-padding ids beyond the byte tokenizer's range
@@ -158,7 +194,7 @@ def main(argv=None):
         gcfg.n_predict = args.n_predict
     if args.temp is not None:
         gcfg.temp = args.temp
-    repl(engine, tok, cfg, gcfg)
+    repl(engine, tok, cfg, gcfg, vlm_ctx=vlm_ctx)
 
 
 if __name__ == "__main__":

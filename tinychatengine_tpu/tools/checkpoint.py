@@ -123,7 +123,34 @@ def _build_template(cfg: ModelConfig, qcfg: QuantConfig, meta: dict):
         from tinychatengine_tpu.models import llama
         tiny = _tiny_like(cfg)
         return llama.init_random_params(tiny, qcfg, seed=0, max_pos=8, fast=True)
+    if family == "clip":
+        import dataclasses
+
+        from tinychatengine_tpu.models import clip
+        tiny = dataclasses.replace(
+            cfg, embed_dim=64, hidden_dim=128, num_heads=4, num_kv_heads=4,
+            image_size=28, patch_size=14, mmproj_dim=64)
+        return clip.init_random_params(tiny)
     raise NotImplementedError(family)
+
+
+def save_clip(path: str, clip_params, clip_cfg: ModelConfig):
+    """Persist the VLM vision tower next to the decoder checkpoint
+    (the reference ships CLIP as its own exported dir, llm/tools/clip_exporter.py)."""
+    import dataclasses
+    save_checkpoint(str(Path(path) / "clip"), clip_params, clip_cfg,
+                    QuantConfig(scheme="fp"),
+                    extra_meta={"family": "clip",
+                                "clip_cfg": dataclasses.asdict(clip_cfg)})
+
+
+def load_clip(path: str):
+    """Returns (clip_params, clip_cfg) from <checkpoint>/clip."""
+    sub = Path(path) / "clip"
+    meta = json.loads((sub / "meta.json").read_text())
+    cfg = ModelConfig(**meta["clip_cfg"])
+    params, _ = load_checkpoint(str(sub), cfg)
+    return params, cfg
 
 
 def _tiny_like(cfg: ModelConfig) -> ModelConfig:
