@@ -113,6 +113,10 @@ class QuantConfig:
 
     ``scheme``:
       - "fp"      : unquantized (bf16/fp32) — reference FP32 path.
+      - "w4a8"    : same INT4 weights, activations dynamically quantized
+                    to int8 per (row, group) at matmul time — the reference's
+                    default x86/ARM path (USE_INT8_INT4_PRODUCT,
+                    llm/src/ops/linear.cc:157-168)
       - "w4a16"   : AWQ group-wise INT4 weights, bf16 activations — the
                     TPU-native unification of the reference's W4A32/W4A16/W4A8
                     paths (llm/src/ops/linear.cc:171-236).
@@ -129,7 +133,7 @@ class QuantConfig:
     act_dtype: str = "bf16"
 
     def __post_init__(self):
-        assert self.scheme in ("fp", "w4a16", "w8a8"), self.scheme
+        assert self.scheme in ("fp", "w4a16", "w4a8", "w8a8"), self.scheme
         assert self.group_size in (32, 64, 128, 256), self.group_size
 
 

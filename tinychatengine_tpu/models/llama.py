@@ -202,10 +202,15 @@ def init_random_params(cfg: ModelConfig, qcfg: QuantConfig, seed: int = 0,
     max_pos = max_pos or cfg.max_sqlen
 
     def lin(key, k, n):
-        if qcfg.scheme == "w4a16":
+        if qcfg.scheme in ("w4a16", "w4a8"):
             if fast:
-                return random_int4_linear_fast(key, k, n, qcfg.group_size)
-            return random_int4_linear(key, k, n, qcfg.group_size)
+                p = random_int4_linear_fast(key, k, n, qcfg.group_size)
+            else:
+                p = random_int4_linear(key, k, n, qcfg.group_size)
+            if qcfg.scheme == "w4a8":
+                from tinychatengine_tpu.ops.linear import Int4A8Linear
+                p = Int4A8Linear(packed=p.packed, scales=p.scales, bias=p.bias)
+            return p
         w = jax.random.normal(key, (k, n), jnp.bfloat16) * 0.02
         return DenseLinear(weight=w)
 

@@ -231,6 +231,152 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
     return y.reshape(*orig_shape[:-1], n)
 
 
+# ---------------------------------------------------------------------------
+# W4A8: runtime INT8 activation quantization fused into the int4 matmul
+# ---------------------------------------------------------------------------
+
+def _int4_a8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
+                    group_size: int, n_kblocks: int, block_k: int):
+    """W4A8 variant (the reference's x86/ARM headline path,
+    kernels/avx/matmul_avx_int8_int4.cc:325-357): activations are quantized
+    per (row, group) to int8 IN-KERNEL (absmax/127, the
+    quantize_fp_to_int8_block_size32 semantics at group granularity), the
+    dot runs s8 x s8 → i32 on the MXU, and the product of activation and
+    weight scales requantizes the i32 group dot:
+        acc += (dot_i32 - 8 * rowsum(q_a)) * a_scale * d.
+    The [M, G] quantize work is negligible next to the [128, TN] weight
+    unpack; accumulation stays fp32."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    gpp = PLANE // group_size
+    n_sb = block_k // SUPERBLOCK
+    acc = acc_ref[:]
+    for sb in range(n_sb):
+        p = w_ref[sb * PLANE:(sb + 1) * PLANE, :].astype(jnp.int32)
+        for plane in range(2):
+            codes = ((p & 0x0F) if plane == 0 else ((p >> 4) & 0x0F)
+                     ).astype(jnp.int8)
+            g0 = kb * (block_k // group_size) + (2 * sb + plane) * gpp
+            x_plane = x_ref[:, (2 * sb + plane) * PLANE:
+                            (2 * sb + plane + 1) * PLANE].astype(jnp.float32)
+            for g in range(gpp):
+                d_row = s_ref[pl.ds(g0 + g, 1), :]                # [1, TN]
+                x_g = x_plane[:, g * group_size:(g + 1) * group_size]
+                absmax = jnp.max(jnp.abs(x_g), axis=1, keepdims=True)
+                a_scale = jnp.maximum(absmax, 1e-8) / 127.0       # [M, 1]
+                q_a = jnp.clip(jnp.round(x_g / a_scale), -127, 127
+                               ).astype(jnp.int8)
+                c_g = codes[g * group_size:(g + 1) * group_size, :]
+                dot = jax.lax.dot_general(
+                    q_a, c_g, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)             # [M, TN]
+                qsum = jnp.sum(q_a.astype(jnp.int32), axis=1, keepdims=True)
+                acc += ((dot - ZERO_POINT * qsum).astype(jnp.float32)
+                        * a_scale) * d_row
+    acc_ref[:] = acc
+
+    @pl.when(kb == n_kblocks - 1)
+    def _store():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _a8_stacked_kernel(layer_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, **kw):
+    _int4_a8_kernel(x_ref, w_ref.at[0], s_ref.at[0], o_ref, acc_ref, **kw)
+
+
+def int4_matmul_a8(x: jax.Array, packed: jax.Array, scales: jax.Array,
+                   group_size: int = 128, *, layer_idx=None,
+                   interpret: bool = False) -> jax.Array:
+    """W4A8 fused matmul: same packed weights/API as int4_matmul, activations
+    dynamically quantized to int8 per (row, group) inside the kernel."""
+    orig_shape = x.shape
+    k = orig_shape[-1]
+    stacked = packed.ndim == 3
+    assert stacked == (layer_idx is not None)
+    kp, n = packed.shape[-2:]
+    assert kp == k // 2 and k % SUPERBLOCK == 0
+    assert group_size <= PLANE and PLANE % group_size == 0
+
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    pad = (-m) % 16
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    block_m = _pick_block(m + pad, 256, 16)
+    block_n = _pick_block(n, 2048, 128)
+    block_k = _pick_block(k, 2048, SUPERBLOCK)
+
+    grid = (x2.shape[0] // block_m, n // block_n, k // block_k)
+    cost = pl.CostEstimate(flops=2 * m * n * k,
+                           bytes_accessed=m * k + n * k // 2, transcendentals=0)
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"))
+    x_spec = pl.BlockSpec((block_m, block_k), lambda i, j, kb, *_: (i, kb),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((block_m, block_n), lambda i, j, kb, *_: (i, j),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((x2.shape[0], n), jnp.bfloat16)
+    scratch = [pltpu.VMEM((block_m, block_n), jnp.float32)]
+    kw = dict(group_size=group_size, n_kblocks=grid[2], block_k=block_k)
+
+    if not stacked:
+        y = pl.pallas_call(
+            functools.partial(_int4_a8_kernel, **kw),
+            grid=grid,
+            in_specs=[
+                x_spec,
+                pl.BlockSpec((block_k // 2, block_n), lambda i, j, kb: (kb, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k // group_size, block_n), lambda i, j, kb: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec, out_shape=out_shape, scratch_shapes=scratch,
+            cost_estimate=cost, compiler_params=compiler_params,
+            interpret=interpret,
+        )(x2.astype(jnp.bfloat16), packed, scales.astype(jnp.float32))
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[
+                x_spec,
+                pl.BlockSpec((1, block_k // 2, block_n),
+                             lambda i, j, kb, lref: (lref[0], kb, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k // group_size, block_n),
+                             lambda i, j, kb, lref: (lref[0], 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec, scratch_shapes=scratch)
+        y = pl.pallas_call(
+            functools.partial(_a8_stacked_kernel, **kw),
+            grid_spec=grid_spec, out_shape=out_shape, cost_estimate=cost,
+            compiler_params=compiler_params, interpret=interpret,
+        )(jnp.asarray(layer_idx, jnp.int32).reshape(1),
+          x2.astype(jnp.bfloat16), packed, scales.astype(jnp.float32))
+    y = y[:m]
+    return y.reshape(*orig_shape[:-1], n)
+
+
+def int4_matmul_a8_xla(x: jax.Array, packed: jax.Array, scales: jax.Array,
+                       group_size: int = 128) -> jax.Array:
+    """XLA reference for the W4A8 path (same quantization semantics)."""
+    from tinychatengine_tpu.ops.ref import dequantize_int4
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k).astype(jnp.float32)
+    g = x2.reshape(x2.shape[0], k // group_size, group_size)
+    absmax = jnp.max(jnp.abs(g), axis=-1, keepdims=True)
+    a_scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q_a = jnp.clip(jnp.round(g / a_scale), -127, 127)
+    xq = (q_a * a_scale).reshape(x2.shape)  # fake-quantized activations
+    w = dequantize_int4(packed, scales, group_size, dtype=jnp.float32)
+    y = jnp.einsum("mk,kn->mn", xq, w, preferred_element_type=jnp.float32)
+    return y.astype(jnp.bfloat16).reshape(*x.shape[:-1], -1)
+
+
 def int4_matmul_xla(x: jax.Array, packed: jax.Array, scales: jax.Array,
                     group_size: int = 128) -> jax.Array:
     """XLA-only fallback (dequantize to bf16 via jnp, then matmul). Correctness

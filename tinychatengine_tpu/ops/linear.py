@@ -17,7 +17,12 @@ import jax
 import jax.numpy as jnp
 
 from tinychatengine_tpu.ops import ref
-from tinychatengine_tpu.ops.int4_matmul import int4_matmul, int4_matmul_xla
+from tinychatengine_tpu.ops.int4_matmul import (
+    int4_matmul,
+    int4_matmul_a8,
+    int4_matmul_a8_xla,
+    int4_matmul_xla,
+)
 
 
 def _pytree_dataclass(cls):
@@ -56,6 +61,18 @@ class Int4Linear:
     @property
     def group_size(self) -> int:
         return 2 * self.packed.shape[-2] // self.scales.shape[-2]
+
+
+@_pytree_dataclass
+class Int4A8Linear:
+    """W4A8: same packed INT4 weights as Int4Linear, but activations are
+    dynamically quantized to int8 per (row, group) at matmul time — the
+    reference's default x86/ARM path (USE_INT8_INT4_PRODUCT,
+    llm/src/ops/linear.cc:157-168 + kernels/avx/matmul_avx_int8_int4.cc)."""
+
+    packed: jax.Array  # [K//2, N] uint8
+    scales: jax.Array  # [K//group_size, N] f32
+    bias: Optional[jax.Array] = None
 
 
 @_pytree_dataclass
@@ -104,6 +121,17 @@ def apply_linear(p, x: jax.Array, *, out_int8: bool = False,
                 y = int4_matmul(x, p.packed, p.scales, gs)
         else:
             y = int4_matmul_xla(x, unstack(p.packed), unstack(p.scales), gs)
+        bias = unstack(p.bias)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+    if isinstance(p, Int4A8Linear):
+        gs = 2 * p.packed.shape[-2] // p.scales.shape[-2]
+        if jax.default_backend() == "tpu":
+            y = int4_matmul_a8(x, p.packed, p.scales, gs, layer_idx=layer_idx)
+        else:
+            y = int4_matmul_a8_xla(x, unstack(p.packed), unstack(p.scales), gs)
         bias = unstack(p.bias)
         if bias is not None:
             y = y + bias.astype(y.dtype)

@@ -23,7 +23,7 @@ from pathlib import Path
 import numpy as np
 
 from tinychatengine_tpu.core.config import ModelConfig, QuantConfig, get_model_config
-from tinychatengine_tpu.ops.linear import DenseLinear, Int4Linear
+from tinychatengine_tpu.ops.linear import DenseLinear, Int4A8Linear, Int4Linear
 from tinychatengine_tpu.quant.numerics import quantize_groupwise_int4
 from tinychatengine_tpu.quant.packing import pack_qm_tpu, pack_scales
 
@@ -37,7 +37,8 @@ def quantize_linear(w_oc_ic: np.ndarray, qcfg: QuantConfig,
             weight=jnp.asarray(np.ascontiguousarray(w_oc_ic.T), jnp.bfloat16),
             bias=None if bias is None else jnp.asarray(bias, jnp.bfloat16))
     q, scales = quantize_groupwise_int4(w_oc_ic, qcfg.group_size)
-    return Int4Linear(
+    cls = Int4A8Linear if qcfg.scheme == "w4a8" else Int4Linear
+    return cls(
         packed=jnp.asarray(pack_qm_tpu(q)),
         scales=jnp.asarray(pack_scales(scales)),
         bias=None if bias is None else jnp.asarray(bias, jnp.float32))
