@@ -183,6 +183,9 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
     logits = apply_linear(params.lm_head, x).astype(jnp.float32)
     if tp_axis is not None:  # column-parallel lm_head → full vocab for sampling
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    # lm_head N may be padded to a tile-friendly width (LMHEAD_PAD) — the
+    # pad columns are dead weight rows sliced off here, never sampled
+    logits = logits[..., :cfg.vocab_size]
     return (logits if full_logits else logits[:, 0, :]), cache
 
 
@@ -239,6 +242,15 @@ def init_random_params(cfg: ModelConfig, qcfg: QuantConfig, seed: int = 0,
         embed=embed,
         layers=stack_layers(),
         final_norm=jnp.ones((e,), jnp.bfloat16),
-        lm_head=lin(jax.random.PRNGKey(seed + 1), e, v),
+        lm_head=lin(jax.random.PRNGKey(seed + 1), e, lmhead_padded(v)),
         rope_cos=cos, rope_sin=sin,
     )
+
+
+LMHEAD_PAD = 2048  # pad vocab N to a 2048 multiple: an awkward N (128256 →
+# block_n 768, 334 grid steps) costs ~3x on the VPU-bound lm_head GEMV;
+# forward slices logits back to vocab_size
+
+
+def lmhead_padded(v: int) -> int:
+    return ((v + LMHEAD_PAD - 1) // LMHEAD_PAD) * LMHEAD_PAD

@@ -188,7 +188,7 @@ def _flash_decode_impl(info, q, ck, cv, ks, vs, *, block_s, sm_scale,
 
 def flash_decode(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
                  layer_idx, lengths, k_scale=None, v_scale=None, *,
-                 sm_scale: float | None = None, block_s: int = 256,
+                 sm_scale: float | None = None, block_s: int = 512,
                  interpret: bool = False) -> jax.Array:
     """Single-step attention: q [B, Hq, D] against the stacked cache.
 

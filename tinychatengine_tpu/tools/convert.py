@@ -92,6 +92,11 @@ def convert_hf_llama(src: str, cfg: ModelConfig, qcfg: QuantConfig):
         lm_head_w = sd("lm_head.weight")
     except KeyError:  # tied embeddings
         lm_head_w = sd("model.embed_tokens.weight")
+    vp = llama.lmhead_padded(lm_head_w.shape[0])
+    if vp != lm_head_w.shape[0]:  # tile-friendly N; forward slices logits back
+        lm_head_w = np.concatenate(
+            [lm_head_w, np.zeros((vp - lm_head_w.shape[0],
+                                  lm_head_w.shape[1]), lm_head_w.dtype)])
     return llama.LlamaParams(
         embed=jnp.asarray(sd("model.embed_tokens.weight"), jnp.bfloat16),
         layers=stacked,
@@ -207,7 +212,10 @@ def convert_reference_llama(src: str, cfg: ModelConfig, qcfg: QuantConfig):
                           jnp.bfloat16),
         layers=stacked,
         final_norm=jnp.asarray(raw("decoder/norm/weight.bin", (e,)), jnp.bfloat16),
-        lm_head=quantize_linear(raw("lm_head.bin", (v, e)), qcfg),
+        lm_head=quantize_linear(
+            np.concatenate([raw("lm_head.bin", (v, e)),
+                            np.zeros((llama.lmhead_padded(v) - v, e),
+                                     np.float32)]), qcfg),
         rope_cos=cos, rope_sin=sin,
     )
 
