@@ -74,10 +74,16 @@ def build_engine(model: str, precision: str, checkpoint: str,
 
 
 def repl(engine: Engine, tok, cfg: ModelConfig, gcfg: GenerationConfig,
-         vlm_ctx=None):
+         vlm_ctx=None, voice: bool = False):
     """vlm_ctx: optional (clip_params, clip_cfg, image_path) — the image is
-    encoded once and spliced into the first turn (LLaVAGenerate.cc:126)."""
+    encoded once and spliced into the first turn (LLaVAGenerate.cc:126).
+    voice: STT input + sentence-buffered TTS output (the reference's ``-v``
+    voicechat mode, chat.cc:264-273)."""
     tmpl = template_for(cfg.name)
+    speaker = None
+    if voice:
+        from tinychatengine_tpu.tools import speech
+        speaker = speech.Speaker()
     stop_ids = [getattr(tok, "eos_id", -1)]
     for name in tmpl.stop_token_names:
         tid = getattr(tok, "special", {}).get(name) if hasattr(tok, "special") else None
@@ -91,7 +97,13 @@ def repl(engine: Engine, tok, cfg: ModelConfig, gcfg: GenerationConfig,
           f"(ctx {engine.max_len}). Ctrl-D to exit.")
     while True:
         try:
-            user = input(f"{_BOLD}USER: {_RESET}")
+            if voice:
+                from tinychatengine_tpu.tools import speech
+                print(f"{_BOLD}USER (speak): {_RESET}", end="", flush=True)
+                user = speech.listen()
+                print(user)
+            else:
+                user = input(f"{_BOLD}USER: {_RESET}")
         except EOFError:
             print()
             return
@@ -122,6 +134,8 @@ def repl(engine: Engine, tok, cfg: ModelConfig, gcfg: GenerationConfig,
             text_buf.append(piece)
             sys.stdout.write(_BLUE + piece + _RESET)
             sys.stdout.flush()
+            if speaker is not None:
+                speaker.feed(piece)
             # stop-string check (reference: break on "### Human" etc.)
             tail = "".join(text_buf[-8:])
             return not any(s_ in tail for s_ in tmpl.stop_strings)
@@ -132,6 +146,8 @@ def repl(engine: Engine, tok, cfg: ModelConfig, gcfg: GenerationConfig,
             input_embeds=input_embeds)
         cache = result.cache  # input cache buffer was donated
         n_gen = len(result.tokens[0])
+        if speaker is not None:
+            speaker.flush()
         print()
         # context persists across turns (reference keeps past_kv static;
         # LLaMA3Generate.cc:74-75) — continue from the updated position
@@ -160,6 +176,9 @@ def main(argv=None):
     ap.add_argument("--image", default=None,
                     help="image file for VLM (LLaVA/VILA) models — spliced "
                          "into the first turn (llm/scripts/vila.sh semantics)")
+    ap.add_argument("-v", "--voice", action="store_true",
+                    help="voice chat: STT input, sentence-buffered TTS output "
+                         "(needs whisper.cpp stream / piper on PATH)")
     args = ap.parse_args(argv)
 
     vlm_ctx = None
@@ -194,7 +213,7 @@ def main(argv=None):
         gcfg.n_predict = args.n_predict
     if args.temp is not None:
         gcfg.temp = args.temp
-    repl(engine, tok, cfg, gcfg, vlm_ctx=vlm_ctx)
+    repl(engine, tok, cfg, gcfg, vlm_ctx=vlm_ctx, voice=args.voice)
 
 
 if __name__ == "__main__":
