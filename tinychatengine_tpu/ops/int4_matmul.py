@@ -218,7 +218,12 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
     # Fat blocks: the kernel is VPU-bound on nibble unpack, and per-grid-step
     # fixed costs (pipeline bubbles, semaphores) showed up as ~2x wall time at
     # the old (512, 1024) blocking. (2048, 2048) = 2 MB weight tiles measured
-    # fastest on v5e for the decode GEMV shapes.
+    # fastest on v5e for the decode GEMV shapes. At prefill (M >= 512) a
+    # taller M block halves the redundant per-M-block weight unpack; the N
+    # block shrinks to keep the fp32 accumulator within VMEM.
+    if block_m is None and m + pad >= 512:
+        block_m = _pick_block(m + pad, 512, 16)
+        block_n = block_n or _pick_block(n, 1024, 128)
     block_m = block_m or _pick_block(m + pad, 256, 16)
     block_n = block_n or _pick_block(n, 2048, 128)
     block_k = block_k or _pick_block(k, 2048, SUPERBLOCK)
