@@ -31,7 +31,12 @@ def _cache(cfg, batch=1):
 @pytest.mark.parametrize("n_model", [2, 4])
 def test_tp_matches_single_device(scheme, n_model):
     cfg = TINY
+    # the fused qkv/gate-up column layout is TP-degree-specific: build the
+    # single-device oracle at tp_degree=1 and the sharded params at
+    # tp_degree=n_model from the SAME seed (identical underlying projections)
     params = llama.init_random_params(cfg, QuantConfig(scheme=scheme), seed=0)
+    params_n = llama.init_random_params(cfg, QuantConfig(scheme=scheme),
+                                        seed=0, tp_degree=n_model)
     ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32)
 
     logits_1, _ = jax.jit(
@@ -39,7 +44,7 @@ def test_tp_matches_single_device(scheme, n_model):
                                                  jnp.int32(0))
 
     mesh = make_mesh(n_data=1, n_model=n_model)
-    sp = shard_params(params, mesh)
+    sp = shard_params(params_n, mesh)
     sc = shard_cache(_cache(cfg), mesh)
     tp_fwd = make_tp_forward(mesh)
     logits_n, cache_n = jax.jit(tp_fwd, static_argnames=("cfg",))(
@@ -54,8 +59,10 @@ def test_dp_tp_mesh_decode_loop():
     """2 data x 4 model: full generate_device through the TP forward."""
     cfg = TINY
     params = llama.init_random_params(cfg, QuantConfig(scheme="fp"), seed=1)
+    params4 = llama.init_random_params(cfg, QuantConfig(scheme="fp"), seed=1,
+                                       tp_degree=4)
     mesh = make_mesh(n_data=2, n_model=4)
-    sp = shard_params(params, mesh)
+    sp = shard_params(params4, mesh)
 
     eng = Engine(sp, cfg, QuantConfig(scheme="fp"), batch=2,
                  forward_fn=make_tp_forward(mesh))
@@ -72,7 +79,8 @@ def test_dp_tp_mesh_decode_loop():
 
 def test_tp_prefill_decode_cache_consistency():
     cfg = TINY
-    params = llama.init_random_params(cfg, QuantConfig(scheme="fp"), seed=2)
+    params = llama.init_random_params(cfg, QuantConfig(scheme="fp"), seed=2,
+                                       tp_degree=4)
     mesh = make_mesh(n_data=1, n_model=4)
     sp = shard_params(params, mesh)
     tp_fwd = make_tp_forward(mesh)

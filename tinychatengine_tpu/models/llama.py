@@ -53,16 +53,19 @@ def _pytree(cls):
 
 @_pytree
 class LlamaLayerParams:
-    """One decoder layer; in the full model every leaf is stacked [L, ...]."""
+    """One decoder layer; in the full model every leaf is stacked [L, ...].
+
+    q/k/v and gate/up are FUSED column-wise (ops/linear.py fuse_linears —
+    the reference's offline qkv merge, llm/tools/llama_qkv_merger.py): one
+    kernel dispatch per group instead of three/two. Under TP the fused
+    layout is shard-block interleaved so each device's column slice is its
+    own [q|k|v] block."""
 
     input_norm: jax.Array   # [E]  (RMSNorm weight)
-    wq: object              # E -> Hq*D
-    wk: object              # E -> Hkv*D
-    wv: object              # E -> Hkv*D
+    wqkv: object            # E -> (Hq + 2*Hkv)*D
     wo: object              # Hq*D -> E
     post_norm: jax.Array    # [E]
-    gate: object            # E -> F   (SiLU gate, Int4llamaDecoderLayer.cc:33-46)
-    up: object              # E -> F
+    wgate_up: object        # E -> 2F  (SiLU gate | up, Int4llamaDecoderLayer.cc:33-46)
     down: object            # F -> E
 
 
@@ -126,13 +129,14 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
         h = ref.rms_norm_ref(x, norm_w(layers.input_norm), cfg.rms_norm_eps)
         # head counts derived from projection widths so the same code runs
         # unsharded and inside shard_map with a tensor-parallel head slice
-        q_flat = apply_linear(layers.wq, h, layer_idx=layer_idx)
-        k_flat = apply_linear(layers.wk, h, layer_idx=layer_idx)
-        v_flat = apply_linear(layers.wv, h, layer_idx=layer_idx)
-        hq, hkv = q_flat.shape[-1] // d, k_flat.shape[-1] // d
-        q = q_flat.reshape(b, s, hq, d)
-        k = k_flat.reshape(b, s, hkv, d)
-        v = v_flat.reshape(b, s, hkv, d)
+        # (the local fused block is [q_local | k_local | v_local])
+        qkv = apply_linear(layers.wqkv, h, layer_idx=layer_idx)
+        ratio = cfg.num_heads // cfg.num_kv_heads
+        hkv = qkv.shape[-1] // (d * (ratio + 2))
+        hq = ratio * hkv
+        q = qkv[..., :hq * d].reshape(b, s, hq, d)
+        k = qkv[..., hq * d:(hq + hkv) * d].reshape(b, s, hkv, d)
+        v = qkv[..., (hq + hkv) * d:].reshape(b, s, hkv, d)
         q, k = ref.rotary_embed_ref(q, k, cos, sin, positions)
 
         cache2 = kvc.update_layer(cache, k, v, layer_idx, start)
@@ -159,9 +163,10 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
         x = x + attn
 
         h2 = ref.rms_norm_ref(x, norm_w(layers.post_norm), cfg.rms_norm_eps)
-        gated = jax.nn.silu(
-            apply_linear(layers.gate, h2, layer_idx=layer_idx).astype(jnp.float32))
-        upd = apply_linear(layers.up, h2, layer_idx=layer_idx).astype(jnp.float32)
+        gu = apply_linear(layers.wgate_up, h2, layer_idx=layer_idx)
+        f_local = gu.shape[-1] // 2
+        gated = jax.nn.silu(gu[..., :f_local].astype(jnp.float32))
+        upd = gu[..., f_local:].astype(jnp.float32)
         mlp = apply_linear(layers.down, (gated * upd).astype(h2.dtype),
                            layer_idx=layer_idx)
         if tp_axis is not None:  # row-parallel down_proj partial sums
@@ -191,13 +196,15 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
 
 def init_random_params(cfg: ModelConfig, qcfg: QuantConfig, seed: int = 0,
                        max_pos: Optional[int] = None,
-                       fast: bool = False) -> LlamaParams:
+                       fast: bool = False, tp_degree: int = 1) -> LlamaParams:
     """Random weights in the right structure (bench + tests; real checkpoints
     via tools.convert). fast=True generates packed bytes directly on device
-    (layout-only fidelity — use for perf benchmarks of big models)."""
+    (layout-only fidelity — use for perf benchmarks of big models).
+    tp_degree: shard-interleave the fused qkv/gate-up columns for an
+    n-way tensor-parallel mesh (1 = single device)."""
     import numpy as np
 
-    from tinychatengine_tpu.ops.linear import random_int4_linear_fast
+    from tinychatengine_tpu.ops.linear import fuse_linears, random_int4_linear_fast
 
     key = jax.random.PRNGKey(seed)
     e, f, v = cfg.embed_dim, cfg.hidden_dim, cfg.vocab_size
@@ -224,10 +231,14 @@ def init_random_params(cfg: ModelConfig, qcfg: QuantConfig, seed: int = 0,
             ks = keys[i * 7:(i + 1) * 7]
             layers.append(LlamaLayerParams(
                 input_norm=jnp.ones((e,), jnp.bfloat16),
-                wq=lin(ks[0], e, hq * d), wk=lin(ks[1], e, hkv * d),
-                wv=lin(ks[2], e, hkv * d), wo=lin(ks[3], hq * d, e),
+                wqkv=fuse_linears([lin(ks[0], e, hq * d),
+                                   lin(ks[1], e, hkv * d),
+                                   lin(ks[2], e, hkv * d)], tp_degree),
+                wo=lin(ks[3], hq * d, e),
                 post_norm=jnp.ones((e,), jnp.bfloat16),
-                gate=lin(ks[4], e, f), up=lin(ks[5], e, f), down=lin(ks[6], f, e),
+                wgate_up=fuse_linears([lin(ks[4], e, f), lin(ks[5], e, f)],
+                                      tp_degree),
+                down=lin(ks[6], f, e),
             ))
         return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 

@@ -158,6 +158,41 @@ def apply_linear(p, x: jax.Array, *, out_int8: bool = False,
     raise TypeError(f"unknown linear params {type(p)}")
 
 
+def fuse_linears(parts, tp_degree: int = 1):
+    """Concatenate same-K linears along N into ONE weight — the offline QKV /
+    gate-up merge (the reference does this for its CUDA path,
+    llm/tools/llama_qkv_merger.py:15-58): one kernel dispatch streams all
+    projections.
+
+    ``tp_degree``: the column layout is built as [p0_shard0 | p1_shard0 | ...
+    | p0_shard1 | ...] so that a column-parallel sharding over ``tp_degree``
+    devices gives every shard its own contiguous [q_s | k_s | v_s] block —
+    the local model code slices by LOCAL widths. tp_degree=1 is the plain
+    concat. The fused layout is mesh-specific; checkpoints record it.
+    """
+    assert len({type(p) for p in parts}) == 1, "mixed linear kinds"
+    p0 = parts[0]
+
+    def cat(field):
+        arrs = [getattr(p, field) for p in parts]
+        if any(a is None for a in arrs):
+            assert all(a is None for a in arrs), f"partial {field}"
+            return None
+        pieces = []
+        for s in range(tp_degree):
+            for a in arrs:
+                w = a.shape[-1]
+                assert w % tp_degree == 0, (field, a.shape, tp_degree)
+                wl = w // tp_degree
+                pieces.append(a[..., s * wl:(s + 1) * wl])
+        return jnp.concatenate(pieces, axis=-1)
+
+    if isinstance(p0, DenseLinear):
+        return DenseLinear(weight=cat("weight"), bias=cat("bias"))
+    cls = type(p0)  # Int4Linear or Int4A8Linear
+    return cls(packed=cat("packed"), scales=cat("scales"), bias=cat("bias"))
+
+
 def random_int4_linear_fast(key, k: int, n: int, group_size: int = 128,
                             std: float = 0.02) -> Int4Linear:
     """Random packed bytes + scales generated on device — for benchmarks where

@@ -22,7 +22,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tinychatengine_tpu.models.llama import LlamaLayerParams, LlamaParams
-from tinychatengine_tpu.ops.linear import DenseLinear, Int4Linear, W8A8Linear
+from tinychatengine_tpu.ops.linear import (
+    DenseLinear,
+    Int4A8Linear,
+    Int4Linear,
+    W8A8Linear,
+)
 
 
 def make_mesh(n_data: int = 1, n_model: int = 1, devices=None) -> Mesh:
@@ -46,8 +51,8 @@ def _linear_spec(p, shard_axis: str):
         return P(*lead, k_axis_shard, n_axis_shard)
 
     col = shard_axis == "col"
-    if isinstance(p, Int4Linear):
-        return Int4Linear(
+    if isinstance(p, (Int4Linear, Int4A8Linear)):
+        return type(p)(
             packed=spec(p.packed, None if col else "model", "model" if col else None),
             scales=spec(p.scales, None if col else "model", "model" if col else None),
             bias=None if p.bias is None else P(*((None,) * (p.bias.ndim - 1)),
@@ -77,13 +82,10 @@ def llama_param_specs(params: LlamaParams) -> LlamaParams:
     layers = params.layers
     layer_specs = LlamaLayerParams(
         input_norm=norm_spec(layers.input_norm),
-        wq=_linear_spec(layers.wq, "col"),
-        wk=_linear_spec(layers.wk, "col"),
-        wv=_linear_spec(layers.wv, "col"),
+        wqkv=_linear_spec(layers.wqkv, "col"),
         wo=_linear_spec(layers.wo, "row"),
         post_norm=norm_spec(layers.post_norm),
-        gate=_linear_spec(layers.gate, "col"),
-        up=_linear_spec(layers.up, "col"),
+        wgate_up=_linear_spec(layers.wgate_up, "col"),
         down=_linear_spec(layers.down, "row"),
     )
     return LlamaParams(

@@ -23,7 +23,8 @@ from pathlib import Path
 import numpy as np
 
 from tinychatengine_tpu.core.config import ModelConfig, QuantConfig, get_model_config
-from tinychatengine_tpu.ops.linear import DenseLinear, Int4A8Linear, Int4Linear
+from tinychatengine_tpu.ops.linear import (DenseLinear, Int4A8Linear,
+                                            Int4Linear, fuse_linears)
 from tinychatengine_tpu.quant.numerics import quantize_groupwise_int4
 from tinychatengine_tpu.quant.packing import pack_qm_tpu, pack_scales
 
@@ -48,7 +49,8 @@ def quantize_linear(w_oc_ic: np.ndarray, qcfg: QuantConfig,
 # HuggingFace source
 # ---------------------------------------------------------------------------
 
-def convert_hf_llama(src: str, cfg: ModelConfig, qcfg: QuantConfig):
+def convert_hf_llama(src: str, cfg: ModelConfig, qcfg: QuantConfig,
+                     tp_degree: int = 1):
     """HF LlamaForCausalLM/MistralForCausalLM state dict → LlamaParams.
 
     Loads tensors lazily from safetensors/pytorch shards (torch CPU), so an
@@ -71,14 +73,14 @@ def convert_hf_llama(src: str, cfg: ModelConfig, qcfg: QuantConfig):
         p = f"model.layers.{i}."
         layers.append(llama.LlamaLayerParams(
             input_norm=jnp.asarray(sd(p + "input_layernorm.weight"), jnp.bfloat16),
-            wq=lin(p + "self_attn.q_proj.weight"),
-            wk=lin(p + "self_attn.k_proj.weight"),
-            wv=lin(p + "self_attn.v_proj.weight"),
+            wqkv=fuse_linears([lin(p + "self_attn.q_proj.weight"),
+                               lin(p + "self_attn.k_proj.weight"),
+                               lin(p + "self_attn.v_proj.weight")], tp_degree),
             wo=lin(p + "self_attn.o_proj.weight"),
             post_norm=jnp.asarray(sd(p + "post_attention_layernorm.weight"),
                                   jnp.bfloat16),
-            gate=lin(p + "mlp.gate_proj.weight"),
-            up=lin(p + "mlp.up_proj.weight"),
+            wgate_up=fuse_linears([lin(p + "mlp.gate_proj.weight"),
+                                   lin(p + "mlp.up_proj.weight")], tp_degree),
             down=lin(p + "mlp.down_proj.weight"),
         ))
         gc.collect()
@@ -149,7 +151,8 @@ def _hf_state_dict_loader(src: str):
 # Reference exported-.bin source (llm/tools/llama_exporter.py layout)
 # ---------------------------------------------------------------------------
 
-def convert_reference_llama(src: str, cfg: ModelConfig, qcfg: QuantConfig):
+def convert_reference_llama(src: str, cfg: ModelConfig, qcfg: QuantConfig,
+                            tp_degree: int = 1):
     """TinyChatEngine FP32 export dir → LlamaParams.
 
     Layout (llama_exporter.py:18-98): lm_head.bin,
@@ -181,14 +184,18 @@ def convert_reference_llama(src: str, cfg: ModelConfig, qcfg: QuantConfig):
         layers.append(llama.LlamaLayerParams(
             input_norm=jnp.asarray(raw(f"{d}/input_layernorm/weight.bin", (e,)),
                                    jnp.bfloat16),
-            wq=quantize_linear(raw(f"{d}/self_attn/q_proj/weight.bin", (e, e)), qcfg),
-            wk=quantize_linear(raw(f"{d}/self_attn/k_proj/weight.bin", (kvdim, e)), qcfg),
-            wv=quantize_linear(raw(f"{d}/self_attn/v_proj/weight.bin", (kvdim, e)), qcfg),
+            wqkv=fuse_linears(
+                [quantize_linear(raw(f"{d}/self_attn/q_proj/weight.bin", (e, e)), qcfg),
+                 quantize_linear(raw(f"{d}/self_attn/k_proj/weight.bin", (kvdim, e)), qcfg),
+                 quantize_linear(raw(f"{d}/self_attn/v_proj/weight.bin", (kvdim, e)), qcfg)],
+                tp_degree),
             wo=quantize_linear(raw(f"{d}/self_attn/o_proj/weight.bin", (e, e)), qcfg),
             post_norm=jnp.asarray(
                 raw(f"{d}/post_attention_layernorm/weight.bin", (e,)), jnp.bfloat16),
-            gate=quantize_linear(raw(f"{d}/mlp/gate_proj/weight.bin", (f, e)), qcfg),
-            up=quantize_linear(raw(f"{d}/mlp/up_proj/weight.bin", (f, e)), qcfg),
+            wgate_up=fuse_linears(
+                [quantize_linear(raw(f"{d}/mlp/gate_proj/weight.bin", (f, e)), qcfg),
+                 quantize_linear(raw(f"{d}/mlp/up_proj/weight.bin", (f, e)), qcfg)],
+                tp_degree),
             down=quantize_linear(raw(f"{d}/mlp/down_proj/weight.bin", (e, f)), qcfg),
         ))
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
