@@ -154,3 +154,45 @@ def test_prefill_then_decode_equivalence():
     np.testing.assert_allclose(
         np.asarray(jnp.stack(outs, axis=1), np.float32),
         np.asarray(out_pre, np.float32), rtol=0.05, atol=0.05)
+
+
+def test_sliding_window_decode():
+    """Mistral-style windowed attention (beyond the reference, which ignores
+    the window — SURVEY.md §5): only the last `window` keys participate."""
+    rng = np.random.default_rng(7)
+    L, B, hq, hkv, S, D = 2, 2, 8, 2, 512, 128
+    cache = _mk_cache(rng, L, B, hkv, S, D)
+    q = jnp.asarray(rng.standard_normal((B, hq, D)), jnp.bfloat16)
+    lengths = jnp.asarray([300, 64], jnp.int32)
+    win = 128
+
+    out = flash_decode(q, cache.k, cache.v, jnp.int32(1), lengths,
+                       window=win, interpret=True, block_s=128)
+    ck, cv = kvc.read_layer(cache, 1)
+    for b in range(B):
+        ln = int(lengths[b])
+        pos = jnp.full((1, 1), ln - 1, jnp.int32)
+        want = attention_xla(q[b:b + 1, None], ck[b:b + 1], cv[b:b + 1],
+                             pos, ln, window=win)[:, 0]
+        np.testing.assert_allclose(
+            np.asarray(out[b], np.float32).ravel(),
+            np.asarray(want, np.float32).ravel(), rtol=0.05, atol=0.05)
+
+
+def test_sliding_window_prefill():
+    rng = np.random.default_rng(8)
+    L, B, hq, hkv, D, S_max = 1, 1, 4, 2, 128, 512
+    s_q, start, win = 256, 100, 96
+    cache = _mk_cache(rng, L, B, hkv, S_max, D)
+    q = jnp.asarray(rng.standard_normal((B, s_q, hq, D)), jnp.bfloat16)
+
+    out = flash_prefill(q, cache.k, cache.v, jnp.int32(0), jnp.int32(start),
+                        jnp.int32(start + s_q), window=win, interpret=True,
+                        block_q=128, block_s=128)
+    ck, cv = kvc.read_layer(cache, 0)
+    pos = start + jnp.arange(s_q, dtype=jnp.int32)[None, :]
+    want = attention_xla(q, ck, cv, jnp.broadcast_to(pos, (B, s_q)),
+                         start + s_q, window=win)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.05, atol=0.05)

@@ -39,6 +39,8 @@ class ModelConfig:
     mmproj_dim: int = 0
     # TPU additions
     tie_word_embeddings: bool = False
+    sliding_window: int | None = None  # Mistral attention window (the
+    # reference ignores it — SURVEY.md §5 long-context audit)
 
     @property
     def head_dim(self) -> int:
@@ -49,11 +51,13 @@ class ModelConfig:
         return self.num_heads // self.num_kv_heads
 
 
-def _llama(name, heads, kv_heads, layers, embed, hidden, vocab, eps, theta=10000.0, max_sqlen=2048):
+def _llama(name, heads, kv_heads, layers, embed, hidden, vocab, eps,
+           theta=10000.0, max_sqlen=2048, window=None):
     return ModelConfig(
         name=name, family="llama", num_heads=heads, num_kv_heads=kv_heads,
         num_layers=layers, max_sqlen=max_sqlen, embed_dim=embed,
         hidden_dim=hidden, vocab_size=vocab, rms_norm_eps=eps, rope_theta=theta,
+        sliding_window=window,
     )
 
 
@@ -82,7 +86,8 @@ MODEL_REGISTRY: dict[str, ModelConfig] = {
     "vila_2.7b": _llama("vila_2.7b", 20, 20, 32, 2560, 6912, 32000, 1e-5),
     "vila_7b": _llama("vila_7b", 32, 32, 32, 4096, 11008, 32000, 1e-5),
     "vila_13b": _llama("vila_13b", 40, 40, 40, 5120, 13824, 32000, 1e-5),
-    "mistral_7b": _llama("mistral_7b", 32, 8, 32, 4096, 14336, 32000, 1e-5),
+    "mistral_7b": _llama("mistral_7b", 32, 8, 32, 4096, 14336, 32000, 1e-5,
+                         theta=1e6, max_sqlen=8192, window=4096),
     "llama3_8b": _llama("llama3_8b", 32, 8, 32, 4096, 14336, 128256, 1e-5, theta=500000.0, max_sqlen=8192),
     "starcoder_15.5b": ModelConfig(
         name="starcoder_15.5b", family="gptbigcode", num_heads=48, num_kv_heads=1,

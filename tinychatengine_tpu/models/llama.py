@@ -142,6 +142,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
         cache2 = kvc.update_layer(cache, k, v, layer_idx, start)
 
         use_flash = jax.default_backend() == "tpu" and d % 128 == 0
+        win = cfg.sliding_window
         if use_flash:
             # Pallas flash kernels stream the raw stacked cache (int8 codes
             # dequantized in-kernel); O(context) HBM traffic, no transposes.
@@ -149,14 +150,15 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
                 attn = flash_decode(
                     q[:, 0], cache2.k, cache2.v, layer_idx,
                     jnp.broadcast_to(start + 1, (b,)),
-                    cache2.k_scale, cache2.v_scale).reshape(b, 1, hq * d)
+                    cache2.k_scale, cache2.v_scale,
+                    window=win).reshape(b, 1, hq * d)
             else:
                 attn = flash_prefill(
                     q, cache2.k, cache2.v, layer_idx, start, start + s,
-                    cache2.k_scale, cache2.v_scale)
+                    cache2.k_scale, cache2.v_scale, window=win)
         else:
             ck, cv = kvc.read_layer(cache2, layer_idx)
-            attn = attention_xla(q, ck, cv, positions, start + s)
+            attn = attention_xla(q, ck, cv, positions, start + s, window=win)
         attn = apply_linear(layers.wo, attn.astype(x.dtype), layer_idx=layer_idx)
         if tp_axis is not None:  # row-parallel o_proj partial sums
             attn = jax.lax.psum(attn, tp_axis)

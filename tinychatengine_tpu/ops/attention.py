@@ -73,7 +73,8 @@ def _mask_cols(s, col0: jax.Array, limit, block: int):
 # ---------------------------------------------------------------------------
 
 def _decode_kernel(info_ref, q_ref, k_ref, v_ref, *rest, block_s: int,
-                   sm_scale: float, quantized: bool, hkv: int):
+                   sm_scale: float, quantized: bool, hkv: int,
+                   window: int | None):
     """Grid (B, KB). One block carries ALL local KV heads ([Hkv, T, D]) so a
     2048-context decode step is ~8 grid steps of 0.5 MB DMAs instead of 64
     steps of 64 KB ones — the decode kernel is latency-bound, not FLOP-bound,
@@ -93,7 +94,9 @@ def _decode_kernel(info_ref, q_ref, k_ref, v_ref, *rest, block_s: int,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when(j * block_s < length)
+    lo = jnp.int32(0) if window is None else jnp.maximum(length - window, 0)
+
+    @pl.when((j * block_s < length) & ((j + 1) * block_s > lo))
     def _block():
         # ONE MXU contraction for all heads: rows = (head, group) query
         # pairs, cols = (head, position) keys; off-diagonal head pairs are
@@ -116,7 +119,8 @@ def _decode_kernel(info_ref, q_ref, k_ref, v_ref, *rest, block_s: int,
         col_i = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
         col_h = col_i // block_s
         pos = j * block_s + col_i % block_s
-        s = jnp.where((row_h == col_h) & (pos < length), s, NEG_INF)
+        ok = (row_h == col_h) & (pos < length) & (pos >= lo)
+        s = jnp.where(ok, s, NEG_INF)
         _flash_update(s, v, vs_row, m_ref, l_ref, acc_ref)
 
     @pl.when(j == nb - 1)
@@ -128,24 +132,30 @@ def _decode_kernel(info_ref, q_ref, k_ref, v_ref, *rest, block_s: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_s", "sm_scale", "interpret"))
+    static_argnames=("block_s", "sm_scale", "window", "interpret"))
 def _flash_decode_impl(info, q, ck, cv, ks, vs, *, block_s, sm_scale,
-                       interpret):
+                       window, interpret):
     bq, hkv, g, d = q.shape
     smax = ck.shape[3]
     nb = smax // block_s
     quantized = ks is not None
     grid = (bq, nb)
 
-    def last_blk(info_ref, b):
-        return jnp.minimum(
+    def clamp_blk(info_ref, b, j):
+        last = jnp.minimum(
             jax.lax.div(jnp.maximum(info_ref[1 + b], 1) - 1, block_s), nb - 1)
+        j = jnp.minimum(j, last)
+        if window is not None:  # skip blocks wholly below the sliding window
+            first = jax.lax.div(
+                jnp.maximum(info_ref[1 + b] - window, 0), block_s)
+            j = jnp.maximum(j, jnp.minimum(first, last))
+        return j
 
     def kv_map(b, j, info_ref):
-        return (info_ref[0], b, 0, jnp.minimum(j, last_blk(info_ref, b)), 0)
+        return (info_ref[0], b, 0, clamp_blk(info_ref, b, j), 0)
 
     def kvs_map(b, j, info_ref):
-        return (info_ref[0], b, 0, jnp.minimum(j, last_blk(info_ref, b)))
+        return (info_ref[0], b, 0, clamp_blk(info_ref, b, j))
 
     in_specs = [
         pl.BlockSpec((1, hkv, g, d), lambda b, j, i: (b, 0, 0, 0),
@@ -175,7 +185,7 @@ def _flash_decode_impl(info, q, ck, cv, ks, vs, *, block_s, sm_scale,
     )
     kernel = functools.partial(_decode_kernel, block_s=block_s,
                                sm_scale=sm_scale, quantized=quantized,
-                               hkv=hkv)
+                               hkv=hkv, window=window)
     bytes_kv = 2 * hkv * smax * d * (1 if quantized else 2)
     cost = pl.CostEstimate(flops=2 * 2 * bq * hkv * g * smax * d,
                            bytes_accessed=bq * bytes_kv, transcendentals=bq * hkv * g * smax)
@@ -189,6 +199,7 @@ def _flash_decode_impl(info, q, ck, cv, ks, vs, *, block_s, sm_scale,
 def flash_decode(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
                  layer_idx, lengths, k_scale=None, v_scale=None, *,
                  sm_scale: float | None = None, block_s: int = 512,
+                 window: int | None = None,
                  interpret: bool = False) -> jax.Array:
     """Single-step attention: q [B, Hq, D] against the stacked cache.
 
@@ -211,7 +222,8 @@ def flash_decode(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
     qg = q.reshape(b, hkv, g, d).astype(jnp.bfloat16)
     out = _flash_decode_impl(
         info, qg, cache_k, cache_v, k_scale, v_scale,
-        block_s=block_s, sm_scale=float(sm_scale), interpret=interpret)
+        block_s=block_s, sm_scale=float(sm_scale), window=window,
+        interpret=interpret)
     return out.reshape(b, hq, d).astype(q.dtype)
 
 
@@ -220,7 +232,8 @@ def flash_decode(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _prefill_kernel(info_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
-                    block_s: int, sm_scale: float, quantized: bool):
+                    block_s: int, sm_scale: float, quantized: bool,
+                    window: int | None):
     if quantized:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
@@ -237,8 +250,10 @@ def _prefill_kernel(info_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     needed = jnp.minimum(length, start + (qb + 1) * block_q)
+    lo = (jnp.int32(0) if window is None else
+          jnp.maximum(start + qb * block_q - window + 1, 0))
 
-    @pl.when(j * block_s < needed)
+    @pl.when((j * block_s < needed) & ((j + 1) * block_s > lo))
     def _block():
         q = q_ref[0, 0]                                     # [Bq, D]
         k = k_ref[0, 0, 0]                                  # [T, D]
@@ -256,7 +271,10 @@ def _prefill_kernel(info_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
         limit = jnp.minimum(qpos + 1, length)                # [Bq, T] elementwise
         col = j * block_s + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_s), 1)
-        s = jnp.where(col < limit, s, NEG_INF)
+        ok = col < limit
+        if window is not None:
+            ok = ok & (col > qpos - window)
+        s = jnp.where(ok, s, NEG_INF)
         _flash_update(s, v, vs_row, m_ref, l_ref, acc_ref)
 
     @pl.when(j == nb - 1)
@@ -266,9 +284,10 @@ def _prefill_kernel(info_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("groups", "block_q", "block_s", "sm_scale", "interpret"))
+    static_argnames=("groups", "block_q", "block_s", "sm_scale", "window",
+                     "interpret"))
 def _flash_prefill_impl(info, q, ck, cv, ks, vs, *, groups, block_q, block_s,
-                        sm_scale, interpret):
+                        sm_scale, window, interpret):
     bq, hq, sq, d = q.shape
     smax = ck.shape[3]
     nb = smax // block_s
@@ -276,18 +295,21 @@ def _flash_prefill_impl(info, q, ck, cv, ks, vs, *, groups, block_q, block_s,
     quantized = ks is not None
     grid = (bq, hq, nqb, nb)
 
-    def last_blk(info_ref, qb):
+    def clamp_blk(info_ref, qb, j):
         needed = jnp.minimum(info_ref[2], info_ref[1] + (qb + 1) * block_q)
-        return jnp.minimum(
+        last = jnp.minimum(
             jax.lax.div(jnp.maximum(needed, 1) - 1, block_s), nb - 1)
+        j = jnp.minimum(j, last)
+        if window is not None:
+            lo = jnp.maximum(info_ref[1] + qb * block_q - window + 1, 0)
+            j = jnp.maximum(j, jnp.minimum(jax.lax.div(lo, block_s), last))
+        return j
 
     def kv_map(b, h, qb, j, info_ref):
-        return (info_ref[0], b, h // groups,
-                jnp.minimum(j, last_blk(info_ref, qb)), 0)
+        return (info_ref[0], b, h // groups, clamp_blk(info_ref, qb, j), 0)
 
     def kvs_map(b, h, qb, j, info_ref):
-        return (info_ref[0], b, h // groups,
-                jnp.minimum(j, last_blk(info_ref, qb)))
+        return (info_ref[0], b, h // groups, clamp_blk(info_ref, qb, j))
 
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda b, h, qb, j, i: (b, h, qb, 0),
@@ -318,7 +340,7 @@ def _flash_prefill_impl(info, q, ck, cv, ks, vs, *, groups, block_q, block_s,
     )
     kernel = functools.partial(_prefill_kernel, block_q=block_q,
                                block_s=block_s, sm_scale=sm_scale,
-                               quantized=quantized)
+                               quantized=quantized, window=window)
     cost = pl.CostEstimate(
         flops=2 * 2 * bq * hq * sq * smax * d,
         bytes_accessed=bq * hq * sq * d * 2 + 2 * bq * hq * smax * d * 2,
@@ -333,7 +355,8 @@ def _flash_prefill_impl(info, q, ck, cv, ks, vs, *, groups, block_q, block_s,
 def flash_prefill(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
                   layer_idx, start, length, k_scale=None, v_scale=None, *,
                   sm_scale: float | None = None, block_q: int = 256,
-                  block_s: int = 256, interpret: bool = False) -> jax.Array:
+                  block_s: int = 256, window: int | None = None,
+                  interpret: bool = False) -> jax.Array:
     """Causal attention for a prompt chunk: q [B, S, Hq, D] (positions
     start..start+S-1) against the stacked cache (which already holds the
     chunk's own K/V — the caller runs kv_cache.update_layer first).
@@ -360,7 +383,7 @@ def flash_prefill(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
     out = _flash_prefill_impl(
         info, qt, cache_k, cache_v, k_scale, v_scale, groups=g,
         block_q=block_q, block_s=block_s, sm_scale=float(sm_scale),
-        interpret=interpret)
+        window=window, interpret=interpret)
     out = out[:, :, :s, :].transpose(0, 2, 1, 3)             # [B, S, Hq, D]
     return out.reshape(b, s, hq * d).astype(q.dtype)
 
@@ -369,7 +392,8 @@ def flash_prefill(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
 # XLA reference (correctness oracle + CPU fallback)
 # ---------------------------------------------------------------------------
 
-def attention_xla(q, cache_k, cache_v, positions, kv_valid_len):
+def attention_xla(q, cache_k, cache_v, positions, kv_valid_len,
+                  window: int | None = None):
     """Dense masked GQA attention, new cache layout.
 
     q [B, S, Hq, D]; cache_k/v [B, H_kv, S_max, D] (bf16, pre-dequantized);
@@ -390,6 +414,8 @@ def attention_xla(q, cache_k, cache_v, positions, kv_valid_len):
     valid = jnp.asarray(kv_valid_len).reshape(-1, 1, 1)
     allowed = (col[None, None, :] <= positions[:, :, None]) & (
         col[None, None, :] < valid)                            # [B, S, Smax]
+    if window is not None:  # sliding window (Mistral): keys within `window`
+        allowed = allowed & (col[None, None, :] > positions[:, :, None] - window)
     logits = jnp.where(allowed[:, None, None, :, :], logits, NEG_INF)
 
     probs = jax.nn.softmax(logits, axis=-1)                    # fp32 island
