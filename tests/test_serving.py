@@ -95,3 +95,37 @@ def test_sampled_batch_runs_and_fills_slots():
     for r in reqs:
         assert len(r.output_ids) == 8
         assert all(0 <= t < cfg.vocab_size for t in r.output_ids)
+
+
+def test_paged_batched_greedy_matches_single():
+    """Paged serving (block-table KV) reproduces the slot-pool engine's
+    tokens exactly — pages, growth across boundaries, recycling and the
+    dead-page write target must all be invisible to the math."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=12, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=cfg.max_sqlen)
+    want = [eng.generate(p[None, :], g).tokens[0] for p in PROMPTS]
+
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g, paged=True,
+                        page_size=16)
+    reqs = [srv.submit(p, n_predict=12) for p in PROMPTS]
+    srv.run()
+    for r, w in zip(reqs, want):
+        assert r.output_ids == list(w), (r.request_id, r.output_ids, w)
+    # every non-dead page is back in the free list
+    assert srv.allocator.n_free == srv.page_cache.n_pages - 1
+
+
+def test_paged_pool_smaller_than_dense():
+    """A page pool sized well below slots*max_len still serves the queue
+    (the capacity win vs the reference's worst-case preallocation)."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=6, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    # 2 slots * 128 max_len = 16 pages dense-equivalent; give it 9 (+1 dead)
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g, paged=True,
+                        page_size=16, n_pages=10)
+    reqs = [srv.submit(p, n_predict=6) for p in PROMPTS]
+    srv.run()
+    assert all(r.finished for r in reqs)

@@ -29,7 +29,12 @@ import jax.numpy as jnp
 from tinychatengine_tpu.core.config import ModelConfig, QuantConfig
 from tinychatengine_tpu.generation import kv_cache as kvc
 from tinychatengine_tpu.ops import ref
-from tinychatengine_tpu.ops.attention import attention_xla, flash_decode, flash_prefill
+from tinychatengine_tpu.ops.attention import (
+    attention_xla,
+    flash_decode,
+    flash_decode_paged,
+    flash_prefill,
+)
 from tinychatengine_tpu.ops.linear import (
     DenseLinear,
     Int4Linear,
@@ -80,10 +85,10 @@ class LlamaParams:
 
 
 def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
-            cache: kvc.KVCache, start: jax.Array,
+            cache, start: jax.Array,
             input_embeds: Optional[jax.Array] = None,
             full_logits: bool = False, true_len: Optional[jax.Array] = None,
-            tp_axis: Optional[str] = None):
+            tp_axis: Optional[str] = None, page_table=None):
     """One forward pass (prefill S>1 or decode S=1).
 
     input_ids: [B, S] int32; start: scalar int32 = number of cached tokens.
@@ -95,6 +100,9 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
     (pad slots hold garbage but sit beyond length, and decode overwrites them
     one by one), and the returned last-position logits are taken at
     true_len-1. Causality keeps real tokens from attending to pad slots.
+    page_table: optional [B, max_pages] int32 — the cache is then a
+    runtime.paged.PagedKVCache and S must be 1 (paged serving decode);
+    ``start`` carries the per-sequence lengths.
     Returns (logits [B, V] of the LAST position — or [B, S, V] if
     full_logits — and the updated cache).
     """
@@ -139,6 +147,48 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
         v = qkv[..., (hq + hkv) * d:].reshape(b, s, hkv, d)
         q, k = ref.rotary_embed_ref(q, k, cos, sin, positions)
 
+        if page_table is not None:  # paged serving decode (S == 1)
+            from tinychatengine_tpu.runtime import paged as pg
+            cache2 = pg.paged_update_layer(cache, k, v, layer_idx, start,
+                                           page_table)
+            if jax.default_backend() == "tpu" and d % 128 == 0:
+                attn = flash_decode_paged(
+                    q[:, 0], cache2.k, cache2.v, layer_idx, start + 1,
+                    page_table, cache2.k_scale,
+                    cache2.v_scale).reshape(b, 1, hq * d)
+            else:  # gather pages into a contiguous view, dense oracle
+                ids = jnp.asarray(page_table, jnp.int32)        # [B, MP]
+                ck = cache2.k[layer_idx][ids]                   # [B,MP,H,P,D]
+                cv = cache2.v[layer_idx][ids]
+                B_, MP, H_, P_, D_ = ck.shape
+                ck = ck.transpose(0, 2, 1, 3, 4).reshape(B_, H_, MP * P_, D_)
+                cv = cv.transpose(0, 2, 1, 3, 4).reshape(B_, H_, MP * P_, D_)
+                if cache2.quantized:
+                    ks = cache2.k_scale[layer_idx][ids].transpose(
+                        0, 2, 1, 3).reshape(B_, H_, MP * P_)
+                    vs = cache2.v_scale[layer_idx][ids].transpose(
+                        0, 2, 1, 3).reshape(B_, H_, MP * P_)
+                    ck = (ck.astype(jnp.float32) * ks[..., None]).astype(jnp.bfloat16)
+                    cv = (cv.astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
+                attn = attention_xla(q, ck, cv, positions, start + 1,
+                                     window=cfg.sliding_window)
+            attn = apply_linear(layers.wo, attn.astype(x.dtype),
+                                layer_idx=layer_idx)
+            if tp_axis is not None:
+                attn = jax.lax.psum(attn, tp_axis)
+            x2 = x + attn
+            h2_ = ref.rms_norm_ref(x2, norm_w(layers.post_norm), cfg.rms_norm_eps)
+            gu_ = apply_linear(layers.wgate_up, h2_, layer_idx=layer_idx)
+            fl = gu_.shape[-1] // 2
+            mlp_ = apply_linear(
+                layers.down,
+                (jax.nn.silu(gu_[..., :fl].astype(jnp.float32))
+                 * gu_[..., fl:].astype(jnp.float32)).astype(h2_.dtype),
+                layer_idx=layer_idx)
+            if tp_axis is not None:
+                mlp_ = jax.lax.psum(mlp_, tp_axis)
+            return (x2 + mlp_, cache2), None
+
         cache2 = kvc.update_layer(cache, k, v, layer_idx, start)
 
         use_flash = jax.default_backend() == "tpu" and d % 128 == 0
@@ -180,7 +230,8 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
     (x, cache), _ = jax.lax.scan(
         step, (x, cache), jnp.arange(n_layers, dtype=jnp.int32))
     n_new = jnp.asarray(s, jnp.int32) if true_len is None else true_len
-    cache = kvc.advance(cache, n_new)
+    if page_table is None:
+        cache = kvc.advance(cache, n_new)  # paged: lengths live host-side
 
     x = ref.rms_norm_ref(x, params.final_norm, cfg.rms_norm_eps)
     if not full_logits:

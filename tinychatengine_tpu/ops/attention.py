@@ -228,6 +228,148 @@ def flash_decode(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# paged decode: KV lives in pages, a per-sequence block table maps block j to
+# a physical page (the vLLM idea, TPU-style: the page id comes out of a
+# scalar-prefetch table inside the BlockSpec index map, so "gathering" pages
+# is just DMA addressing — no gather op, no contiguous copy)
+# ---------------------------------------------------------------------------
+
+def _paged_decode_kernel(info_ref, table_ref, q_ref, k_ref, v_ref, *rest,
+                         page_size: int, sm_scale: float, quantized: bool,
+                         hkv: int):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+    length = info_ref[1 + b]
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j * page_size < length)
+    def _block():
+        g = q_ref.shape[2]
+        d = q_ref.shape[3]
+        rows, cols = hkv * g, hkv * page_size
+        q = q_ref[0].reshape(rows, d)
+        k = k_ref[0, 0].reshape(cols, d)
+        v = v_ref[0, 0].reshape(cols, d)
+        s = jax.lax.dot_general(
+            q, k.astype(q.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        vs_row = None
+        if quantized:
+            s = s * ks_ref[0, 0].reshape(1, cols)
+            vs_row = vs_ref[0, 0].reshape(1, cols)
+        row_h = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // g
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        col_h = col_i // page_size
+        pos = j * page_size + col_i % page_size
+        s = jnp.where((row_h == col_h) & (pos < length), s, NEG_INF)
+        _flash_update(s, v, vs_row, m_ref, l_ref, acc_ref)
+
+    @pl.when(j == nb - 1)
+    def _fin():
+        hg, d = acc_ref.shape
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype).reshape(
+            hkv, hg // hkv, d)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("page_size", "sm_scale", "interpret"))
+def _flash_decode_paged_impl(info, table, q, pk, pv, ks, vs, *, page_size,
+                             sm_scale, interpret):
+    bq, hkv, g, d = q.shape
+    max_pages = table.shape[1]
+    quantized = ks is not None
+    grid = (bq, max_pages)
+
+    def page_of(b, j, info_ref, table_ref):
+        last = jnp.minimum(
+            jax.lax.div(jnp.maximum(info_ref[1 + b], 1) - 1, page_size),
+            max_pages - 1)
+        return table_ref[b, jnp.minimum(j, last)]
+
+    def kv_map(b, j, info_ref, table_ref):
+        return (info_ref[0], page_of(b, j, info_ref, table_ref), 0, 0, 0)
+
+    def kvs_map(b, j, info_ref, table_ref):
+        return (info_ref[0], page_of(b, j, info_ref, table_ref), 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, hkv, g, d), lambda b, j, i, t: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hkv, page_size, d), kv_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hkv, page_size, d), kv_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, pk, pv]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, hkv, page_size), kvs_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hkv, page_size), kvs_map,
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [ks, vs]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, hkv, g, d), lambda b, j, i, t: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((hkv * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * g, 128), jnp.float32),
+            pltpu.VMEM((hkv * g, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_paged_decode_kernel, page_size=page_size,
+                               sm_scale=sm_scale, quantized=quantized,
+                               hkv=hkv)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bq, hkv, g, d), q.dtype),
+        interpret=interpret,
+    )(info, table, *args)
+
+
+def flash_decode_paged(q: jax.Array, pages_k: jax.Array, pages_v: jax.Array,
+                       layer_idx, lengths, page_table, k_scale=None,
+                       v_scale=None, *, sm_scale: float | None = None,
+                       interpret: bool = False) -> jax.Array:
+    """Single-step attention over PAGED KV storage.
+
+    q [B, Hq, D]; pages_k/v [L, n_pages, H_kv, page_size, D]; page_table
+    [B, max_pages] int32 (page_table[b, j] holds sequence b's j-th page);
+    lengths [B]. Returns [B, Hq, D].
+    """
+    b, hq, d = q.shape
+    hkv, page_size = pages_k.shape[2], pages_k.shape[3]
+    g = hq // hkv
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    info = jnp.concatenate([
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        jnp.broadcast_to(jnp.asarray(lengths, jnp.int32).reshape(-1), (b,)),
+    ])
+    qg = q.reshape(b, hkv, g, d).astype(jnp.bfloat16)
+    out = _flash_decode_paged_impl(
+        info, jnp.asarray(page_table, jnp.int32), qg, pages_k, pages_v,
+        k_scale, v_scale, page_size=page_size, sm_scale=float(sm_scale),
+        interpret=interpret)
+    return out.reshape(b, hq, d).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
 # prefill kernel: rows = a block of query positions for ONE query head
 # ---------------------------------------------------------------------------
 

@@ -78,7 +78,11 @@ class ServingEngine:
     def __init__(self, params, cfg: ModelConfig, qcfg: QuantConfig | None = None,
                  slots: int = 8, max_len: Optional[int] = None,
                  gcfg: GenerationConfig | None = None,
-                 forward_fn=llama.forward):
+                 forward_fn=llama.forward, paged: bool = False,
+                 page_size: int = 128, n_pages: Optional[int] = None):
+        """paged=True swaps the slot-reserved cache (slots x max_len) for a
+        page pool (runtime/paged.py): sequences borrow pages as they grow, so
+        capacity is ~total resident tokens instead of worst-case per slot."""
         self.params = params
         self.cfg = cfg
         self.qcfg = qcfg or QuantConfig()
@@ -87,11 +91,29 @@ class ServingEngine:
         self.gcfg = gcfg or GenerationConfig()
         self._hcfg = _hashable_gcfg(self.gcfg)
         self._forward = forward_fn
+        self.paged = paged
 
         quantized = self.qcfg.kv_cache_dtype == "int8"
-        self.cache = kvc.init_cache(
-            cfg.num_layers, slots, self.max_len, cfg.num_kv_heads,
-            cfg.head_dim, quantized=quantized)
+        if paged:
+            from tinychatengine_tpu.runtime import paged as pg
+            self.max_pages = -(-self.max_len // page_size)
+            n_pages = n_pages or slots * self.max_pages  # dense-equivalent cap
+            self.page_cache = pg.init_paged_cache(
+                cfg.num_layers, n_pages, cfg.num_kv_heads, page_size,
+                cfg.head_dim, quantized=quantized)
+            self.allocator = pg.PageAllocator(n_pages, page_size,
+                                              self.max_pages)
+            # page 0 is the reserved dead page: inactive slots' table rows
+            # point at it, so their dummy decode writes never touch live pages
+            self._dead_page = self.allocator.alloc(1)[0]
+            self._tables = np.full((slots, self.max_pages), self._dead_page,
+                                   np.int32)
+            self._slot_pages: list[list[int]] = [[] for _ in range(slots)]
+            self.cache = None
+        else:
+            self.cache = kvc.init_cache(
+                cfg.num_layers, slots, self.max_len, cfg.num_kv_heads,
+                cfg.head_dim, quantized=quantized)
         # single-request prefill engine writing into a scratch cache
         self._prefill_engine = Engine(params, cfg, self.qcfg, batch=1,
                                       max_len=self.max_len, forward_fn=forward_fn)
@@ -110,6 +132,9 @@ class ServingEngine:
 
         self._jit_decode = jax.jit(
             functools.partial(_decode_step, forward_fn),
+            static_argnames=("cfg",), donate_argnames=("cache",))
+        self._jit_decode_paged = jax.jit(
+            functools.partial(_decode_step_paged, forward_fn),
             static_argnames=("cfg",), donate_argnames=("cache",))
         self._jit_insert = _insert_slot  # jitted below (donates cache)
 
@@ -163,9 +188,22 @@ class ServingEngine:
             req.prompt_ids[None, :], _reset(self._scratch), start=0)
         self._scratch = scratch
         bucket = _bucket(n)
-        self.cache = self._jit_insert(
-            self.cache, scratch, jnp.asarray(slot_idx, jnp.int32),
-            bucket=bucket)
+        if self.paged:
+            p = self.allocator.page_size
+            n_pg = self.allocator.pages_needed(bucket)
+            pages = self.allocator.alloc(n_pg)
+            self._slot_pages[slot_idx] = pages
+            self._tables[slot_idx] = self._dead_page
+            self._tables[slot_idx, :n_pg] = pages
+            # splice a page-aligned span (scratch columns past the bucket are
+            # garbage but sit beyond `length`, so they are never attended)
+            self.page_cache = _jit_insert_pages(
+                self.page_cache, scratch, jnp.asarray(pages, jnp.int32),
+                bucket=n_pg * p)
+        else:
+            self.cache = self._jit_insert(
+                self.cache, scratch, jnp.asarray(slot_idx, jnp.int32),
+                bucket=bucket)
 
         slot = self.slots[slot_idx]
         slot.request = req
@@ -189,10 +227,25 @@ class ServingEngine:
         self._emit(slot_idx, t)
 
     def _decode_once(self):
+        if self.paged:
+            # grow: a slot writing at a page boundary needs a fresh page
+            for i, slot in enumerate(self.slots):
+                if not slot.active:
+                    continue
+                p = self.allocator.page_size
+                if slot.length == len(self._slot_pages[i]) * p:
+                    pg_id = self.allocator.alloc(1)[0]
+                    self._slot_pages[i].append(pg_id)
+                    self._tables[i, len(self._slot_pages[i]) - 1] = pg_id
         lengths = jnp.asarray([s.length for s in self.slots], jnp.int32)
         toks = jnp.asarray(self._next_tok)
-        logits, self.cache = self._jit_decode(
-            self.params, self.cfg, toks, self.cache, lengths)
+        if self.paged:
+            logits, self.page_cache = self._jit_decode_paged(
+                self.params, self.cfg, toks, self.page_cache, lengths,
+                jnp.asarray(self._tables))
+        else:
+            logits, self.cache = self._jit_decode(
+                self.params, self.cfg, toks, self.cache, lengths)
         tok, self._state = self._prefill_engine._jit_sample(
             logits, self._state, jnp.asarray(self._last), self._hcfg)
         tok_host = np.asarray(tok)
@@ -224,6 +277,10 @@ class ServingEngine:
         self.done.append(req)
         slot.request = None
         slot.length = 0  # frozen; dead-row writes land at pos 0 and are masked
+        if self.paged:  # recycle every page; dead slots write to the dead page
+            self.allocator.free(self._slot_pages[slot_idx])
+            self._slot_pages[slot_idx] = []
+            self._tables[slot_idx] = self._dead_page
 
 
 def _reset(cache: kvc.KVCache) -> kvc.KVCache:
@@ -260,3 +317,25 @@ def _decode_step(forward_fn, params, cfg, tokens, cache, lengths):
     """One ragged decode step: tokens [B], lengths [B] → logits [B, V]."""
     logits, cache = forward_fn(params, cfg, tokens[:, None], cache, lengths)
     return logits, cache
+
+
+def _decode_step_paged(forward_fn, params, cfg, tokens, cache, lengths,
+                       tables):
+    logits, cache = forward_fn(params, cfg, tokens[:, None], cache, lengths,
+                               page_table=tables)
+    return logits, cache
+
+
+@functools.partial(jax.jit, static_argnames=("bucket",),
+                   donate_argnames=("cache",))
+def _jit_insert_pages(cache, scratch: kvc.KVCache, page_ids, bucket: int):
+    """Splice a bucketed single-request prefill (contiguous scratch) into the
+    allocated pages (runtime/paged.py insert_prefix)."""
+    from tinychatengine_tpu.runtime import paged as pg
+    sk = jax.lax.slice_in_dim(scratch.k[:, 0], 0, bucket, axis=2)
+    sv = jax.lax.slice_in_dim(scratch.v[:, 0], 0, bucket, axis=2)
+    sks = svs = None
+    if scratch.quantized:
+        sks = jax.lax.slice_in_dim(scratch.k_scale[:, 0], 0, bucket, axis=2)
+        svs = jax.lax.slice_in_dim(scratch.v_scale[:, 0], 0, bucket, axis=2)
+    return pg.insert_prefix(cache, sk, sv, page_ids, sks, svs)
