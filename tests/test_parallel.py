@@ -92,3 +92,51 @@ def test_tp_prefill_decode_cache_consistency():
     for t in range(3, 5):
         lb, cache = fwd(sp, cfg, ids[:, t:t + 1], cache, jnp.int32(t))
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=2e-2, atol=2e-2)
+
+
+def test_opt_tp_matches_single_device():
+    """OPT (MHA) Megatron TP == single device."""
+    from tinychatengine_tpu.models import opt
+    from tinychatengine_tpu.parallel.sharding import opt_param_specs
+
+    cfg = ModelConfig(
+        name="opt_tiny", family="opt", num_heads=8, num_kv_heads=8,
+        num_layers=2, max_sqlen=64, embed_dim=1024, hidden_dim=2048,
+        vocab_size=512)
+    params = opt.init_random_params(cfg, quantized=False, seed=0)
+    ids = jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32)
+
+    logits_1, _ = jax.jit(opt.forward, static_argnames=("cfg",))(
+        params, cfg, ids, _cache(cfg), jnp.int32(0))
+
+    mesh = make_mesh(n_data=1, n_model=4)
+    sp = shard_params(params, mesh, specs_fn=opt_param_specs)
+    sc = shard_cache(_cache(cfg), mesh)
+    tp_fwd = make_tp_forward(mesh, forward=opt.forward,
+                             param_specs_fn=opt_param_specs)
+    logits_n, _ = jax.jit(tp_fwd, static_argnames=("cfg",))(
+        sp, cfg, ids, sc, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(logits_1), np.asarray(logits_n),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_multihost_mesh_helpers():
+    from tinychatengine_tpu.parallel import distributed
+    info = distributed.process_info()
+    assert info["process_count"] == 1
+    mesh = distributed.make_multihost_mesh(n_model=4)
+    assert mesh.shape == {"data": 2, "model": 4}
+    distributed.initialize()  # single-process no-op must not raise
+
+
+def test_scaling_harness_runs():
+    from tinychatengine_tpu.tools.scaling import run_config
+    from tinychatengine_tpu.core.config import QuantConfig
+    cfg = TINY
+
+    def params_fn(n_model):
+        return llama.init_random_params(cfg, QuantConfig(scheme="fp"),
+                                        seed=0, tp_degree=n_model)
+    r = run_config(params_fn, cfg, QuantConfig(scheme="fp"), 2, 4,
+                   prompt_len=4, n_decode=3, trials=1)
+    assert r["mesh"] == "2x4" and r["tokens_per_s"] > 0

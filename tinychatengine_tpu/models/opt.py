@@ -85,6 +85,18 @@ def _s8_requant_matmul(a_s8, b_s8, alpha, transpose_b=False):
     return acc.astype(jnp.float32) * alpha
 
 
+def _row_parallel(p, x, tp_axis, **kw):
+    """Row-parallel linear with the bias added AFTER the psum (a per-shard
+    bias would be reduced tp_degree times — the Megatron bias rule)."""
+    import dataclasses as _dc
+    if tp_axis is None or p.bias is None:
+        y = apply_linear(p, x, **kw)
+        return jax.lax.psum(y, tp_axis) if tp_axis is not None else y
+    y = apply_linear(_dc.replace(p, bias=None), x, **kw)
+    y = jax.lax.psum(y, tp_axis)
+    return y + p.bias.astype(y.dtype)
+
+
 def forward(params: OPTParams, cfg: ModelConfig, input_ids: jax.Array,
             cache: kvc.KVCache, start: jax.Array,
             full_logits: bool = False, true_len: Optional[jax.Array] = None,
@@ -142,27 +154,25 @@ def forward(params: OPTParams, cfg: ModelConfig, input_ids: jax.Array,
             p_s8 = jnp.clip(jnp.round(probs * 127.0), -128, 127).astype(jnp.int8)
             attn = _s8_requant_matmul(p_s8, cv, layer.pv_alpha)  # [B,S,H,D] f32
             attn_s8 = jnp.clip(jnp.round(attn), -128, 127).astype(jnp.int8)
-            attn_out = apply_linear(layer.out_proj, attn_s8.reshape(b, s, hq * d))
+            attn_out = _row_parallel(layer.out_proj,
+                                     attn_s8.reshape(b, s, hq * d), tp_axis)
         else:
             attn = jnp.einsum("bhst,bhtd->bshd", probs,
                               cv.astype(jnp.float32))
-            attn_out = apply_linear(layer.out_proj,
-                                    attn.reshape(b, s, hq * d).astype(jnp.float32))
-        if tp_axis is not None:
-            attn_out = jax.lax.psum(attn_out, tp_axis)
+            attn_out = _row_parallel(
+                layer.out_proj, attn.reshape(b, s, hq * d).astype(jnp.float32),
+                tp_axis)
         x = x + attn_out.astype(jnp.float32)
 
         # ---- FFN ----
         if int8_path:
             h2 = ref.layer_norm_q_ref(x, layer.final_ln_w, layer.final_ln_b)
             f = apply_linear(layer.fc1, h2, out_int8=True, relu=True)
-            f = apply_linear(layer.fc2, f)
+            f = _row_parallel(layer.fc2, f, tp_axis)
         else:
             h2 = ref.layer_norm_ref(x, layer.final_ln_w, layer.final_ln_b)
             f = jnp.maximum(apply_linear(layer.fc1, h2), 0.0)
-            f = apply_linear(layer.fc2, f.astype(h2.dtype))
-        if tp_axis is not None:
-            f = jax.lax.psum(f, tp_axis)
+            f = _row_parallel(layer.fc2, f.astype(h2.dtype), tp_axis)
         x = x + f.astype(jnp.float32)
         return (x, cache2), None
 

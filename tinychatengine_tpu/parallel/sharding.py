@@ -98,13 +98,43 @@ def llama_param_specs(params: LlamaParams) -> LlamaParams:
     )
 
 
+def opt_param_specs(params) -> "object":
+    """Megatron TP specs for the OPT pytree (MHA: heads divide evenly)."""
+    from tinychatengine_tpu.models.opt import OPTLayerParams, OPTParams
+
+    def norm_spec(leaf):
+        return P(*((None,) * leaf.ndim))
+
+    ly = params.layers
+    layer_specs = OPTLayerParams(
+        attn_ln_w=norm_spec(ly.attn_ln_w), attn_ln_b=norm_spec(ly.attn_ln_b),
+        q_proj=_linear_spec(ly.q_proj, "col"),
+        k_proj=_linear_spec(ly.k_proj, "col"),
+        v_proj=_linear_spec(ly.v_proj, "col"),
+        out_proj=_linear_spec(ly.out_proj, "row"),
+        final_ln_w=norm_spec(ly.final_ln_w), final_ln_b=norm_spec(ly.final_ln_b),
+        fc1=_linear_spec(ly.fc1, "col"),
+        fc2=_linear_spec(ly.fc2, "row"),
+        qk_alpha=None if ly.qk_alpha is None else norm_spec(ly.qk_alpha),
+        pv_alpha=None if ly.pv_alpha is None else norm_spec(ly.pv_alpha),
+    )
+    return OPTParams(
+        embed_tokens=P(None, None), embed_positions=P(None, None),
+        layers=layer_specs,
+        final_ln_w=norm_spec(params.final_ln_w),
+        final_ln_b=norm_spec(params.final_ln_b),
+        lm_head=_linear_spec(params.lm_head, "col"),
+    )
+
+
 def cache_spec() -> P:
     """KV cache [L, B, H_kv, S, D]: batch on data, kv-heads on model."""
     return P(None, "data", "model", None, None)
 
 
-def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
-    specs = llama_param_specs(params)
+def shard_params(params, mesh: Mesh, specs_fn=None):
+    specs_fn = specs_fn or llama_param_specs
+    specs = specs_fn(params)
     return jax.tree.map(
         lambda x, s: None if x is None else jax.device_put(x, NamedSharding(mesh, s)),
         params, specs, is_leaf=lambda x: x is None)
