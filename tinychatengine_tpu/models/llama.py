@@ -118,8 +118,11 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
     positions = start_col + jnp.arange(s, dtype=jnp.int32)[None, :]
     positions = jnp.broadcast_to(positions, (b, s))
 
-    # RoPE is applied to q and k inside the scan via closure on rope caches.
-    cos, sin = params.rope_cos, params.rope_sin
+    # RoPE cos/sin are position-dependent but layer-INdependent: gather them
+    # once here instead of 32 times inside the scan (the reference re-reads
+    # its rotary cache per layer, ops/RotaryPosEmb.cc:7).
+    cos = params.rope_cos[positions].astype(jnp.float32)   # [B, S, D]
+    sin = params.rope_sin[positions].astype(jnp.float32)
 
     layers = params.layers  # stacked [L, ...]; indexed INSIDE the step so the
     # Pallas kernels stream tiles from the stacked HBM buffers directly —
@@ -145,7 +148,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
         q = qkv[..., :hq * d].reshape(b, s, hq, d)
         k = qkv[..., hq * d:(hq + hkv) * d].reshape(b, s, hkv, d)
         v = qkv[..., (hq + hkv) * d:].reshape(b, s, hkv, d)
-        q, k = ref.rotary_embed_ref(q, k, cos, sin, positions)
+        q, k = ref.apply_rotary(q, k, cos, sin)
 
         if page_table is not None:  # paged serving decode (S == 1)
             from tinychatengine_tpu.runtime import paged as pg

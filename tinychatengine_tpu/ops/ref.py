@@ -113,15 +113,12 @@ def layer_norm_q_ref(x: jax.Array, weight: jax.Array, bias: jax.Array,
     return jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
 
 
-def rotary_embed_ref(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array,
-                     positions: jax.Array):
-    """RotaryPosEmb (llm/src/ops/RotaryPosEmb.cc:7-69): rotate-half convention
-    with precomputed cos/sin caches; supports GQA (separate q/k head counts).
-
-    q: [B, S, Hq, D], k: [B, S, Hk, D]; cos/sin: [max_pos, D]; positions: [B, S].
-    """
-    c = cos[positions][:, :, None, :].astype(jnp.float32)  # [B, S, 1, D]
-    s = sin[positions][:, :, None, :].astype(jnp.float32)
+def apply_rotary(q: jax.Array, k: jax.Array, cos_sel: jax.Array,
+                 sin_sel: jax.Array):
+    """Rotate-half RoPE with PRE-GATHERED cos/sin [B, S, D] (gather the
+    position rows once per forward, not once per layer)."""
+    c = cos_sel[:, :, None, :].astype(jnp.float32)         # [B, S, 1, D]
+    s = sin_sel[:, :, None, :].astype(jnp.float32)
 
     def rot(x):
         xf = x.astype(jnp.float32)
@@ -131,6 +128,16 @@ def rotary_embed_ref(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array,
         return (xf * c + rotated * s).astype(x.dtype)
 
     return rot(q), rot(k)
+
+
+def rotary_embed_ref(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array,
+                     positions: jax.Array):
+    """RotaryPosEmb (llm/src/ops/RotaryPosEmb.cc:7-69): rotate-half convention
+    with precomputed cos/sin caches; supports GQA (separate q/k head counts).
+
+    q: [B, S, Hq, D], k: [B, S, Hk, D]; cos/sin: [max_pos, D]; positions: [B, S].
+    """
+    return apply_rotary(q, k, cos[positions], sin[positions])
 
 
 def make_rope_cache(head_dim: int, max_pos: int, theta: float = 10000.0):
