@@ -36,6 +36,19 @@ from tinychatengine_tpu.utils.profiler import Profiler
 PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 
 
+def forward_for_family(family: str):
+    """Family → forward fn (the reference's per-family Generate drivers)."""
+    if family == "llama":
+        return llama.forward
+    if family == "opt":
+        from tinychatengine_tpu.models import opt
+        return opt.forward
+    if family == "gptbigcode":
+        from tinychatengine_tpu.models import gptbigcode
+        return gptbigcode.forward
+    raise ValueError(f"no generation driver for family {family!r}")
+
+
 def _bucket(n: int) -> int:
     for b in PREFILL_BUCKETS:
         if n <= b:
@@ -62,13 +75,18 @@ class Engine:
 
     def __init__(self, params, cfg: ModelConfig, qcfg: QuantConfig | None = None,
                  batch: int = 1, max_len: Optional[int] = None,
-                 forward_fn=llama.forward):
+                 forward_fn=None, kv_dtype=None):
         self.params = params
         self.cfg = cfg
         self.qcfg = qcfg or QuantConfig()
         self.batch = batch
         self.max_len = max_len or cfg.max_sqlen
-        self._forward = forward_fn
+        self._forward = forward_fn or forward_for_family(cfg.family)
+        # OPT's SmoothQuant path stores raw int8 K/V (static scales folded
+        # into the BMM alphas, Int8OPTAttention.cc:27-58) — no dynamic scales
+        self.kv_dtype = kv_dtype
+        if kv_dtype is None and cfg.family == "opt" and self.qcfg.scheme == "w8a8":
+            self.kv_dtype = jnp.int8
         self.profiler = Profiler()
 
         self._jit_step = jax.jit(
@@ -82,6 +100,10 @@ class Engine:
 
     # -- cache -------------------------------------------------------------
     def new_cache(self) -> kvc.KVCache:
+        if self.kv_dtype is not None:
+            return kvc.init_cache(
+                self.cfg.num_layers, self.batch, self.max_len,
+                self.cfg.num_kv_heads, self.cfg.head_dim, dtype=self.kv_dtype)
         return kvc.init_cache(
             self.cfg.num_layers, self.batch, self.max_len,
             self.cfg.num_kv_heads, self.cfg.head_dim,

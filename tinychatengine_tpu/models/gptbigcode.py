@@ -128,12 +128,26 @@ def forward(params: GPTBigCodeParams, cfg: ModelConfig, input_ids: jax.Array,
     return (logits if full_logits else logits[:, 0, :]), cache
 
 
-def init_random_params(cfg: ModelConfig, seed: int = 0) -> GPTBigCodeParams:
+def init_random_params(cfg: ModelConfig, seed: int = 0,
+                       qcfg=None) -> GPTBigCodeParams:
     import numpy as np
+
+    from tinychatengine_tpu.ops.linear import random_int4_linear
     rng = np.random.default_rng(seed)
     e, v, d = cfg.embed_dim, cfg.vocab_size, cfg.head_dim
+    scheme = getattr(qcfg, "scheme", "fp") if qcfg is not None else "fp"
 
     def dense(k, n):
+        if scheme in ("w4a16", "w4a8"):
+            import jax as _jax
+            p = random_int4_linear(_jax.random.PRNGKey(rng.integers(1 << 30)),
+                                   k, n, qcfg.group_size)
+            bias = jnp.asarray(rng.standard_normal(n) * 0.01, jnp.float32)
+            cls = type(p)
+            if scheme == "w4a8":
+                from tinychatengine_tpu.ops.linear import Int4A8Linear
+                cls = Int4A8Linear
+            return cls(packed=p.packed, scales=p.scales, bias=bias)
         return DenseLinear(
             weight=jnp.asarray(rng.standard_normal((k, n)) * 0.02, jnp.bfloat16),
             bias=jnp.asarray(rng.standard_normal(n) * 0.01, jnp.bfloat16))
@@ -148,9 +162,18 @@ def init_random_params(cfg: ModelConfig, seed: int = 0) -> GPTBigCodeParams:
     layers = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
     wte = jnp.asarray(rng.standard_normal((v, e)) * 0.02, jnp.bfloat16)
+    if scheme in ("w4a16", "w4a8"):
+        import jax as _jax
+        head = random_int4_linear(_jax.random.PRNGKey(rng.integers(1 << 30)),
+                                  e, v, qcfg.group_size)
+        if scheme == "w4a8":
+            from tinychatengine_tpu.ops.linear import Int4A8Linear
+            head = Int4A8Linear(packed=head.packed, scales=head.scales)
+    else:
+        head = DenseLinear(weight=wte.T)
     return GPTBigCodeParams(
         wte=wte,
         wpe=jnp.asarray(rng.standard_normal((cfg.max_sqlen, e)) * 0.02, jnp.bfloat16),
         layers=layers,
         lnf_w=jnp.ones((e,), jnp.bfloat16), lnf_b=jnp.zeros((e,), jnp.bfloat16),
-        lm_head=DenseLinear(weight=wte.T))
+        lm_head=head)

@@ -123,6 +123,14 @@ def _build_template(cfg: ModelConfig, qcfg: QuantConfig, meta: dict):
         from tinychatengine_tpu.models import llama
         tiny = _tiny_like(cfg)
         return llama.init_random_params(tiny, qcfg, seed=0, max_pos=8, fast=True)
+    if family == "opt":
+        from tinychatengine_tpu.models import opt
+        tiny = _tiny_like(cfg)
+        return opt.init_random_params(tiny, quantized=(qcfg.scheme == "w8a8"))
+    if family == "gptbigcode":
+        from tinychatengine_tpu.models import gptbigcode
+        tiny = _tiny_like(cfg)
+        return gptbigcode.init_random_params(tiny, qcfg=qcfg)
     if family == "clip":
         import dataclasses
 

@@ -234,20 +234,227 @@ def main(argv=None):
     ap.add_argument("--model", required=True)
     ap.add_argument("--src", required=True, help="HF dir or reference .bin export dir")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--scheme", default="w4a16", choices=["w4a16", "fp"])
+    ap.add_argument("--scheme", default="w4a16",
+                    choices=["w4a16", "w4a8", "w8a8", "fp"])
     ap.add_argument("--group-size", type=int, default=128)
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel degree the fused qkv/gate-up "
+                         "column layout is built for (llama family)")
     args = ap.parse_args(argv)
 
     cfg = get_model_config(args.model)
     qcfg = QuantConfig(scheme=args.scheme, group_size=args.group_size)
     src = Path(args.src)
-    if (src / "decoder").exists():
-        params = convert_reference_llama(args.src, cfg, qcfg)
+    is_ref = (src / "decoder").exists()
+    if cfg.family == "llama":
+        params = (convert_reference_llama(args.src, cfg, qcfg, args.tp)
+                  if is_ref else convert_hf_llama(args.src, cfg, qcfg, args.tp))
+    elif cfg.family == "opt":
+        if is_ref:
+            params = convert_reference_opt(args.src, cfg,
+                                           int8=(args.scheme == "w8a8"))
+        else:
+            assert args.scheme == "fp", (
+                "HF OPT converts to fp; W8A8 imports the reference's "
+                "SmoothQuant export (opt_smooth_exporter.py)")
+            params = convert_hf_opt(args.src, cfg, qcfg)
+    elif cfg.family == "gptbigcode":
+        params = convert_hf_gptbigcode(args.src, cfg, qcfg)
     else:
-        params = convert_hf_llama(args.src, cfg, qcfg)
-    save_checkpoint(args.out, params, cfg, qcfg, extra_meta={"family": cfg.family})
+        raise NotImplementedError(cfg.family)
+    save_checkpoint(args.out, params, cfg, qcfg,
+                    extra_meta={"family": cfg.family, "tp_degree": args.tp})
     print(f"converted {args.model} ({args.scheme}, g={args.group_size}) -> {args.out}")
 
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# OPT (fp from HF; SmoothQuant W8A8 from the reference INT8 export)
+# ---------------------------------------------------------------------------
+
+def convert_hf_opt(src: str, cfg: ModelConfig, qcfg: QuantConfig):
+    """HF OPTForCausalLM → OPTParams (fp path; W8A8 comes from the
+    reference's SmoothQuant export via convert_reference_opt)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinychatengine_tpu.models import opt
+    from tinychatengine_tpu.ops.linear import DenseLinear
+
+    sd = _hf_state_dict_loader(src)
+
+    def dense(name):
+        return DenseLinear(
+            weight=jnp.asarray(sd(name + ".weight").T, jnp.float32),
+            bias=jnp.asarray(sd(name + ".bias"), jnp.float32))
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.decoder.layers.{i}."
+        layers.append(opt.OPTLayerParams(
+            attn_ln_w=jnp.asarray(sd(p + "self_attn_layer_norm.weight"), jnp.float32),
+            attn_ln_b=jnp.asarray(sd(p + "self_attn_layer_norm.bias"), jnp.float32),
+            q_proj=dense(p + "self_attn.q_proj"),
+            k_proj=dense(p + "self_attn.k_proj"),
+            v_proj=dense(p + "self_attn.v_proj"),
+            out_proj=dense(p + "self_attn.out_proj"),
+            final_ln_w=jnp.asarray(sd(p + "final_layer_norm.weight"), jnp.float32),
+            final_ln_b=jnp.asarray(sd(p + "final_layer_norm.bias"), jnp.float32),
+            fc1=dense(p + "fc1"), fc2=dense(p + "fc2"),
+        ))
+        gc.collect()
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    embed = jnp.asarray(sd("model.decoder.embed_tokens.weight"), jnp.float32)
+    return opt.OPTParams(
+        embed_tokens=embed,
+        embed_positions=jnp.asarray(
+            sd("model.decoder.embed_positions.weight"), jnp.float32),
+        layers=stacked,
+        final_ln_w=jnp.asarray(sd("model.decoder.final_layer_norm.weight"), jnp.float32),
+        final_ln_b=jnp.asarray(sd("model.decoder.final_layer_norm.bias"), jnp.float32),
+        lm_head=DenseLinear(weight=jnp.asarray(embed, jnp.bfloat16).T),
+    )
+
+
+def convert_reference_opt(src: str, cfg: ModelConfig, int8: bool = True):
+    """TinyChatEngine OPT export dir → OPTParams.
+
+    INT8 layout (llm/tools/opt_smooth_exporter.py:29-80 _export_Qmodel):
+    lm_head.bin; decoder/{embed_tokens,embed_positions,final_layer_norm}/;
+    decoder/layer{i}/self_attn/{q,k,v}_proj/{weight,bias_int8,alpha,beta}.bin,
+    out_proj/{weight,bias,alpha}.bin, qk_bmm/alpha.bin, pv_bmm/alpha.bin;
+    layer{i}/{self_attn_layer_norm,final_layer_norm}/{weight,bias}.bin;
+    fc1 (W8A8B8O8+ReLU), fc2 (W8A8BFP32OFP32).
+    The s8-domain bias (bias_int8 x beta) is pre-folded to fp32 here
+    (kernels/ref/matmul_ref_int8.cc:28-31 semantics).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tinychatengine_tpu import native
+    from tinychatengine_tpu.models import opt
+    from tinychatengine_tpu.ops.linear import DenseLinear, W8A8Linear
+
+    root = Path(src)
+    e, f, v = cfg.embed_dim, cfg.hidden_dim, cfg.vocab_size
+
+    def raw(rel, dtype, shape):
+        return native.read_file(str(root / rel), dtype).reshape(shape)
+
+    def scalar(rel):
+        return jnp.asarray(float(raw(rel, np.float32, (1,))[0]), jnp.float32)
+
+    def w8_s8out(prefix, k, n):  # W8A8B8O8Linear: s8 bias folded via beta
+        alpha = scalar(f"{prefix}/alpha.bin")
+        beta = float(raw(f"{prefix}/beta.bin", np.float32, (1,))[0])
+        bias8 = raw(f"{prefix}/bias_int8.bin", np.int8, (n,)).astype(np.float32)
+        return W8A8Linear(
+            weight=jnp.asarray(raw(f"{prefix}/weight.bin", np.int8, (n, k)).T),
+            alpha=alpha, bias=jnp.asarray(bias8 * beta, jnp.float32))
+
+    def w8_f32out(prefix, k, n):  # W8A8BFP32OFP32Linear
+        return W8A8Linear(
+            weight=jnp.asarray(raw(f"{prefix}/weight.bin", np.int8, (n, k)).T),
+            alpha=scalar(f"{prefix}/alpha.bin"),
+            bias=jnp.asarray(raw(f"{prefix}/bias.bin", np.float32, (n,))))
+
+    def dense(prefix, k, n):
+        return DenseLinear(
+            weight=jnp.asarray(raw(f"{prefix}/weight.bin", np.float32, (n, k)).T,
+                               jnp.float32),
+            bias=jnp.asarray(raw(f"{prefix}/bias.bin", np.float32, (n,))))
+
+    layers = []
+    for i in range(cfg.num_layers):
+        d = f"decoder/layer{i}"
+        a = f"{d}/self_attn"
+        ln = lambda p, n=e: (jnp.asarray(raw(f"{p}/weight.bin", np.float32, (n,))),
+                             jnp.asarray(raw(f"{p}/bias.bin", np.float32, (n,))))
+        ln1w, ln1b = ln(f"{d}/self_attn_layer_norm")
+        ln2w, ln2b = ln(f"{d}/final_layer_norm")
+        if int8:
+            layers.append(opt.OPTLayerParams(
+                attn_ln_w=ln1w, attn_ln_b=ln1b,
+                q_proj=w8_s8out(f"{a}/q_proj", e, e),
+                k_proj=w8_s8out(f"{a}/k_proj", e, e),
+                v_proj=w8_s8out(f"{a}/v_proj", e, e),
+                out_proj=w8_f32out(f"{a}/out_proj", e, e),
+                final_ln_w=ln2w, final_ln_b=ln2b,
+                fc1=w8_s8out(f"{d}/fc1", e, f),
+                fc2=w8_f32out(f"{d}/fc2", f, e),
+                qk_alpha=scalar(f"{a}/qk_bmm/alpha.bin"),
+                pv_alpha=scalar(f"{a}/pv_bmm/alpha.bin"),
+            ))
+        else:
+            layers.append(opt.OPTLayerParams(
+                attn_ln_w=ln1w, attn_ln_b=ln1b,
+                q_proj=dense(f"{a}/q_proj", e, e),
+                k_proj=dense(f"{a}/k_proj", e, e),
+                v_proj=dense(f"{a}/v_proj", e, e),
+                out_proj=dense(f"{a}/out_proj", e, e),
+                final_ln_w=ln2w, final_ln_b=ln2b,
+                fc1=dense(f"{d}/fc1", e, f), fc2=dense(f"{d}/fc2", f, e),
+            ))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    embed = jnp.asarray(raw("decoder/embed_tokens/weight.bin", np.float32, (v, e)))
+    pos = raw("decoder/embed_positions/weight.bin", np.float32, (-1, e))
+    return opt.OPTParams(
+        embed_tokens=embed,
+        embed_positions=jnp.asarray(pos),
+        layers=stacked,
+        final_ln_w=jnp.asarray(raw("decoder/final_layer_norm/weight.bin",
+                                   np.float32, (e,))),
+        final_ln_b=jnp.asarray(raw("decoder/final_layer_norm/bias.bin",
+                                   np.float32, (e,))),
+        lm_head=DenseLinear(
+            weight=jnp.asarray(raw("lm_head.bin", np.float32, (v, e)).T,
+                               jnp.bfloat16)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GPTBigCode / StarCoder (HF)
+# ---------------------------------------------------------------------------
+
+def convert_hf_gptbigcode(src: str, cfg: ModelConfig, qcfg: QuantConfig):
+    """HF GPTBigCodeForCausalLM → GPTBigCodeParams (c_attn already fused
+    [q | kv] in HF; W4A16 quantizes the linears, norms stay fp)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinychatengine_tpu.models import gptbigcode
+
+    sd = _hf_state_dict_loader(src)
+
+    def lin(name):
+        return quantize_linear(sd(name + ".weight"), qcfg,
+                               bias=sd(name + ".bias"))
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"transformer.h.{i}."
+        layers.append(gptbigcode.GPTBigCodeLayerParams(
+            ln1_w=jnp.asarray(sd(p + "ln_1.weight"), jnp.bfloat16),
+            ln1_b=jnp.asarray(sd(p + "ln_1.bias"), jnp.bfloat16),
+            c_attn=lin(p + "attn.c_attn"),
+            c_proj=lin(p + "attn.c_proj"),
+            ln2_w=jnp.asarray(sd(p + "ln_2.weight"), jnp.bfloat16),
+            ln2_b=jnp.asarray(sd(p + "ln_2.bias"), jnp.bfloat16),
+            fc_in=lin(p + "mlp.c_fc"),
+            fc_out=lin(p + "mlp.c_proj"),
+        ))
+        gc.collect()
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    wte = jnp.asarray(sd("transformer.wte.weight"), jnp.bfloat16)
+    return gptbigcode.GPTBigCodeParams(
+        wte=wte,
+        wpe=jnp.asarray(sd("transformer.wpe.weight"), jnp.bfloat16),
+        layers=stacked,
+        lnf_w=jnp.asarray(sd("transformer.ln_f.weight"), jnp.bfloat16),
+        lnf_b=jnp.asarray(sd("transformer.ln_f.bias"), jnp.bfloat16),
+        lm_head=quantize_linear(np.asarray(wte, np.float32), qcfg),
+    )
