@@ -16,8 +16,6 @@ TPU-native equivalent of the reference's LLaVAGenerate path
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -35,12 +35,7 @@ from tinychatengine_tpu.ops.attention import (
     flash_decode_paged,
     flash_prefill,
 )
-from tinychatengine_tpu.ops.linear import (
-    DenseLinear,
-    Int4Linear,
-    apply_linear,
-    random_int4_linear,
-)
+from tinychatengine_tpu.ops.linear import DenseLinear, apply_linear, random_int4_linear
 
 NEG_INF = -1e30
 

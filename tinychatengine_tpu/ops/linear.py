@@ -16,7 +16,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from tinychatengine_tpu.ops import ref
 from tinychatengine_tpu.ops.int4_matmul import (
     int4_matmul,
     int4_matmul_a8,

@@ -17,7 +17,6 @@ collectives in model code.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -143,8 +142,6 @@ def shard_params(params, mesh: Mesh, specs_fn=None):
 def shard_cache(cache, mesh: Mesh):
     ns = NamedSharding(mesh, cache_spec())
     scalar = NamedSharding(mesh, P())
-    import dataclasses as dc
-
     from tinychatengine_tpu.generation.kv_cache import KVCache
     return KVCache(
         k=jax.device_put(cache.k, ns), v=jax.device_put(cache.v, ns),

@@ -12,10 +12,6 @@ the Megatron inference pattern; XLA overlaps them with subsequent compute.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
-import jax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 

@@ -113,7 +113,6 @@ def _hf_state_dict_loader(src: str):
     p = Path(src)
     st_files = sorted(p.glob("*.safetensors"))
     if st_files:
-        import json as _json
         try:
             from safetensors import safe_open
         except ImportError as e:  # pragma: no cover

@@ -24,7 +24,6 @@ import numpy as np
 def run_config(params_fn, cfg, qcfg, n_data: int, n_model: int,
                prompt_len: int = 32, n_decode: int = 32, trials: int = 3):
     import jax
-    import jax.numpy as jnp
 
     from tinychatengine_tpu.core.config import GenerationConfig
     from tinychatengine_tpu.generation.engine import Engine

@@ -20,7 +20,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import hashlib
-import os
 from pathlib import Path
 
 
@@ -105,10 +104,14 @@ def fetch_and_convert(model_id: str, out: str, scheme: str = "w4a16",
     src_dir = ensure_model(model_id, local_dir=src)
     if cfg.family == "llama":
         params = cv.convert_hf_llama(src_dir, cfg, qcfg)
+    elif cfg.family == "opt":
+        params = cv.convert_hf_opt(src_dir, cfg, qcfg)  # fp; W8A8 via convert
+    elif cfg.family == "gptbigcode":
+        params = cv.convert_hf_gptbigcode(src_dir, cfg, qcfg)
     else:
         raise NotImplementedError(
             f"zoo conversion for family {cfg.family}: use tools.convert directly")
-    save_checkpoint(out, params, cfg, qcfg)
+    save_checkpoint(out, params, cfg, qcfg, extra_meta={"family": cfg.family})
     # carry the tokenizer next to the weights
     tok_src = Path(src_dir) / entry.tokenizer_file
     if tok_src.exists():
