@@ -52,21 +52,20 @@ def main():
     run(0, 1)
     run(0, 1 + n_decode)
 
-    times = []
-    for trial in range(3):
+    # The chip is time-shared behind the tunnel: a co-tenant burst during any
+    # single run corrupts a paired short/long difference. Take the medians of
+    # the short and long runs SEPARATELY across trials, then difference.
+    shorts, longs = [], []
+    for trial in range(4):
         t0 = time.perf_counter()
         run(10 + trial, 1)
-        t_short = time.perf_counter() - t0
+        shorts.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         run(20 + trial, 1 + n_decode)
-        t_long = time.perf_counter() - t0
-        dt = (t_long - t_short) / n_decode
-        print(f"trial {trial}: short={t_short:.3f}s long={t_long:.3f}s "
-              f"-> {dt * 1e3:.2f} ms/token", file=sys.stderr)
-        if dt > 0:
-            times.append(dt)
-
-    per_token = float(np.median(times)) if times else float("nan")
+        longs.append(time.perf_counter() - t0)
+        print(f"trial {trial}: short={shorts[-1]:.3f}s long={longs[-1]:.3f}s",
+              file=sys.stderr)
+    per_token = (float(np.median(longs)) - float(np.median(shorts))) / n_decode
     tokens_per_s = 1.0 / per_token
 
     # roofline: weight+scale bytes streamed per decoded token + avg KV read
