@@ -1,0 +1,156 @@
+"""Golden parity vs HuggingFace transformers (the reference's oracle).
+
+The reference's entire test strategy records activations from the HF/PyTorch
+implementation and compares (SURVEY.md §4). Same idea, executed live: build
+tiny randomly-initialized HF models in memory (no downloads), export their
+state dicts through OUR converters, and require logit agreement. This pins
+RoPE conventions, GQA head mapping, norm eps placement, position offsets and
+weight layouts against the canonical implementation.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from tinychatengine_tpu.core.config import ModelConfig, QuantConfig
+from tinychatengine_tpu.generation import kv_cache as kvc
+
+
+def _save_hf(model, tmp_path):
+    from safetensors.torch import save_file
+    # clone: tied weights (lm_head/embed) share storage, which save_file rejects
+    sd = {k: v.clone().contiguous() for k, v in model.state_dict().items()}
+    save_file(sd, str(tmp_path / "model.safetensors"))
+
+
+def _logits_ours(family_forward, params, cfg, ids):
+    cache = kvc.init_cache(cfg.num_layers, 1, cfg.max_sqlen,
+                           cfg.num_kv_heads, cfg.head_dim)
+    logits, _ = family_forward(params, cfg, jnp.asarray(ids), cache,
+                               jnp.int32(0), full_logits=True)
+    return np.asarray(logits, np.float32)
+
+
+def _assert_close(ours, theirs, rtol=0.08):
+    """bf16 activations vs f32 torch: compare in a scale-aware way."""
+    denom = np.abs(theirs).max() + 1e-6
+    err = np.abs(ours - theirs).max() / denom
+    assert err < rtol, f"rel err {err:.4f}"
+    # argmax agreement on the last position (what generation consumes)
+    assert np.argmax(ours[0, -1]) == np.argmax(theirs[0, -1])
+
+
+def test_llama_parity_fp(tmp_path):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from tinychatengine_tpu.models import llama
+    from tinychatengine_tpu.tools.convert import convert_hf_llama
+
+    torch.manual_seed(0)
+    hf_cfg = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        attention_bias=False, tie_word_embeddings=False)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    _save_hf(hf, tmp_path)
+
+    cfg = ModelConfig(
+        name="llama_parity", family="llama", num_heads=4, num_kv_heads=2,
+        num_layers=2, max_sqlen=64, embed_dim=256, hidden_dim=512,
+        vocab_size=256, rms_norm_eps=1e-5)
+    params = convert_hf_llama(str(tmp_path), cfg, QuantConfig(scheme="fp"))
+
+    ids = np.asarray([[5, 9, 11, 42, 7, 3, 100, 101]], np.int64)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.float().numpy()
+    ours = _logits_ours(llama.forward, params, cfg, ids.astype(np.int32))
+    _assert_close(ours, want)
+
+
+def test_llama_parity_w4a16(tmp_path):
+    """Quantized path: argmax and coarse logit agreement with the fp oracle
+    (AWQ-style INT4 keeps logits close at these scales)."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from tinychatengine_tpu.models import llama
+    from tinychatengine_tpu.tools.convert import convert_hf_llama
+
+    torch.manual_seed(1)
+    hf_cfg = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5,
+        attention_bias=False, tie_word_embeddings=False)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    _save_hf(hf, tmp_path)
+
+    cfg = ModelConfig(
+        name="llama_parity", family="llama", num_heads=4, num_kv_heads=2,
+        num_layers=2, max_sqlen=64, embed_dim=256, hidden_dim=512,
+        vocab_size=256, rms_norm_eps=1e-5)
+    params = convert_hf_llama(str(tmp_path), cfg,
+                              QuantConfig(scheme="w4a16", group_size=128))
+
+    ids = np.asarray([[5, 9, 11, 42, 7, 3]], np.int64)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.float().numpy()
+    ours = _logits_ours(llama.forward, params, cfg, ids.astype(np.int32))
+    _assert_close(ours, want, rtol=0.25)
+
+
+def test_opt_parity_fp(tmp_path):
+    from transformers import OPTConfig, OPTForCausalLM
+
+    from tinychatengine_tpu.models import opt
+    from tinychatengine_tpu.tools.convert import convert_hf_opt
+
+    torch.manual_seed(2)
+    hf_cfg = OPTConfig(
+        vocab_size=256, hidden_size=128, ffn_dim=256, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=64,
+        do_layer_norm_before=True, word_embed_proj_dim=128)
+    hf = OPTForCausalLM(hf_cfg).eval()
+    _save_hf(hf, tmp_path)
+
+    cfg = ModelConfig(
+        name="opt_parity", family="opt", num_heads=4, num_kv_heads=4,
+        num_layers=2, max_sqlen=64, embed_dim=128, hidden_dim=256,
+        vocab_size=256)
+    params = convert_hf_opt(str(tmp_path), cfg, QuantConfig(scheme="fp"))
+
+    ids = np.asarray([[5, 9, 11, 42, 7]], np.int64)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.float().numpy()
+    ours = _logits_ours(opt.forward, params, cfg, ids.astype(np.int32))
+    _assert_close(ours, want)
+
+
+def test_gptbigcode_parity_fp(tmp_path):
+    from transformers import GPTBigCodeConfig, GPTBigCodeForCausalLM
+
+    from tinychatengine_tpu.models import gptbigcode
+    from tinychatengine_tpu.tools.convert import convert_hf_gptbigcode
+
+    torch.manual_seed(3)
+    hf_cfg = GPTBigCodeConfig(
+        vocab_size=256, n_embd=128, n_inner=256, n_layer=2, n_head=4,
+        n_positions=64, multi_query=True)
+    hf = GPTBigCodeForCausalLM(hf_cfg).eval()
+    _save_hf(hf, tmp_path)
+
+    cfg = ModelConfig(
+        name="bigcode_parity", family="gptbigcode", num_heads=4,
+        num_kv_heads=1, num_layers=2, max_sqlen=64, embed_dim=128,
+        hidden_dim=256, vocab_size=256)
+    params = convert_hf_gptbigcode(str(tmp_path), cfg, QuantConfig(scheme="fp"))
+
+    ids = np.asarray([[5, 9, 11, 42, 7]], np.int64)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.float().numpy()
+    ours = _logits_ours(gptbigcode.forward, params, cfg, ids.astype(np.int32))
+    _assert_close(ours, want)
