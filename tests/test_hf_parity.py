@@ -154,3 +154,34 @@ def test_gptbigcode_parity_fp(tmp_path):
         want = hf(torch.from_numpy(ids)).logits.float().numpy()
     ours = _logits_ours(gptbigcode.forward, params, cfg, ids.astype(np.int32))
     _assert_close(ours, want)
+
+
+def test_clip_vision_parity(tmp_path):
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    from tinychatengine_tpu.models import clip
+    from tinychatengine_tpu.tools.convert import convert_hf_clip
+
+    torch.manual_seed(4)
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        hidden_act="quick_gelu")
+    hf = CLIPVisionModel(hf_cfg).eval()
+    _save_hf(hf, tmp_path)
+
+    cfg = ModelConfig(
+        name="clip_parity", family="clip", num_heads=4, num_kv_heads=4,
+        num_layers=2, max_sqlen=0, embed_dim=64, hidden_dim=128,
+        vocab_size=0, image_size=28, patch_size=14, mmproj_dim=64)
+    params = convert_hf_clip(str(tmp_path), cfg)
+
+    rng = np.random.default_rng(0)
+    pixels = rng.standard_normal((1, 28, 28, 3)).astype(np.float32)
+    with torch.no_grad():
+        out = hf(pixel_values=torch.from_numpy(
+            pixels.transpose(0, 3, 1, 2)), output_hidden_states=True)
+        want = out.hidden_states[-1].float().numpy()   # pre post-LN
+    ours = np.asarray(clip.encode_hidden(params, cfg, jnp.asarray(pixels)),
+                      np.float32)
+    _assert_close(ours, want)

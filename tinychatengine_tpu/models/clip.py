@@ -91,6 +91,18 @@ def encode_image(params: CLIPParams, cfg: ModelConfig, pixels: jax.Array):
     patchify-matmul → +class token → +pos embed → pre-LN → 23 encoder
     layers → drop class token → mm_proj_0 → GELU → mm_proj_2.
     """
+    x = encode_hidden(params, cfg, pixels)
+    patches = x[:, 1:, :]                              # drop class token
+    y = apply_linear(params.mm_proj_0, patches.astype(jnp.float32))
+    y = ref.gelu_ref(y)
+    y = apply_linear(params.mm_proj_2, y)
+    return y.astype(jnp.bfloat16)                      # [B, 576, mmproj_dim]
+
+
+def encode_hidden(params: CLIPParams, cfg: ModelConfig, pixels: jax.Array):
+    """Vision-transformer hidden states [B, 1 + n_patches, E] (before the
+    class-token drop and mm_projector) — the HF CLIPVisionModel
+    hidden_states[-1] equivalent, used for golden parity."""
     b = pixels.shape[0]
     p, e = cfg.patch_size, cfg.embed_dim
     n_side = cfg.image_size // p
@@ -128,12 +140,7 @@ def encode_image(params: CLIPParams, cfg: ModelConfig, pixels: jax.Array):
         return x, None
 
     x, _ = jax.lax.scan(step, x, params.layers)
-
-    patches = x[:, 1:, :]                              # drop class token
-    y = apply_linear(params.mm_proj_0, patches.astype(jnp.float32))
-    y = ref.gelu_ref(y)
-    y = apply_linear(params.mm_proj_2, y)
-    return y.astype(jnp.bfloat16)                      # [B, 576, mmproj_dim]
+    return x
 
 
 def init_random_params(cfg: ModelConfig, seed: int = 0) -> CLIPParams:

@@ -457,3 +457,78 @@ def convert_hf_gptbigcode(src: str, cfg: ModelConfig, qcfg: QuantConfig):
         lnf_b=jnp.asarray(sd("transformer.ln_f.bias"), jnp.bfloat16),
         lm_head=quantize_linear(np.asarray(wte, np.float32), qcfg),
     )
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower (+ LLaVA mm_projector) — the VLM checkpoint prep
+# ---------------------------------------------------------------------------
+
+def convert_hf_clip(src: str, cfg: ModelConfig, mm_proj_src: str | None = None,
+                    prefix: str = "vision_model."):
+    """HF CLIPVisionModel (or the vision tower inside a LLaVA checkpoint,
+    prefix "model.vision_tower.vision_tower.vision_model.") → CLIPParams.
+
+    mm_proj_src: checkpoint dir holding the LLaVA mm_projector weights
+    (keys model.mm_projector.{0,2}.{weight,bias}); identity projection when
+    absent (pure vision-tower use/testing). Replaces clip_exporter.py /
+    llava_exporter.py (SURVEY.md §2.7).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tinychatengine_tpu.models import clip
+    from tinychatengine_tpu.ops.linear import DenseLinear
+
+    sd = _hf_state_dict_loader(src)
+    e, p = cfg.embed_dim, cfg.patch_size
+
+    def dense(name):
+        return DenseLinear(
+            weight=jnp.asarray(sd(name + ".weight").T, jnp.float32),
+            bias=jnp.asarray(sd(name + ".bias"), jnp.float32))
+
+    layers = []
+    for i in range(cfg.num_layers):
+        q = f"{prefix}encoder.layers.{i}."
+        layers.append(clip.CLIPLayerParams(
+            ln1_w=jnp.asarray(sd(q + "layer_norm1.weight"), jnp.float32),
+            ln1_b=jnp.asarray(sd(q + "layer_norm1.bias"), jnp.float32),
+            q_proj=dense(q + "self_attn.q_proj"),
+            k_proj=dense(q + "self_attn.k_proj"),
+            v_proj=dense(q + "self_attn.v_proj"),
+            out_proj=dense(q + "self_attn.out_proj"),
+            ln2_w=jnp.asarray(sd(q + "layer_norm2.weight"), jnp.float32),
+            ln2_b=jnp.asarray(sd(q + "layer_norm2.bias"), jnp.float32),
+            fc1=dense(q + "mlp.fc1"),
+            fc2=dense(q + "mlp.fc2"),
+        ))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    # conv kernel [E, 3, p, p] → patchify-matmul weight [(p,p,3) flat, E]
+    conv = sd(prefix + "embeddings.patch_embedding.weight")
+    patch_w = np.ascontiguousarray(conv.transpose(2, 3, 1, 0)).reshape(p * p * 3, e)
+
+    if mm_proj_src is not None:
+        mm_sd = _hf_state_dict_loader(mm_proj_src)
+        mm0 = DenseLinear(
+            weight=jnp.asarray(mm_sd("model.mm_projector.0.weight").T, jnp.float32),
+            bias=jnp.asarray(mm_sd("model.mm_projector.0.bias"), jnp.float32))
+        mm2 = DenseLinear(
+            weight=jnp.asarray(mm_sd("model.mm_projector.2.weight").T, jnp.float32),
+            bias=jnp.asarray(mm_sd("model.mm_projector.2.bias"), jnp.float32))
+    else:  # identity projection (tower-only use)
+        eye = jnp.eye(e, dtype=jnp.float32)
+        mm0 = DenseLinear(weight=eye)
+        mm2 = DenseLinear(weight=eye)
+
+    return clip.CLIPParams(
+        patch_embed=jnp.asarray(patch_w, jnp.float32),
+        class_embed=jnp.asarray(sd(prefix + "embeddings.class_embedding"),
+                                jnp.float32),
+        pos_embed=jnp.asarray(sd(prefix + "embeddings.position_embedding.weight"),
+                              jnp.float32),
+        pre_ln_w=jnp.asarray(sd(prefix + "pre_layrnorm.weight"), jnp.float32),
+        pre_ln_b=jnp.asarray(sd(prefix + "pre_layrnorm.bias"), jnp.float32),
+        layers=stacked,
+        mm_proj_0=mm0, mm_proj_2=mm2,
+    )
