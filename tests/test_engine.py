@@ -94,3 +94,35 @@ def test_sampled_generation_seeded(engine):
     r1 = engine.generate([[1, 2, 3]], g)
     r2 = engine.generate([[1, 2, 3]], g)
     assert r1.tokens == r2.tokens  # same seed → same draw
+
+
+def test_chunked_prefill_matches_single_shot():
+    """A prompt longer than the chunk size prefills in pieces and yields the
+    same logits/cache state as one-shot prefill."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tinychatengine_tpu.core.config import ModelConfig, QuantConfig
+    from tinychatengine_tpu.generation.engine import Engine
+    from tinychatengine_tpu.models import llama
+
+    cfg = ModelConfig(
+        name="tiny", family="llama", num_heads=4, num_kv_heads=2,
+        num_layers=2, max_sqlen=256, embed_dim=128, hidden_dim=256,
+        vocab_size=256, rms_norm_eps=1e-5)
+    qcfg = QuantConfig(scheme="fp")
+    params = llama.init_random_params(cfg, qcfg, seed=0)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(5, 250, (1, 100), dtype=np.int32)
+
+    eng_a = Engine(params, cfg, qcfg)
+    logits_a, cache_a = eng_a.prefill(ids, eng_a.new_cache())
+
+    eng_b = Engine(params, cfg, qcfg)
+    eng_b.CHUNK = 32  # force chunking
+    logits_b, cache_b = eng_b.prefill(ids, eng_b.new_cache())
+
+    np.testing.assert_allclose(np.asarray(logits_a), np.asarray(logits_b),
+                               rtol=2e-2, atol=2e-2)
+    assert int(cache_a.length) == int(cache_b.length) == 100

@@ -27,7 +27,7 @@ def test_pld_matches_vanilla_greedy():
                    list(range(30, 60))):
         ids = np.asarray([prompt], np.int32)
         want = np.asarray(eng.generate_device(ids, g, n_tokens=24))[0]
-        got, steps = generate_pld(eng, ids, n_tokens=24, K=7)
+        got, steps, _ = generate_pld(eng, ids, n_tokens=24, K=7)
         np.testing.assert_array_equal(got, want)
         assert steps <= 24  # never more forwards than tokens
 
@@ -37,6 +37,21 @@ def test_pld_accepts_on_repetitive_continuations():
     lookup must then accept multi-token drafts (fewer steps than tokens)."""
     eng = _engine()
     ids = np.asarray([[7, 3, 7, 3]], np.int32)
-    got, steps = generate_pld(eng, ids, n_tokens=48, K=7)
+    got, steps, _ = generate_pld(eng, ids, n_tokens=48, K=7)
     assert len(got) == 48
     assert steps < 40, steps  # speculation must have accepted something
+
+
+def test_pld_multi_turn_cache_continuation():
+    """PLD with a carried cache (chat turns) matches a fresh full-prompt run."""
+    eng = _engine()
+    ids1 = np.asarray([[5, 9, 11]], np.int32)
+    t1, _, cache = generate_pld(eng, ids1, n_tokens=6, K=7)
+    ids2 = np.asarray([[20, 21]], np.int32)
+    t2, _, _ = generate_pld(eng, ids2, n_tokens=6, K=7, cache=cache,
+                            start=3 + 6)
+
+    full = np.asarray([[5, 9, 11] + t1.tolist() + [20, 21]], np.int32)
+    eng2 = _engine()
+    want, _, _ = generate_pld(eng2, full, n_tokens=6, K=7)
+    np.testing.assert_array_equal(t2, want)

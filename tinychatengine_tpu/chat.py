@@ -74,7 +74,7 @@ def build_engine(model: str, precision: str, checkpoint: str,
 
 
 def repl(engine: Engine, tok, cfg: ModelConfig, gcfg: GenerationConfig,
-         vlm_ctx=None, voice: bool = False):
+         vlm_ctx=None, voice: bool = False, speculative: bool = False):
     """vlm_ctx: optional (clip_params, clip_cfg, image_path) — the image is
     encoded once and spliced into the first turn (LLaVAGenerate.cc:126).
     voice: STT input + sentence-buffered TTS output (the reference's ``-v``
@@ -140,12 +140,31 @@ def repl(engine: Engine, tok, cfg: ModelConfig, gcfg: GenerationConfig,
             tail = "".join(text_buf[-8:])
             return not any(s_ in tail for s_ in tmpl.stop_strings)
 
-        result = engine.generate(
-            np.asarray([ids], np.int32), gcfg, stop_token_ids=stop_ids,
-            on_token=on_token, cache=cache, start=start,
-            input_embeds=input_embeds)
-        cache = result.cache  # input cache buffer was donated
-        n_gen = len(result.tokens[0])
+        result = None
+        if speculative and input_embeds is None:
+            from tinychatengine_tpu.generation.speculative import generate_pld
+            toks, n_steps, cache = generate_pld(
+                engine, np.asarray([ids], np.int32),
+                n_tokens=max(1, min(gcfg.n_predict,
+                                    engine.max_len - start - len(ids) - 16)),
+                cache=cache, start=start)
+            out_toks = []
+            for t in toks.tolist():  # host-side stop handling
+                out_toks.append(t)
+                if t in stop_ids:
+                    break
+                if on_token(t) is False:
+                    break
+            n_gen = len(out_toks)
+            print(f" [{n_gen} tokens in {n_steps} forwards]",
+                  end="", file=sys.stderr)
+        else:
+            result = engine.generate(
+                np.asarray([ids], np.int32), gcfg, stop_token_ids=stop_ids,
+                on_token=on_token, cache=cache, start=start,
+                input_embeds=input_embeds)
+            cache = result.cache  # input cache buffer was donated
+            n_gen = len(result.tokens[0])
         if speaker is not None:
             speaker.flush()
         print()
@@ -179,6 +198,9 @@ def main(argv=None):
     ap.add_argument("-v", "--voice", action="store_true",
                     help="voice chat: STT input, sentence-buffered TTS output "
                          "(needs whisper.cpp stream / piper on PATH)")
+    ap.add_argument("--speculative", action="store_true",
+                    help="prompt-lookup speculative decoding (greedy only: "
+                         "forces temp 0, no penalties; ~2x on repetitive text)")
     args = ap.parse_args(argv)
 
     vlm_ctx = None
@@ -213,7 +235,12 @@ def main(argv=None):
         gcfg.n_predict = args.n_predict
     if args.temp is not None:
         gcfg.temp = args.temp
-    repl(engine, tok, cfg, gcfg, vlm_ctx=vlm_ctx, voice=args.voice)
+    if args.speculative:
+        gcfg.temp = 0.0
+        gcfg.repeat_penalty = 1.0
+        gcfg.frequency_penalty = gcfg.presence_penalty = 0.0
+    repl(engine, tok, cfg, gcfg, vlm_ctx=vlm_ctx, voice=args.voice,
+         speculative=args.speculative)
 
 
 if __name__ == "__main__":

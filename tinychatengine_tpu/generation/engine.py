@@ -110,10 +110,29 @@ class Engine:
             quantized=(self.qcfg.kv_cache_dtype == "int8"))
 
     # -- prefill -----------------------------------------------------------
+    CHUNK = 2048  # long prompts prefill in fixed chunks (bounds activation
+    # memory and jit shapes; flash_prefill attends chunks to the cached past)
+
     def prefill(self, input_ids: np.ndarray, cache: kvc.KVCache,
                 start: int = 0, input_embeds=None):
-        """input_ids: [B, L] (unpadded). Returns (last-pos logits [B, V], cache)."""
+        """input_ids: [B, L] (unpadded). Returns (last-pos logits [B, V], cache).
+
+        Prompts longer than CHUNK run as a chunked prefill (the final chunk's
+        logits are the ones generation needs)."""
         b, n = input_ids.shape
+        while n > self.CHUNK:
+            head, input_ids = input_ids[:, :self.CHUNK], input_ids[:, self.CHUNK:]
+            if input_embeds is not None:
+                he, input_embeds = (input_embeds[:, :self.CHUNK],
+                                    input_embeds[:, self.CHUNK:])
+            else:
+                he = None
+            _, cache = self._jit_step(
+                self.params, self.cfg, jnp.asarray(head), cache,
+                jnp.asarray(start, jnp.int32), input_embeds=he,
+                true_len=jnp.asarray(self.CHUNK, jnp.int32))
+            start += self.CHUNK
+            n -= self.CHUNK
         p = _bucket(n)
         ids = np.zeros((b, p), np.int32)
         ids[:, :n] = input_ids

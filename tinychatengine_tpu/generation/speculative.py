@@ -94,17 +94,21 @@ def pld_decode_loop(params, cfg, forward_fn, first_tok, cache, pos0, hist0,
     return out[:n_tokens], steps, cache
 
 
-def generate_pld(engine, input_ids, n_tokens: int, K: int = 7):
+def generate_pld(engine, input_ids, n_tokens: int, K: int = 7,
+                 cache=None, start: int = 0):
     """Greedy prompt-lookup generation through an Engine (batch 1).
 
-    Returns (tokens [n_tokens] np.ndarray, n_forward_steps). Tokens are
-    bit-identical to engine.generate_device with temp=0 and no penalties.
+    cache/start: continue a multi-turn conversation (chat semantics) — the
+    lookup history covers only tokens seen this call.
+    Returns (tokens [n_tokens] np.ndarray, n_forward_steps, cache). Tokens
+    are bit-identical to engine.generate_device with temp=0, no penalties.
     """
     input_ids = np.atleast_2d(np.asarray(input_ids, np.int32))
     assert input_ids.shape[0] == 1, "speculative decoding is batch-1"
     n_prompt = input_ids.shape[1]
-    cache = engine.new_cache()
-    logits, cache = engine.prefill(input_ids, cache)
+    if cache is None:
+        cache = engine.new_cache()
+    logits, cache = engine.prefill(input_ids, cache, start=start)
     first = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # [1]
 
     hist_len = engine.max_len + K + 1
@@ -112,10 +116,10 @@ def generate_pld(engine, input_ids, n_tokens: int, K: int = 7):
     hist[:n_prompt] = input_ids[0]
     hist[n_prompt] = int(np.asarray(first)[0])
 
-    toks, steps, _ = pld_decode_loop(
+    toks, steps, cache = pld_decode_loop(
         engine.params, engine.cfg, engine._forward, first, cache,
-        jnp.asarray(n_prompt, jnp.int32), jnp.asarray(hist),
+        jnp.asarray(start + n_prompt, jnp.int32), jnp.asarray(hist),
         jnp.asarray(n_prompt + 1, jnp.int32), n_tokens=n_tokens - 1, K=K,
         hist_len=hist_len)
     all_toks = np.concatenate([np.asarray(first), np.asarray(toks)])
-    return all_toks[:n_tokens], int(np.asarray(steps)) + 1
+    return all_toks[:n_tokens], int(np.asarray(steps)) + 1, cache
