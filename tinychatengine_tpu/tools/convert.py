@@ -239,6 +239,9 @@ def main(argv=None):
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel degree the fused qkv/gate-up "
                          "column layout is built for (llama family)")
+    ap.add_argument("--vlm", action="store_true",
+                    help="also convert the CLIP vision tower + mm_projector "
+                         "from the same checkpoint (LLaVA/VILA)")
     args = ap.parse_args(argv)
 
     cfg = get_model_config(args.model)
@@ -263,6 +266,17 @@ def main(argv=None):
         raise NotImplementedError(cfg.family)
     save_checkpoint(args.out, params, cfg, qcfg,
                     extra_meta={"family": cfg.family, "tp_degree": args.tp})
+    if args.vlm:
+        import dataclasses as _dc
+
+        from tinychatengine_tpu.tools.checkpoint import save_clip
+        clip_cfg = get_model_config("clip_vit_large")
+        clip_cfg = _dc.replace(clip_cfg, mmproj_dim=cfg.embed_dim)
+        clip_params = convert_hf_clip(
+            args.src, clip_cfg, mm_proj_src=args.src,
+            prefix="model.vision_tower.vision_tower.vision_model.")
+        save_clip(args.out, clip_params, clip_cfg)
+        print("vision tower + mm_projector saved")
     print(f"converted {args.model} ({args.scheme}, g={args.group_size}) -> {args.out}")
 
 
