@@ -129,3 +129,37 @@ def test_paged_pool_smaller_than_dense():
     reqs = [srv.submit(p, n_predict=6) for p in PROMPTS]
     srv.run()
     assert all(r.finished for r in reqs)
+
+
+def test_serving_with_tensor_parallel_forward():
+    """Continuous batching through the shard_map TP forward (multi-device
+    serving): tokens must match the single-device slot engine exactly."""
+    from tinychatengine_tpu.models import llama
+    from tinychatengine_tpu.parallel.sharding import make_mesh, shard_params
+    from tinychatengine_tpu.parallel.tp import make_tp_forward
+
+    cfg = ModelConfig(
+        name="tiny_tp", family="llama", num_heads=8, num_kv_heads=4,
+        num_layers=2, max_sqlen=128, embed_dim=1024, hidden_dim=1024,
+        vocab_size=512, rms_norm_eps=1e-5)
+    qcfg = QuantConfig(scheme="fp")
+    g = GenerationConfig(temp=0.0, n_predict=8, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    prompts = [np.array([5, 9, 11], np.int32), np.array([7, 3], np.int32),
+               np.array([40, 41, 42, 43], np.int32)]
+
+    params1 = llama.init_random_params(cfg, qcfg, seed=3)
+    srv1 = ServingEngine(params1, cfg, qcfg, slots=2, gcfg=g)
+    reqs1 = [srv1.submit(p) for p in prompts]
+    srv1.run()
+
+    params4 = llama.init_random_params(cfg, qcfg, seed=3, tp_degree=4)
+    mesh = make_mesh(n_data=1, n_model=4)
+    sp = shard_params(params4, mesh)
+    srv4 = ServingEngine(sp, cfg, qcfg, slots=2, gcfg=g,
+                         forward_fn=make_tp_forward(mesh))
+    reqs4 = [srv4.submit(p) for p in prompts]
+    srv4.run()
+
+    for r1, r4 in zip(reqs1, reqs4):
+        assert r1.output_ids == r4.output_ids
