@@ -163,3 +163,36 @@ def test_serving_with_tensor_parallel_forward():
 
     for r1, r4 in zip(reqs1, reqs4):
         assert r1.output_ids == r4.output_ids
+
+
+def test_paged_preemption_preserves_outputs():
+    """A pool too small for all sequences forces preemption; preempted
+    requests resume with progress folded into the prompt, and greedy outputs
+    still match the unconstrained run exactly."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=20, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    want_srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g, paged=True,
+                             page_size=16)  # ample pool
+    wreqs = [want_srv.submit(p, n_predict=20) for p in PROMPTS[:3]]
+    want_srv.run()
+
+    tight = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g, paged=True,
+                          page_size=16, n_pages=6)  # 5 usable pages
+    treqs = [tight.submit(p, n_predict=20) for p in PROMPTS[:3]]
+    tight.run()
+    for w, t in zip(wreqs, treqs):
+        assert w.output_ids == t.output_ids, (w.output_ids, t.output_ids)
+    assert tight.allocator.n_free == tight.page_cache.n_pages - 1
+
+
+def test_paged_pool_too_small_raises():
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=4, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    srv = ServingEngine(params, cfg, qcfg, slots=1, gcfg=g, paged=True,
+                        page_size=16, n_pages=2)  # 1 usable page
+    srv.submit(np.arange(1, 30, dtype=np.int32))  # needs 2 pages to prefill
+    import pytest as _pytest
+    with _pytest.raises(MemoryError):
+        srv.run()

@@ -164,12 +164,40 @@ class ServingEngine:
     def step(self):
         """One scheduler tick: admit while slots are free, then one batched
         decode step for every active slot (continuous batching: admission is
-        per-tick, not per-generation)."""
+        per-tick, not per-generation). Page-pool exhaustion applies
+        backpressure: admission waits, decode growth preempts (the preempted
+        request resumes later with its progress intact)."""
         while self.queue and self._free_slot() is not None:
+            if self.paged and self.allocator.n_free < \
+                    self.allocator.pages_needed(
+                        _bucket(min(len(self.queue[0].prompt_ids),
+                                    self.max_len - 2))):
+                break  # not enough pages: hold the queue until some free
             self._admit(self._free_slot(), self.queue.popleft())
         if not any(s.active for s in self.slots):
+            if self.queue:  # pool too fragmented/small for the next request
+                raise MemoryError(
+                    "paged KV pool cannot fit the next request's prefill "
+                    f"({self.allocator.n_free} pages free)")
             return
         self._decode_once()
+
+    def _preempt(self, slot_idx: int):
+        """Free a slot mid-generation and requeue its request with progress
+        folded into the prompt (vLLM-style recompute preemption): the cache
+        is rebuilt by a future prefill of prompt+emitted, so nothing is
+        re-emitted and greedy output is unchanged."""
+        slot = self.slots[slot_idx]
+        req = slot.request
+        req.prompt_ids = np.concatenate(
+            [req.prompt_ids, np.asarray(req.output_ids, np.int32)])
+        slot.request = None
+        slot.length = 0
+        if self.paged:
+            self.allocator.free(self._slot_pages[slot_idx])
+            self._slot_pages[slot_idx] = []
+            self._tables[slot_idx] = self._dead_page
+        self.queue.appendleft(req)
 
     def _free_slot(self) -> Optional[int]:
         for i, s in enumerate(self.slots):
@@ -208,7 +236,10 @@ class ServingEngine:
         slot = self.slots[slot_idx]
         slot.request = req
         slot.length = n
-        slot.remaining = min(req.n_predict, self.max_len - n - 1)
+        # resumed (preempted) requests keep their budget: n_predict counts
+        # TOTAL emitted tokens, of which len(output_ids) already happened
+        slot.remaining = min(req.n_predict - len(req.output_ids),
+                             self.max_len - n - 1)
 
         # first token from the prefill logits (fresh mirostat mu; PRNG key is
         # engine-wide, mu is per-slot)
@@ -228,12 +259,23 @@ class ServingEngine:
 
     def _decode_once(self):
         if self.paged:
-            # grow: a slot writing at a page boundary needs a fresh page
+            # grow: a slot writing at a page boundary needs a fresh page;
+            # on exhaustion, preempt later-admitted slots until it fits
             for i, slot in enumerate(self.slots):
                 if not slot.active:
                     continue
                 p = self.allocator.page_size
                 if slot.length == len(self._slot_pages[i]) * p:
+                    while self.allocator.n_free < 1:
+                        victim = max(
+                            (j for j, s in enumerate(self.slots)
+                             if s.active and j != i),
+                            key=lambda j: len(self.slots[j].request.output_ids),
+                            default=None)
+                        if victim is None:
+                            raise MemoryError(
+                                "paged KV pool exhausted with one sequence")
+                        self._preempt(victim)
                     pg_id = self.allocator.alloc(1)[0]
                     self._slot_pages[i].append(pg_id)
                     self._tables[i, len(self._slot_pages[i]) - 1] = pg_id
