@@ -196,3 +196,36 @@ def test_paged_pool_too_small_raises():
     import pytest as _pytest
     with _pytest.raises(MemoryError):
         srv.run()
+
+
+def test_paged_serving_with_tensor_parallel():
+    """Paged KV + block tables + TP shard_map forward: tokens match the
+    single-device paged engine exactly."""
+    from tinychatengine_tpu.models import llama
+    from tinychatengine_tpu.parallel.sharding import make_mesh, shard_params
+    from tinychatengine_tpu.parallel.tp import make_tp_forward
+
+    cfg = ModelConfig(
+        name="tiny_tp", family="llama", num_heads=8, num_kv_heads=4,
+        num_layers=2, max_sqlen=128, embed_dim=1024, hidden_dim=1024,
+        vocab_size=512, rms_norm_eps=1e-5)
+    qcfg = QuantConfig(scheme="fp")
+    g = GenerationConfig(temp=0.0, n_predict=6, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    prompts = [np.array([5, 9, 11], np.int32), np.array([7, 3], np.int32)]
+
+    params1 = llama.init_random_params(cfg, qcfg, seed=4)
+    srv1 = ServingEngine(params1, cfg, qcfg, slots=2, gcfg=g, paged=True,
+                         page_size=16)
+    r1 = [srv1.submit(p) for p in prompts]
+    srv1.run()
+
+    params4 = llama.init_random_params(cfg, qcfg, seed=4, tp_degree=4)
+    mesh = make_mesh(n_data=1, n_model=4)
+    srv4 = ServingEngine(shard_params(params4, mesh), cfg, qcfg, slots=2,
+                         gcfg=g, paged=True, page_size=16,
+                         forward_fn=make_tp_forward(mesh))
+    r4 = [srv4.submit(p) for p in prompts]
+    srv4.run()
+    for a, b in zip(r1, r4):
+        assert a.output_ids == b.output_ids

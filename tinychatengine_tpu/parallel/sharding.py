@@ -151,3 +151,14 @@ def shard_cache(cache, mesh: Mesh):
         v_scale=None if cache.v_scale is None else jax.device_put(
             cache.v_scale, NamedSharding(mesh, P(*cache_spec()[:-1]))),
     )
+
+
+def shard_paged_cache(cache, mesh: Mesh):
+    """Paged KV pages sharded on KV heads over the model axis."""
+    from tinychatengine_tpu.runtime.paged import PagedKVCache
+    cs = NamedSharding(mesh, P(None, None, "model", None, None))
+    ss = NamedSharding(mesh, P(None, None, "model", None))
+    return PagedKVCache(
+        k=jax.device_put(cache.k, cs), v=jax.device_put(cache.v, cs),
+        k_scale=None if cache.k_scale is None else jax.device_put(cache.k_scale, ss),
+        v_scale=None if cache.v_scale is None else jax.device_put(cache.v_scale, ss))

@@ -20,7 +20,15 @@ from tinychatengine_tpu.models import llama
 from tinychatengine_tpu.parallel.sharding import cache_spec, llama_param_specs
 
 
-def _cache_specs(cache: KVCache) -> KVCache:
+def _cache_specs(cache):
+    from tinychatengine_tpu.runtime.paged import PagedKVCache
+    if isinstance(cache, PagedKVCache):
+        cs = P(None, None, "model", None, None)   # [L, pages, H_kv, page, D]
+        ss = P(None, None, "model", None)
+        return PagedKVCache(
+            k=cs, v=cs,
+            k_scale=None if cache.k_scale is None else ss,
+            v_scale=None if cache.v_scale is None else ss)
     cs = cache_spec()                        # [L, B, H_kv, S, D]
     ss = P(*cs[:-1])                         # scales drop the head_dim axis
     return KVCache(
@@ -36,23 +44,31 @@ def make_tp_forward(mesh: Mesh, forward=llama.forward,
     tensor-parallel over mesh axis "model" and data-parallel over "data"."""
 
     def tp_forward(params, cfg, input_ids, cache, start, input_embeds=None,
-                   full_logits: bool = False, true_len=None):
+                   full_logits: bool = False, true_len=None, page_table=None):
         pspecs = param_specs_fn(params)
         in_specs = (pspecs, P("data", None), _cache_specs(cache), P())
         args = (params, input_ids, cache, start)
+        n_extra = 0
         if input_embeds is not None:
             in_specs = in_specs + (P("data", None, None),)
             args = args + (input_embeds,)
         if true_len is not None:
             in_specs = in_specs + (P(),)
             args = args + (true_len,)
+        if page_table is not None:  # replicated block tables (paged serving)
+            in_specs = in_specs + (P(None, None),)
+            args = args + (page_table,)
 
         def local(params, input_ids, cache, start, *rest):
-            embeds = rest[0] if input_embeds is not None else None
-            tlen = rest[-1] if true_len is not None else None
+            rest = list(rest)
+            embeds = rest.pop(0) if input_embeds is not None else None
+            tlen = rest.pop(0) if true_len is not None else None
+            kw = {}
+            if page_table is not None:  # only llama supports paged decode
+                kw["page_table"] = rest.pop(0)
             return forward(params, cfg, input_ids, cache, start,
                            input_embeds=embeds, full_logits=full_logits,
-                           true_len=tlen, tp_axis="model")
+                           true_len=tlen, tp_axis="model", **kw)
 
         out_specs = (P("data", None, None) if full_logits else P("data", None),
                      _cache_specs(cache))
