@@ -91,3 +91,31 @@ def test_llama3_tiktoken_model_loader(tmp_path):
     assert tok.id_to_token[2] == b"ab"
     ids = tok.encode("abab", bos=False)
     assert tok.decode(ids) == "abab"
+
+
+def test_stream_decoder_multibyte_safety():
+    """Byte-fallback tokens split multi-byte UTF-8; the stream decoder must
+    never emit replacement chars for valid sequences and must reproduce the
+    batch decode exactly."""
+    from tinychatengine_tpu.tokenizers.byte_fallback import ByteTokenizer
+    from tinychatengine_tpu.tokenizers.streaming import StreamDecoder
+
+    tok = ByteTokenizer()
+    text = "héllo ünïcödé 日本語 🤖 done"
+    ids = tok.encode(text, bos=False)
+    sdec = StreamDecoder(tok)
+    out = "".join(sdec.feed(t) for t in ids) + sdec.flush()
+    assert out == tok.decode(ids)
+    assert "�" not in out
+
+
+def test_stream_decoder_window_reset_long_output():
+    from tinychatengine_tpu.tokenizers.byte_fallback import ByteTokenizer
+    from tinychatengine_tpu.tokenizers.streaming import StreamDecoder
+
+    tok = ByteTokenizer()
+    text = "abc " * 100
+    ids = tok.encode(text, bos=False)
+    sdec = StreamDecoder(tok)
+    out = "".join(sdec.feed(t) for t in ids) + sdec.flush()
+    assert out == text

@@ -128,9 +128,11 @@ def repl(engine: Engine, tok, cfg: ModelConfig, gcfg: GenerationConfig,
 
         print(f"{_BOLD}ASSISTANT: {_RESET}", end="", flush=True)
         text_buf = []
+        from tinychatengine_tpu.tokenizers.streaming import StreamDecoder
+        sdec = StreamDecoder(tok)
 
         def on_token(t):
-            piece = tok.decode([t])
+            piece = sdec.feed(t)  # UTF-8-safe incremental detokenization
             text_buf.append(piece)
             sys.stdout.write(_BLUE + piece + _RESET)
             sys.stdout.flush()
