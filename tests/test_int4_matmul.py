@@ -64,3 +64,28 @@ def test_xla_fallback_matches_ref():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(expected, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_glu_fused_down_matches_composition():
+    import jax
+    import jax.numpy as jnp
+
+    from tinychatengine_tpu.ops.int4_matmul import int4_matmul_glu, int4_matmul_xla
+    from tinychatengine_tpu.ops.linear import Int4Linear, random_int4_linear
+
+    F, N, L = 512, 256, 2
+    lins = [random_int4_linear(k, F, N) for k in jax.random.split(jax.random.PRNGKey(0), L)]
+    dn = Int4Linear(packed=jnp.stack([l.packed for l in lins]),
+                    scales=jnp.stack([l.scales for l in lins]))
+    rng = np.random.default_rng(0)
+    gu = jnp.asarray(rng.standard_normal((4, 2 * F)), jnp.bfloat16)
+
+    for li in range(L):
+        y = int4_matmul_glu(gu, dn.packed, dn.scales, 128,
+                            layer_idx=jnp.int32(li), interpret=True)
+        g = gu[..., :F].astype(jnp.float32)
+        act = (jax.nn.silu(g) * gu[..., F:].astype(jnp.float32)).astype(jnp.bfloat16)
+        want = int4_matmul_xla(act, dn.packed[li], dn.scales[li], 128)
+        np.testing.assert_allclose(np.asarray(y, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=0.06, atol=0.06)
