@@ -94,3 +94,16 @@ def test_clip_checkpoint_roundtrip(tmp_path):
     a = np.asarray(vlm.encode_image(cparams, ccfg, img), np.float32)
     b = np.asarray(vlm.encode_image(loaded, cfg2, img), np.float32)
     np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_clip_bf16_tracks_f32():
+    import jax.numpy as _jnp
+    ccfg, cparams = _tiny_clip(mmproj_dim=96)
+    img = np.random.default_rng(5).integers(0, 256, (40, 40, 3), np.uint8)
+    pixels = clip.preprocess_image(jnp.asarray(img), ccfg.image_size)[None]
+    a = np.asarray(clip.encode_image(cparams, ccfg, pixels,
+                                     dtype=_jnp.float32), np.float32)
+    b = np.asarray(clip.encode_image(cparams, ccfg, pixels,
+                                     dtype=_jnp.bfloat16), np.float32)
+    denom = np.abs(a).max() + 1e-6
+    assert np.abs(a - b).max() / denom < 0.05
