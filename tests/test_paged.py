@@ -70,6 +70,33 @@ def test_paged_decode_matches_oracle():
             np.asarray(want, np.float32).ravel(), rtol=0.05, atol=0.05)
 
 
+def test_paged_decode_sliding_window():
+    """Paged decode with a sliding window matches the windowed oracle
+    (Mistral under paged serving — ADVICE r1: the paged kernel previously
+    attended the full context)."""
+    rng = np.random.default_rng(7)
+    L, H, P, D, hq = 2, 2, 64, 128, 8
+    B = 2
+    table = np.asarray([[0, 2, 4, 6], [1, 3, 5, 7]], np.int32)
+    lengths = np.asarray([230, 80], np.int32)
+    cache, ck, cv = _fill_paged(rng, L, 8, H, P, D, table, lengths)
+
+    q = jnp.asarray(rng.standard_normal((B, hq, D)), jnp.bfloat16)
+    for window in (64, 100, 256):
+        out = flash_decode_paged(q, cache.k, cache.v, jnp.int32(L - 1),
+                                 jnp.asarray(lengths), jnp.asarray(table),
+                                 window=window, interpret=True)
+        for b in range(B):
+            ln = int(lengths[b])
+            pos = jnp.full((1, 1), ln - 1, jnp.int32)
+            want = attention_xla(q[b:b + 1, None], ck[b:b + 1], cv[b:b + 1],
+                                 pos, ln, window=window)[:, 0]
+            np.testing.assert_allclose(
+                np.asarray(out[b], np.float32).ravel(),
+                np.asarray(want, np.float32).ravel(), rtol=0.05, atol=0.05,
+                err_msg=f"window={window} b={b}")
+
+
 def test_paged_update_then_decode():
     """Token-by-token paged writes reproduce contiguous attention."""
     rng = np.random.default_rng(1)

@@ -55,3 +55,20 @@ def test_pld_multi_turn_cache_continuation():
     eng2 = _engine()
     want, _, _ = generate_pld(eng2, full, n_tokens=6, K=7)
     np.testing.assert_array_equal(t2, want)
+
+
+def test_pld_multi_turn_no_overshoot_luck():
+    """Continuation must match a fresh run even when the final verify step
+    does NOT overshoot (the final token's K/V must be written explicitly) —
+    sweep n_tokens so both exit modes (exact landing and overshoot) occur."""
+    eng = _engine()
+    for n1 in (2, 3, 4, 5, 6, 7):
+        ids1 = np.asarray([[100, 50, 25]], np.int32)
+        t1, _, cache = generate_pld(eng, ids1, n_tokens=n1, K=4)
+        ids2 = np.asarray([[60, 61]], np.int32)
+        t2, _, _ = generate_pld(eng, ids2, n_tokens=5, K=4, cache=cache,
+                                start=3 + n1)
+
+        full = np.asarray([[100, 50, 25] + t1.tolist() + [60, 61]], np.int32)
+        want, _, _ = generate_pld(eng, full, n_tokens=5, K=4)
+        np.testing.assert_array_equal(t2, want, err_msg=f"n_tokens={n1}")

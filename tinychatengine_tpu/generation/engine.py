@@ -178,14 +178,18 @@ class Engine:
 
         out = [[] for _ in range(b)]
         stop = set(int(t) for t in stop_token_ids)
+        finished = [False] * b  # per-row stop-token state (batch > 1)
         t_decode0 = time.perf_counter()
         pos = start + n_prompt
         for step in range(gcfg.n_predict):
             for i in range(b):
-                out[i].append(int(tok_host[i]))
+                if not finished[i]:
+                    out[i].append(int(tok_host[i]))
+                    if int(tok_host[i]) in stop:
+                        finished[i] = True
             if on_token is not None and on_token(int(tok_host[0])) is False:
                 break  # callback requested stop (e.g. stop-string hit)
-            if b == 1 and int(tok_host[0]) in stop:
+            if all(finished):
                 break
             if pos + 1 >= self.max_len:
                 break
@@ -206,11 +210,13 @@ class Engine:
     # -- device-loop generation (bench/serving path) -------------------------
     def generate_device(self, input_ids, gcfg: GenerationConfig,
                         n_tokens: Optional[int] = None,
-                        cache: Optional[kvc.KVCache] = None) -> jax.Array:
+                        cache: Optional[kvc.KVCache] = None,
+                        return_cache: bool = False):
         """Run prefill + n_tokens decode steps entirely on device.
 
-        Returns tokens [B, n_tokens]. No early stopping (fixed trip count
-        keeps the XLA program static); the host checks stop tokens after.
+        Returns tokens [B, n_tokens] (and the final cache if return_cache).
+        No early stopping (fixed trip count keeps the XLA program static);
+        the host checks stop tokens after.
         """
         input_ids = np.atleast_2d(np.asarray(input_ids, np.int32))
         b, n_prompt = input_ids.shape
@@ -228,9 +234,10 @@ class Engine:
         last = last.at[:, window - tail:].set(
             jnp.asarray(input_ids[:, n_prompt - tail:]))
 
-        return _device_decode_loop(
+        tokens, cache = _device_decode_loop(
             self.params, self.cfg, logits, cache, state, last,
             jnp.asarray(n_prompt, jnp.int32), hcfg, n_tokens, self._forward)
+        return (tokens, cache) if return_cache else tokens
 
 
 @functools.partial(jax.jit,
@@ -245,9 +252,13 @@ def _device_decode_loop(params, cfg, logits, cache, state, last, pos, gcfg,
         logits, cache = forward_fn(params, cfg, tok[:, None], cache, pos)
         return (logits, cache, state, last, pos + 1), tok
 
-    (_, _, _, _, _), tokens = jax.lax.scan(
+    # The final cache MUST be an output: a donated input buffer is only
+    # reusable when it aliases some output — returning tokens alone made XLA
+    # copy the full 2x134 MB cache at loop entry every call ("Some donated
+    # buffers were not usable", BENCH_r01 tail).
+    (_, cache, _, _, _), tokens = jax.lax.scan(
         step, (logits, cache, state, last, pos), None, length=n_tokens)
-    return tokens.T  # [B, n_tokens]
+    return tokens.T, cache  # [B, n_tokens], final KV cache
 
 
 @dataclasses.dataclass(frozen=True)

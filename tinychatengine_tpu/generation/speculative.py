@@ -91,7 +91,7 @@ def pld_decode_loop(params, cfg, forward_fn, first_tok, cache, pos0, hist0,
              jnp.int32(0), pos0, jnp.int32(0))
     out, cache, _, _, _, _, n_out, _, steps = jax.lax.while_loop(
         cond2, body2, carry)
-    return out[:n_tokens], steps, cache
+    return out[:n_tokens], steps, n_out, cache
 
 
 def generate_pld(engine, input_ids, n_tokens: int, K: int = 7,
@@ -116,10 +116,30 @@ def generate_pld(engine, input_ids, n_tokens: int, K: int = 7,
     hist[:n_prompt] = input_ids[0]
     hist[n_prompt] = int(np.asarray(first)[0])
 
-    toks, steps, cache = pld_decode_loop(
+    toks, steps, n_out, cache = pld_decode_loop(
         engine.params, engine.cfg, engine._forward, first, cache,
         jnp.asarray(start + n_prompt, jnp.int32), jnp.asarray(hist),
         jnp.asarray(n_prompt + 1, jnp.int32), n_tokens=n_tokens - 1, K=K,
         hist_len=hist_len)
     all_toks = np.concatenate([np.asarray(first), np.asarray(toks)])
+
+    # Multi-turn cache hygiene. The loop only writes a token's K/V when it is
+    # FED on the next step, so the final emitted token's K/V is missing unless
+    # the last verify step overshot; and on overshoot, rows past the returned
+    # window hold speculative K/V that the loop counted as valid. Make the
+    # cache exactly cover [0, start + n_prompt + n_tokens): feed the unfed
+    # tail token (discard logits), or clamp length below the overshoot.
+    from tinychatengine_tpu.generation import kv_cache as kvc
+    n_emitted = 1 + int(np.asarray(n_out))       # includes `first`
+    keep = min(n_emitted, n_tokens)              # tokens the caller may resume from
+    if n_emitted <= n_tokens:
+        # final emitted token was never fed — write its K/V (length +1 inside)
+        tail = jnp.asarray([[int(all_toks[n_emitted - 1])]], jnp.int32)
+        _, cache = engine._jit_step(
+            engine.params, engine.cfg, tail, cache,
+            jnp.asarray(start + n_prompt + n_emitted - 1, jnp.int32))
+    else:
+        cache = kvc.KVCache(k=cache.k, v=cache.v,
+                            length=jnp.asarray(start + n_prompt + keep, jnp.int32),
+                            k_scale=cache.k_scale, v_scale=cache.v_scale)
     return all_toks[:n_tokens], int(np.asarray(steps)) + 1, cache

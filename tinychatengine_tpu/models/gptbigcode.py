@@ -19,7 +19,7 @@ from tinychatengine_tpu.core.config import ModelConfig
 from tinychatengine_tpu.generation import kv_cache as kvc
 from tinychatengine_tpu.ops import ref
 from tinychatengine_tpu.ops.attention import attention_xla, flash_decode, flash_prefill
-from tinychatengine_tpu.ops.linear import DenseLinear, apply_linear
+from tinychatengine_tpu.ops.linear import DenseLinear, apply_linear, row_parallel
 
 NEG_INF = -1e30
 
@@ -70,13 +70,21 @@ def forward(params: GPTBigCodeParams, cfg: ModelConfig, input_ids: jax.Array,
     positions = jnp.broadcast_to(positions, (b, s))
     x = (params.wte[input_ids] + params.wpe[positions]).astype(jnp.bfloat16)
 
-    def step(carry, layer_and_idx):
-        x, cache = carry
-        layer, layer_idx = layer_and_idx
+    layers = params.layers  # stacked [L, ...]; indexed INSIDE the step so
+    # the int4 kernels stream tiles from the stacked HBM buffers (scan-xs
+    # pre-slicing copies a full layer's weights per step, models/llama.py)
 
-        h = ref.layer_norm_ref(x, layer.ln1_w, layer.ln1_b)
-        qkv = apply_linear(layer.c_attn, h)             # [B, S, Hq*D + 2D]
-        nq = qkv.shape[-1] - 2 * d
+    def unstack(stacked, layer_idx):
+        return jax.lax.dynamic_index_in_dim(stacked, layer_idx, 0,
+                                            keepdims=False)
+
+    def step(carry, layer_idx):
+        x, cache = carry
+
+        h = ref.layer_norm_ref(x, unstack(layers.ln1_w, layer_idx),
+                               unstack(layers.ln1_b, layer_idx))
+        qkv = apply_linear(layers.c_attn, h, layer_idx=layer_idx)
+        nq = qkv.shape[-1] - 2 * d                       # [B, S, Hq*D + 2D]
         hq = nq // d
         q = qkv[..., :nq].reshape(b, s, hq, d)
         k = qkv[..., nq:nq + d].reshape(b, s, 1, d)     # MQA: 1 kv head
@@ -100,22 +108,22 @@ def forward(params: GPTBigCodeParams, cfg: ModelConfig, input_ids: jax.Array,
         else:
             ck, cv = kvc.read_layer(cache2, layer_idx)  # [B, 1, Smax, D]
             attn = attention_xla(q, ck, cv, positions, start + s)
-        attn = apply_linear(layer.c_proj, attn.astype(x.dtype))
-        if tp_axis is not None:
-            attn = jax.lax.psum(attn, tp_axis)
+        # row-parallel: bias added once AFTER the psum (Megatron bias rule)
+        attn = row_parallel(layers.c_proj, attn.astype(x.dtype), tp_axis,
+                            layer_idx=layer_idx)
         x = x + attn.astype(x.dtype)
 
-        h2 = ref.layer_norm_ref(x, layer.ln2_w, layer.ln2_b)
-        f = ref.gelu_ref(apply_linear(layer.fc_in, h2).astype(jnp.float32))
-        f = apply_linear(layer.fc_out, f.astype(h2.dtype))
-        if tp_axis is not None:
-            f = jax.lax.psum(f, tp_axis)
+        h2 = ref.layer_norm_ref(x, unstack(layers.ln2_w, layer_idx),
+                                unstack(layers.ln2_b, layer_idx))
+        f = ref.gelu_ref(apply_linear(layers.fc_in, h2, layer_idx=layer_idx)
+                         .astype(jnp.float32))
+        f = row_parallel(layers.fc_out, f.astype(h2.dtype), tp_axis,
+                         layer_idx=layer_idx)
         x = x + f.astype(x.dtype)
         return (x, cache2), None
 
     (x, cache), _ = jax.lax.scan(
-        step, (x, cache),
-        (params.layers, jnp.arange(cfg.num_layers, dtype=jnp.int32)))
+        step, (x, cache), jnp.arange(cfg.num_layers, dtype=jnp.int32))
     n_new = jnp.asarray(s, jnp.int32) if true_len is None else true_len
     cache = kvc.advance(cache, n_new)
 

@@ -152,8 +152,8 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
             if jax.default_backend() == "tpu" and d % 128 == 0:
                 attn = flash_decode_paged(
                     q[:, 0], cache2.k, cache2.v, layer_idx, start + 1,
-                    page_table, cache2.k_scale,
-                    cache2.v_scale).reshape(b, 1, hq * d)
+                    page_table, cache2.k_scale, cache2.v_scale,
+                    window=cfg.sliding_window).reshape(b, 1, hq * d)
             else:  # gather pages into a contiguous view, dense oracle
                 ids = jnp.asarray(page_table, jnp.int32)        # [B, MP]
                 ck = cache2.k[layer_idx][ids]                   # [B,MP,H,P,D]

@@ -32,7 +32,9 @@ import jax.numpy as jnp
 from tinychatengine_tpu.core.config import ModelConfig
 from tinychatengine_tpu.generation import kv_cache as kvc
 from tinychatengine_tpu.ops import ref
-from tinychatengine_tpu.ops.linear import DenseLinear, W8A8Linear, apply_linear
+from tinychatengine_tpu.ops.attention import attention_xla, flash_decode, flash_prefill
+from tinychatengine_tpu.ops.linear import (DenseLinear, W8A8Linear,
+                                            apply_linear, row_parallel)
 
 NEG_INF = -1e30
 POS_OFFSET = 2  # OPT's learned-position quirk (Int8OPTDecoder.cc:26-39)
@@ -85,24 +87,21 @@ def _s8_requant_matmul(a_s8, b_s8, alpha, transpose_b=False):
     return acc.astype(jnp.float32) * alpha
 
 
-def _row_parallel(p, x, tp_axis, **kw):
-    """Row-parallel linear with the bias added AFTER the psum (a per-shard
-    bias would be reduced tp_degree times — the Megatron bias rule)."""
-    import dataclasses as _dc
-    if tp_axis is None or p.bias is None:
-        y = apply_linear(p, x, **kw)
-        return jax.lax.psum(y, tp_axis) if tp_axis is not None else y
-    y = apply_linear(_dc.replace(p, bias=None), x, **kw)
-    y = jax.lax.psum(y, tp_axis)
-    return y + p.bias.astype(y.dtype)
-
-
 def forward(params: OPTParams, cfg: ModelConfig, input_ids: jax.Array,
             cache: kvc.KVCache, start: jax.Array,
             full_logits: bool = False, true_len: Optional[jax.Array] = None,
             tp_axis: Optional[str] = None, input_embeds=None):
-    """Same contract as models.llama.forward. The int8/fp path is selected by
-    the parameter container types (static at trace time)."""
+    """Same contract as models.llama.forward. The int8/int4/fp path is
+    selected by the parameter container types (static at trace time).
+
+    Like models.llama, the layer scan iterates over ``layer_idx`` ONLY and
+    streams weight tiles from the stacked HBM buffers via
+    ``apply_linear(layer_idx=...)`` — consuming ``params.layers`` as scan xs
+    would materialize a full per-layer weight copy each step (measured at
+    35% of decode-step device time, models/llama.py:122-125). The fp/int4
+    paths use the flash decode/prefill kernels (the reference's Int8OPT runs
+    dense O(S_max) attention, Int8OPTAttention.cc:27-58 — the int8 path here
+    keeps those requant semantics exactly, quantized probs and all)."""
     b, s = input_ids.shape
     x = params.embed_tokens[input_ids].astype(jnp.float32)
     start = jnp.asarray(start, jnp.int32)
@@ -112,73 +111,108 @@ def forward(params: OPTParams, cfg: ModelConfig, input_ids: jax.Array,
     x = x + params.embed_positions[positions + POS_OFFSET].astype(jnp.float32)
 
     d = cfg.head_dim
+    layers = params.layers  # stacked [L, ...]; indexed INSIDE the step
+    int8_path = isinstance(layers.q_proj, W8A8Linear)
 
-    def step(carry, layer_and_idx):
+    def unstack(stacked, layer_idx):
+        return jax.lax.dynamic_index_in_dim(stacked, layer_idx, 0,
+                                            keepdims=False)
+
+    def step(carry, layer_idx):
         x, cache = carry
-        layer, layer_idx = layer_and_idx
-        int8_path = isinstance(layer.q_proj, W8A8Linear)
 
         # ---- attention ----
+        ln1w = unstack(layers.attn_ln_w, layer_idx)
+        ln1b = unstack(layers.attn_ln_b, layer_idx)
         if int8_path:
-            h = ref.layer_norm_q_ref(x, layer.attn_ln_w, layer.attn_ln_b)
+            h = ref.layer_norm_q_ref(x, ln1w, ln1b)
         else:
-            h = ref.layer_norm_ref(x, layer.attn_ln_w, layer.attn_ln_b)
+            h = ref.layer_norm_ref(x, ln1w, ln1b)
 
-        q = apply_linear(layer.q_proj, h, out_int8=int8_path)
-        k = apply_linear(layer.k_proj, h, out_int8=int8_path)
-        v = apply_linear(layer.v_proj, h, out_int8=int8_path)
+        q = apply_linear(layers.q_proj, h, out_int8=int8_path,
+                         layer_idx=layer_idx)
+        k = apply_linear(layers.k_proj, h, out_int8=int8_path,
+                         layer_idx=layer_idx)
+        v = apply_linear(layers.v_proj, h, out_int8=int8_path,
+                         layer_idx=layer_idx)
         hq = q.shape[-1] // d
         q = q.reshape(b, s, hq, d)
         k = k.reshape(b, s, hq, d)
         v = v.reshape(b, s, hq, d)
 
         cache2 = kvc.update_layer(cache, k, v, layer_idx, start)
-        ck, cv = kvc.read_layer(cache2, layer_idx)  # [B, H, Smax, D]
-        smax = ck.shape[2]
 
+        use_flash = (not int8_path and jax.default_backend() == "tpu"
+                     and d % 128 == 0)
         if int8_path:
-            logits = _s8_requant_matmul(q, ck, layer.qk_alpha, transpose_b=True)
-        else:
-            logits = jnp.einsum("bshd,bhtd->bhst", q.astype(jnp.float32),
-                                ck.astype(jnp.float32)) / (d ** 0.5)
-
-        col = jnp.arange(smax)
-        kv_valid = jnp.asarray(start + s).reshape(-1, 1, 1)  # scalar or [B]
-        allowed = (col[None, None, :] <= positions[:, :, None]) & (
-            col[None, None, :] < kv_valid)
-        logits = jnp.where(allowed[:, None, :, :], logits, NEG_INF)
-        probs = jax.nn.softmax(logits, axis=-1)
-
-        if int8_path:
+            ck, cv = kvc.read_layer(cache2, layer_idx)  # [B, H, Smax, D]
+            smax = ck.shape[2]
+            qk_alpha = unstack(layers.qk_alpha, layer_idx)
+            logits = _s8_requant_matmul(q, ck, qk_alpha, transpose_b=True)
+            col = jnp.arange(smax)
+            kv_valid = jnp.asarray(start + s).reshape(-1, 1, 1)
+            allowed = (col[None, None, :] <= positions[:, :, None]) & (
+                col[None, None, :] < kv_valid)
+            logits = jnp.where(allowed[:, None, :, :], logits, NEG_INF)
+            probs = jax.nn.softmax(logits, axis=-1)
             # ×127 requant of probs → s8 (Int8OPTAttention.cc dataflow)
             p_s8 = jnp.clip(jnp.round(probs * 127.0), -128, 127).astype(jnp.int8)
-            attn = _s8_requant_matmul(p_s8, cv, layer.pv_alpha)  # [B,S,H,D] f32
+            pv_alpha = unstack(layers.pv_alpha, layer_idx)
+            attn = _s8_requant_matmul(p_s8, cv, pv_alpha)  # [B,S,H,D] f32
             attn_s8 = jnp.clip(jnp.round(attn), -128, 127).astype(jnp.int8)
-            attn_out = _row_parallel(layer.out_proj,
-                                     attn_s8.reshape(b, s, hq * d), tp_axis)
+            attn_out = row_parallel(layers.out_proj,
+                                    attn_s8.reshape(b, s, hq * d), tp_axis,
+                                    layer_idx=layer_idx)
+        elif use_flash:
+            if s == 1:
+                attn = flash_decode(
+                    q[:, 0].astype(jnp.bfloat16), cache2.k, cache2.v,
+                    layer_idx, jnp.broadcast_to(start + 1, (b,)),
+                    cache2.k_scale, cache2.v_scale).reshape(b, 1, hq * d)
+            else:
+                attn = flash_prefill(
+                    q.astype(jnp.bfloat16), cache2.k, cache2.v, layer_idx,
+                    start, start + s, cache2.k_scale, cache2.v_scale)
+            attn_out = row_parallel(layers.out_proj,
+                                    attn.astype(jnp.float32), tp_axis,
+                                    layer_idx=layer_idx)
         else:
-            attn = jnp.einsum("bhst,bhtd->bshd", probs,
-                              cv.astype(jnp.float32))
-            attn_out = _row_parallel(
-                layer.out_proj, attn.reshape(b, s, hq * d).astype(jnp.float32),
-                tp_axis)
+            ck, cv = kvc.read_layer(cache2, layer_idx)  # [B, H, Smax, D]
+            smax = ck.shape[2]
+            logits = jnp.einsum("bshd,bhtd->bhst", q.astype(jnp.float32),
+                                ck.astype(jnp.float32)) / (d ** 0.5)
+            col = jnp.arange(smax)
+            kv_valid = jnp.asarray(start + s).reshape(-1, 1, 1)
+            allowed = (col[None, None, :] <= positions[:, :, None]) & (
+                col[None, None, :] < kv_valid)
+            logits = jnp.where(allowed[:, None, :, :], logits, NEG_INF)
+            probs = jax.nn.softmax(logits, axis=-1)
+            attn = jnp.einsum("bhst,bhtd->bshd", probs, cv.astype(jnp.float32))
+            attn_out = row_parallel(
+                layers.out_proj, attn.reshape(b, s, hq * d).astype(jnp.float32),
+                tp_axis, layer_idx=layer_idx)
         x = x + attn_out.astype(jnp.float32)
 
         # ---- FFN ----
+        ln2w = unstack(layers.final_ln_w, layer_idx)
+        ln2b = unstack(layers.final_ln_b, layer_idx)
         if int8_path:
-            h2 = ref.layer_norm_q_ref(x, layer.final_ln_w, layer.final_ln_b)
-            f = apply_linear(layer.fc1, h2, out_int8=True, relu=True)
-            f = _row_parallel(layer.fc2, f, tp_axis)
+            h2 = ref.layer_norm_q_ref(x, ln2w, ln2b)
+            f = apply_linear(layers.fc1, h2, out_int8=True, relu=True,
+                             layer_idx=layer_idx)
+            f = row_parallel(layers.fc2, f, tp_axis, layer_idx=layer_idx)
         else:
-            h2 = ref.layer_norm_ref(x, layer.final_ln_w, layer.final_ln_b)
-            f = jnp.maximum(apply_linear(layer.fc1, h2), 0.0)
-            f = _row_parallel(layer.fc2, f.astype(h2.dtype), tp_axis)
+            h2 = ref.layer_norm_ref(x, ln2w, ln2b)
+            f = jnp.maximum(
+                apply_linear(layers.fc1, h2, layer_idx=layer_idx)
+                .astype(jnp.float32), 0.0)
+            f = row_parallel(layers.fc2, f.astype(h2.dtype), tp_axis,
+                             layer_idx=layer_idx)
         x = x + f.astype(jnp.float32)
         return (x, cache2), None
 
     (x, cache), _ = jax.lax.scan(
-        step, (x, cache),
-        (params.layers, jnp.arange(cfg.num_layers, dtype=jnp.int32)))
+        step, (x, cache), jnp.arange(cfg.num_layers, dtype=jnp.int32))
     n_new = jnp.asarray(s, jnp.int32) if true_len is None else true_len
     cache = kvc.advance(cache, n_new)
 
@@ -188,16 +222,21 @@ def forward(params: OPTParams, cfg: ModelConfig, input_ids: jax.Array,
     logits = apply_linear(params.lm_head, x.astype(jnp.bfloat16)).astype(jnp.float32)
     if tp_axis is not None:
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    logits = logits[..., :cfg.vocab_size]  # int4 lm_head N may be tile-padded
     return (logits if full_logits else logits[:, 0, :]), cache
 
 
 def init_random_params(cfg: ModelConfig, quantized: bool = False,
-                       seed: int = 0) -> OPTParams:
-    """Random weights (tests; real checkpoints via tools.convert_opt)."""
+                       seed: int = 0, qcfg=None) -> OPTParams:
+    """Random weights (tests; real checkpoints via tools.convert_opt).
+
+    quantized=True → W8A8 containers; qcfg with scheme w4a16/w4a8 → Int4
+    containers (the reference's Int4OPT* stack, Int4OPTAttention.cc)."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
     e, f, v = cfg.embed_dim, cfg.hidden_dim, cfg.vocab_size
+    scheme = getattr(qcfg, "scheme", None) if qcfg is not None else None
 
     def dense(k, n):
         return DenseLinear(
@@ -210,7 +249,23 @@ def init_random_params(cfg: ModelConfig, quantized: bool = False,
             alpha=jnp.asarray(alpha, jnp.float32),
             bias=jnp.asarray(rng.integers(-10, 10, (n,)), jnp.float32))
 
-    lin = (lambda k, n: w8a8(k, n)) if quantized else dense
+    def int4(k, n):
+        from tinychatengine_tpu.ops.linear import (Int4A8Linear,
+                                                    random_int4_linear)
+        p = random_int4_linear(
+            jax.random.PRNGKey(int(rng.integers(1 << 30))), k, n,
+            qcfg.group_size)
+        bias = jnp.asarray(rng.standard_normal(n) * 0.01, jnp.float32)
+        cls = Int4A8Linear if scheme == "w4a8" else type(p)
+        return cls(packed=p.packed, scales=p.scales, bias=bias)
+
+    if scheme in ("w4a16", "w4a8"):
+        lin = int4
+        dense = int4  # the Int4OPT stack quantizes every projection
+    elif quantized:
+        lin = lambda k, n: w8a8(k, n)
+    else:
+        lin = dense
 
     layers = []
     for _ in range(cfg.num_layers):

@@ -236,7 +236,7 @@ def flash_decode(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
 
 def _paged_decode_kernel(info_ref, table_ref, q_ref, k_ref, v_ref, *rest,
                          page_size: int, sm_scale: float, quantized: bool,
-                         hkv: int):
+                         hkv: int, window: int | None):
     if quantized:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
@@ -252,7 +252,10 @@ def _paged_decode_kernel(info_ref, table_ref, q_ref, k_ref, v_ref, *rest,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when(j * page_size < length)
+    # sliding window (Mistral): keys at pos < length - window do not attend
+    lo = jnp.int32(0) if window is None else jnp.maximum(length - window, 0)
+
+    @pl.when((j * page_size < length) & ((j + 1) * page_size > lo))
     def _block():
         g = q_ref.shape[2]
         d = q_ref.shape[3]
@@ -271,7 +274,8 @@ def _paged_decode_kernel(info_ref, table_ref, q_ref, k_ref, v_ref, *rest,
         col_i = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
         col_h = col_i // page_size
         pos = j * page_size + col_i % page_size
-        s = jnp.where((row_h == col_h) & (pos < length), s, NEG_INF)
+        s = jnp.where((row_h == col_h) & (pos < length) & (pos >= lo),
+                      s, NEG_INF)
         _flash_update(s, v, vs_row, m_ref, l_ref, acc_ref)
 
     @pl.when(j == nb - 1)
@@ -282,9 +286,9 @@ def _paged_decode_kernel(info_ref, table_ref, q_ref, k_ref, v_ref, *rest,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("page_size", "sm_scale", "interpret"))
+    jax.jit, static_argnames=("page_size", "sm_scale", "window", "interpret"))
 def _flash_decode_paged_impl(info, table, q, pk, pv, ks, vs, *, page_size,
-                             sm_scale, interpret):
+                             sm_scale, window, interpret):
     bq, hkv, g, d = q.shape
     max_pages = table.shape[1]
     quantized = ks is not None
@@ -294,7 +298,12 @@ def _flash_decode_paged_impl(info, table, q, pk, pv, ks, vs, *, page_size,
         last = jnp.minimum(
             jax.lax.div(jnp.maximum(info_ref[1 + b], 1) - 1, page_size),
             max_pages - 1)
-        return table_ref[b, jnp.minimum(j, last)]
+        j = jnp.minimum(j, last)
+        if window is not None:  # skip pages wholly below the sliding window
+            first = jax.lax.div(
+                jnp.maximum(info_ref[1 + b] - window, 0), page_size)
+            j = jnp.maximum(j, jnp.minimum(first, last))
+        return table_ref[b, j]
 
     def kv_map(b, j, info_ref, table_ref):
         return (info_ref[0], page_of(b, j, info_ref, table_ref), 0, 0, 0)
@@ -334,7 +343,7 @@ def _flash_decode_paged_impl(info, table, q, pk, pv, ks, vs, *, page_size,
     )
     kernel = functools.partial(_paged_decode_kernel, page_size=page_size,
                                sm_scale=sm_scale, quantized=quantized,
-                               hkv=hkv)
+                               hkv=hkv, window=window)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bq, hkv, g, d), q.dtype),
@@ -345,6 +354,7 @@ def _flash_decode_paged_impl(info, table, q, pk, pv, ks, vs, *, page_size,
 def flash_decode_paged(q: jax.Array, pages_k: jax.Array, pages_v: jax.Array,
                        layer_idx, lengths, page_table, k_scale=None,
                        v_scale=None, *, sm_scale: float | None = None,
+                       window: int | None = None,
                        interpret: bool = False) -> jax.Array:
     """Single-step attention over PAGED KV storage.
 
@@ -365,7 +375,7 @@ def flash_decode_paged(q: jax.Array, pages_k: jax.Array, pages_v: jax.Array,
     out = _flash_decode_paged_impl(
         info, jnp.asarray(page_table, jnp.int32), qg, pages_k, pages_v,
         k_scale, v_scale, page_size=page_size, sm_scale=float(sm_scale),
-        interpret=interpret)
+        window=window, interpret=interpret)
     return out.reshape(b, hq, d).astype(q.dtype)
 
 

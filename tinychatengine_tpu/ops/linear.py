@@ -157,6 +157,22 @@ def apply_linear(p, x: jax.Array, *, out_int8: bool = False,
     raise TypeError(f"unknown linear params {type(p)}")
 
 
+def row_parallel(p, x: jax.Array, tp_axis, **kw) -> jax.Array:
+    """Row-parallel linear: psum the bias-less matmul across the TP axis,
+    then add the bias ONCE (a per-shard bias would be reduced tp_degree
+    times — the Megatron bias rule). No-op reduction when tp_axis is None."""
+    bias = getattr(p, "bias", None)
+    if tp_axis is None or bias is None:
+        y = apply_linear(p, x, **kw)
+        return jax.lax.psum(y, tp_axis) if tp_axis is not None else y
+    y = apply_linear(dataclasses.replace(p, bias=None), x, **kw)
+    y = jax.lax.psum(y, tp_axis)
+    layer_idx = kw.get("layer_idx")
+    if layer_idx is not None:
+        bias = jax.lax.dynamic_index_in_dim(bias, layer_idx, 0, keepdims=False)
+    return y + bias.astype(y.dtype)
+
+
 def fuse_linears(parts, tp_degree: int = 1):
     """Concatenate same-K linears along N into ONE weight — the offline QKV /
     gate-up merge (the reference does this for its CUDA path,

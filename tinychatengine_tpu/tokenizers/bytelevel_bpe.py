@@ -64,7 +64,12 @@ class ByteLevelBPE:
                 ia, ib, iab = (self.vocab.get(a), self.vocab.get(b),
                                self.vocab.get(a + b))
                 if ia is None or ib is None or iab is None:
-                    continue
+                    # A merge rule whose pieces/result are missing from the
+                    # vocab cannot be represented in the id-domain table; the
+                    # Python loop would still APPLY it (then emit unk_id), so
+                    # a table with dropped rules diverges from the fallback —
+                    # disable the native path entirely for such vocabs.
+                    return None
                 lefts.append(ia)
                 rights.append(ib)
                 merged.append(iab)

@@ -256,9 +256,11 @@ def main(argv=None):
             params = convert_reference_opt(args.src, cfg,
                                            int8=(args.scheme == "w8a8"))
         else:
-            assert args.scheme == "fp", (
-                "HF OPT converts to fp; W8A8 imports the reference's "
-                "SmoothQuant export (opt_smooth_exporter.py)")
+            if args.scheme == "w8a8":
+                ap.error("HF OPT → W8A8 requires activation calibration: "
+                         "convert with --scheme fp, then run "
+                         "tools.calibrate_opt (or import the reference's "
+                         "SmoothQuant export directory)")
             params = convert_hf_opt(args.src, cfg, qcfg)
     elif cfg.family == "gptbigcode":
         params = convert_hf_gptbigcode(args.src, cfg, qcfg)
@@ -289,20 +291,32 @@ if __name__ == "__main__":
 # ---------------------------------------------------------------------------
 
 def convert_hf_opt(src: str, cfg: ModelConfig, qcfg: QuantConfig):
-    """HF OPTForCausalLM → OPTParams (fp path; W8A8 comes from the
-    reference's SmoothQuant export via convert_reference_opt)."""
+    """HF OPTForCausalLM → OPTParams.
+
+    fp → DenseLinear; w4a16/w4a8 → Int4(A8)Linear on every projection (the
+    reference's Int4OPT* stack, llm/src/nn_modules/Int4OPTAttention.cc /
+    Int4OPTDecoderLayer.cc — quantized via model_quantizer.py's OPT walk).
+    W8A8 needs activation calibration: tools.calibrate_opt (native) or the
+    reference's SmoothQuant export via convert_reference_opt."""
     import jax
     import jax.numpy as jnp
 
     from tinychatengine_tpu.models import opt
     from tinychatengine_tpu.ops.linear import DenseLinear
 
+    assert qcfg.scheme in ("fp", "w4a16", "w4a8"), (
+        "HF OPT converts to fp/w4a16/w4a8; W8A8 requires calibration — "
+        "use tools.calibrate_opt on an fp checkpoint, or import the "
+        "reference's SmoothQuant export (convert_reference_opt)")
     sd = _hf_state_dict_loader(src)
 
-    def dense(name):
-        return DenseLinear(
-            weight=jnp.asarray(sd(name + ".weight").T, jnp.float32),
-            bias=jnp.asarray(sd(name + ".bias"), jnp.float32))
+    def lin(name):
+        w = sd(name + ".weight")  # [OC, IC]
+        bias = sd(name + ".bias")
+        if qcfg.scheme == "fp":
+            return DenseLinear(weight=jnp.asarray(w.T, jnp.float32),
+                               bias=jnp.asarray(bias, jnp.float32))
+        return quantize_linear(w, qcfg, bias=bias)
 
     layers = []
     for i in range(cfg.num_layers):
@@ -310,17 +324,28 @@ def convert_hf_opt(src: str, cfg: ModelConfig, qcfg: QuantConfig):
         layers.append(opt.OPTLayerParams(
             attn_ln_w=jnp.asarray(sd(p + "self_attn_layer_norm.weight"), jnp.float32),
             attn_ln_b=jnp.asarray(sd(p + "self_attn_layer_norm.bias"), jnp.float32),
-            q_proj=dense(p + "self_attn.q_proj"),
-            k_proj=dense(p + "self_attn.k_proj"),
-            v_proj=dense(p + "self_attn.v_proj"),
-            out_proj=dense(p + "self_attn.out_proj"),
+            q_proj=lin(p + "self_attn.q_proj"),
+            k_proj=lin(p + "self_attn.k_proj"),
+            v_proj=lin(p + "self_attn.v_proj"),
+            out_proj=lin(p + "self_attn.out_proj"),
             final_ln_w=jnp.asarray(sd(p + "final_layer_norm.weight"), jnp.float32),
             final_ln_b=jnp.asarray(sd(p + "final_layer_norm.bias"), jnp.float32),
-            fc1=dense(p + "fc1"), fc2=dense(p + "fc2"),
+            fc1=lin(p + "fc1"), fc2=lin(p + "fc2"),
         ))
         gc.collect()
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
-    embed = jnp.asarray(sd("model.decoder.embed_tokens.weight"), jnp.float32)
+    embed_np = sd("model.decoder.embed_tokens.weight")
+    embed = jnp.asarray(embed_np, jnp.float32)
+    if qcfg.scheme == "fp":
+        lm_head = DenseLinear(weight=jnp.asarray(embed, jnp.bfloat16).T)
+    else:  # quantize the tied head too; pad N to a tile-friendly width
+        from tinychatengine_tpu.models.llama import lmhead_padded
+        v = embed_np.shape[0]
+        vp = lmhead_padded(v)
+        w = np.concatenate([embed_np,
+                            np.zeros((vp - v, embed_np.shape[1]),
+                                     embed_np.dtype)]) if vp != v else embed_np
+        lm_head = quantize_linear(w, qcfg)
     return opt.OPTParams(
         embed_tokens=embed,
         embed_positions=jnp.asarray(
@@ -328,7 +353,7 @@ def convert_hf_opt(src: str, cfg: ModelConfig, qcfg: QuantConfig):
         layers=stacked,
         final_ln_w=jnp.asarray(sd("model.decoder.final_layer_norm.weight"), jnp.float32),
         final_ln_b=jnp.asarray(sd("model.decoder.final_layer_norm.bias"), jnp.float32),
-        lm_head=DenseLinear(weight=jnp.asarray(embed, jnp.bfloat16).T),
+        lm_head=lm_head,
     )
 
 

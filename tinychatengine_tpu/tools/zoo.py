@@ -105,7 +105,14 @@ def fetch_and_convert(model_id: str, out: str, scheme: str = "w4a16",
     if cfg.family == "llama":
         params = cv.convert_hf_llama(src_dir, cfg, qcfg)
     elif cfg.family == "opt":
-        params = cv.convert_hf_opt(src_dir, cfg, qcfg)  # fp; W8A8 via convert
+        if scheme == "w8a8":
+            # the checkpoint metadata records the scheme ACTUALLY applied —
+            # silently saving fp weights under a w8a8 label would make the
+            # Engine force an int8 KV cache over fp activations
+            raise ValueError(
+                "HF OPT → W8A8 needs activation calibration: fetch with "
+                "--quant fp, then run tools.calibrate_opt on the checkpoint")
+        params = cv.convert_hf_opt(src_dir, cfg, qcfg)
     elif cfg.family == "gptbigcode":
         params = cv.convert_hf_gptbigcode(src_dir, cfg, qcfg)
     else:
