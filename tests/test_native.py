@@ -57,6 +57,25 @@ def test_bytelevel_native_matches_python():
         assert tok_nat.decode(ids_n) == tok_py.decode(ids_p)
 
 
+def test_bytelevel_native_disabled_on_unrepresentable_merge():
+    """A merge rule whose RESULT is missing from the vocab can't live in the
+    id-domain table: the Python loop applies it then emits unk_id, so the
+    native path must be disabled for such vocabs (ADVICE r1), while rules
+    with merely unreachable pieces are dropped and native stays on."""
+    from tinychatengine_tpu.tokenizers.bytelevel_bpe import (
+        _BYTE_ENC, ByteLevelBPE)
+    chars = sorted(set(_BYTE_ENC.values()))
+    vocab = {c: i for i, c in enumerate(chars)}
+    vocab["th"] = len(vocab)
+    # ("th","e") -> "the" NOT in vocab: python merges then emits unk
+    tok = ByteLevelBPE(vocab, [("t", "h"), ("th", "e")])
+    assert tok._native_merger() is None
+    tok_py = ByteLevelBPE(vocab, [("t", "h"), ("th", "e")])
+    tok_py._native_tried = True
+    assert tok.encode("the") == tok_py.encode("the")
+    assert tok.encode("the") == [tok.unk_id]
+
+
 def _mk_spm():
     from tinychatengine_tpu.tokenizers.sentencepiece_bpe import SentencePieceBPE
     tokens = ["<unk>", "<s>", "</s>"]

