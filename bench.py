@@ -40,10 +40,11 @@ def main():
 
     prompt_len = 64
     n_decode = 64
+    prefill_len = 2048  # one full-bucket prefill for the TTFT/prefill metric
 
-    def run(seed, n_tokens):
+    def run(seed, n_tokens, plen=prompt_len):
         rng = np.random.default_rng(seed)
-        ids = rng.integers(100, cfg.vocab_size - 100, (1, prompt_len))
+        ids = rng.integers(100, cfg.vocab_size - 100, (1, plen))
         toks = eng.generate_device(ids, g, n_tokens=n_tokens)
         return np.asarray(toks)  # forces completion
 
@@ -51,11 +52,24 @@ def main():
     print("compiling...", file=sys.stderr)
     run(0, 1)
     run(0, 1 + n_decode)
+    run(0, 1, plen=prefill_len)
+
+    # dispatch round-trip overhead (tunnel RTT + fetch): timed on a trivial
+    # program with fresh inputs, subtracted from TTFT so it reports device
+    # work (prefill + 1 decode + sample), not tunnel latency
+    tiny = jax.jit(lambda x: x + 1.0)
+    np.asarray(tiny(jnp.float32(0.0)))
+    rtts = []
+    for t in range(6):
+        t0 = time.perf_counter()
+        np.asarray(tiny(jnp.float32(t + 1.5)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
 
     # The chip is time-shared behind the tunnel: a co-tenant burst during any
     # single run corrupts a paired short/long difference. Take the medians of
     # the short and long runs SEPARATELY across trials, then difference.
-    shorts, longs = [], []
+    shorts, longs, pfs = [], [], []
     for trial in range(4):
         t0 = time.perf_counter()
         run(10 + trial, 1)
@@ -63,10 +77,20 @@ def main():
         t0 = time.perf_counter()
         run(20 + trial, 1 + n_decode)
         longs.append(time.perf_counter() - t0)
-        print(f"trial {trial}: short={shorts[-1]:.3f}s long={longs[-1]:.3f}s",
-              file=sys.stderr)
+        t0 = time.perf_counter()
+        run(30 + trial, 1, plen=prefill_len)
+        pfs.append(time.perf_counter() - t0)
+        print(f"trial {trial}: short={shorts[-1]:.3f}s long={longs[-1]:.3f}s "
+              f"prefill={pfs[-1]:.3f}s", file=sys.stderr)
     per_token = (float(np.median(longs)) - float(np.median(shorts))) / n_decode
     tokens_per_s = 1.0 / per_token
+
+    # TTFT (p50): prefill(64) + 1 decode + sample, net of dispatch RTT
+    # (llm/include/profiler.h:38-47 prints the same per-turn latency split)
+    ttft_ms = max(float(np.median(shorts)) - rtt, 0.0) * 1e3
+    # prefill throughput from the 2048-vs-64 prompt difference
+    pf_delta = max(float(np.median(pfs)) - float(np.median(shorts)), 1e-6)
+    prefill_tok_s = (prefill_len - prompt_len) / pf_delta
 
     # roofline: weight+scale bytes streamed per decoded token + avg KV read
     def _wbytes(p):
@@ -89,6 +113,8 @@ def main():
         "value": round(tokens_per_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tokens_per_s / roofline, 3),
+        "ttft_ms_p50": round(ttft_ms, 1),
+        "prefill_tokens_per_s": round(prefill_tok_s, 0),
     }
     print(f"roofline={roofline:.1f} tok/s ({bytes_per_token / 1e9:.2f} GB/token)",
           file=sys.stderr)

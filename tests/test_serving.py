@@ -53,6 +53,44 @@ def test_batched_greedy_matches_single():
         assert r.finish_reason == "length"
 
 
+def test_chunked_admission_interleaves_with_decode():
+    """A long-prompt admission must NOT stall the running batch: while it
+    prefills (one chunk per tick), active slots keep emitting one token per
+    tick — and everybody's greedy output still matches a solo run
+    (VERDICT r1 item 10)."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=30, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    long_prompt = np.arange(10, 74, dtype=np.int32)  # 64 tokens
+
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=cfg.max_sqlen)
+    want_a = eng.generate(PROMPTS[0][None, :], g).tokens[0]
+    want_b = eng.generate(long_prompt[None, :], GenerationConfig(
+        temp=0.0, n_predict=8, repeat_penalty=1.0, repeat_last_n=1)).tokens[0]
+
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g,
+                        admission_chunk=16)  # 64-token prompt → 4 ticks
+    ra = srv.submit(PROMPTS[0], n_predict=30)
+    srv.step()  # admit A (short: one tick) + first decode
+    assert srv.slots and ra.output_ids, "A must be running"
+    rb = srv.submit(long_prompt, n_predict=8)
+
+    # B's admission takes 4 chunk-ticks; A must emit one token per tick
+    emitted_during_admission = []
+    while srv._pending is not None or not any(
+            s.request is rb and not s.admitting for s in srv.slots):
+        n_before = len(ra.output_ids)
+        srv.step()
+        emitted_during_admission.append(len(ra.output_ids) - n_before)
+        assert len(emitted_during_admission) < 20, "admission never finished"
+    assert sum(emitted_during_admission) >= 3, (
+        f"decode stalled during admission: {emitted_during_admission}")
+
+    srv.run()
+    assert ra.output_ids == list(want_a)
+    assert rb.output_ids == list(want_b)
+
+
 def test_stop_tokens_free_slots_early():
     cfg, qcfg, params = _tiny()
     g = GenerationConfig(temp=0.0, n_predict=50, repeat_penalty=1.0,

@@ -89,6 +89,13 @@ MODEL_REGISTRY: dict[str, ModelConfig] = {
     "mistral_7b": _llama("mistral_7b", 32, 8, 32, 4096, 14336, 32000, 1e-5,
                          theta=1e6, max_sqlen=8192, window=4096),
     "llama3_8b": _llama("llama3_8b", 32, 8, 32, 4096, 14336, 128256, 1e-5, theta=500000.0, max_sqlen=8192),
+    # TPU-native addition (no reference counterpart): the in-repo accuracy
+    # model — a byte-level LLaMA trained on local Python source by
+    # tools/train_tiny.py. Zero-egress stand-in for the reference's
+    # "download a real checkpoint" test pyramid (SURVEY.md §4/§6): real
+    # (trained, not random) weights for end-to-end + perplexity regression.
+    "bytellama_5m": _llama("bytellama_5m", 4, 2, 4, 256, 1024, 258, 1e-5,
+                           max_sqlen=1024),
     "starcoder_15.5b": ModelConfig(
         name="starcoder_15.5b", family="gptbigcode", num_heads=48, num_kv_heads=1,
         num_layers=40, max_sqlen=2048, embed_dim=6144, hidden_dim=24576,

@@ -66,10 +66,11 @@ class _Slot:
     request: Optional[Request] = None
     length: int = 0          # valid KV positions
     remaining: int = 0
+    admitting: bool = False  # reserved for an in-flight chunked admission
 
     @property
     def active(self) -> bool:
-        return self.request is not None
+        return self.request is not None and not self.admitting
 
 
 class ServingEngine:
@@ -79,10 +80,15 @@ class ServingEngine:
                  slots: int = 8, max_len: Optional[int] = None,
                  gcfg: GenerationConfig | None = None,
                  forward_fn=llama.forward, paged: bool = False,
-                 page_size: int = 128, n_pages: Optional[int] = None):
+                 page_size: int = 128, n_pages: Optional[int] = None,
+                 admission_chunk: int = 512):
         """paged=True swaps the slot-reserved cache (slots x max_len) for a
         page pool (runtime/paged.py): sequences borrow pages as they grow, so
-        capacity is ~total resident tokens instead of worst-case per slot."""
+        capacity is ~total resident tokens instead of worst-case per slot.
+
+        admission_chunk: long prompts prefill in chunks of this many tokens,
+        ONE chunk per scheduler tick, interleaved with decode steps — an
+        admission never stalls the running batch for a full prefill."""
         self.params = params
         self.cfg = cfg
         self.qcfg = qcfg or QuantConfig()
@@ -123,6 +129,8 @@ class ServingEngine:
         self.queue: collections.deque[Request] = collections.deque()
         self.done: list[Request] = []
         self._ids = itertools.count()
+        self.admission_chunk = admission_chunk
+        self._pending = None  # in-flight chunked admission: (slot_idx, done)
 
         window = max(self.gcfg.repeat_last_n, 1)
         self._last = np.full((slots, window), -1, np.int32)
@@ -152,7 +160,8 @@ class ServingEngine:
 
     def run(self) -> list:
         """Drain the queue; returns finished requests in completion order."""
-        while self.queue or any(s.active for s in self.slots):
+        while (self.queue or self._pending is not None
+               or any(s.active for s in self.slots)):
             self.step()
         return self.done
 
@@ -162,20 +171,28 @@ class ServingEngine:
 
     # -- scheduler core --------------------------------------------------------
     def step(self):
-        """One scheduler tick: admit while slots are free, then one batched
-        decode step for every active slot (continuous batching: admission is
-        per-tick, not per-generation). Page-pool exhaustion applies
-        backpressure: admission waits, decode growth preempts (the preempted
-        request resumes later with its progress intact)."""
-        while self.queue and self._free_slot() is not None:
+        """One scheduler tick: advance at most ONE admission prefill chunk,
+        then one batched decode step for every active slot (continuous
+        batching with chunked-admission interleaving: a long prompt admits
+        one chunk per tick, so active slots keep emitting a token per tick
+        throughout — the reference has no scheduler at all, SURVEY §2.8).
+        Page-pool exhaustion applies backpressure: admission waits, decode
+        growth preempts (the preempted request resumes with progress
+        intact)."""
+        if self._pending is not None:
+            self._admit_chunk()
+        while (self._pending is None and self.queue
+               and self._free_slot() is not None):
             if self.paged and self.allocator.n_free < \
                     self.allocator.pages_needed(
                         _bucket(min(len(self.queue[0].prompt_ids),
                                     self.max_len - 2))):
                 break  # not enough pages: hold the queue until some free
-            self._admit(self._free_slot(), self.queue.popleft())
+            self._begin_admission(self._free_slot(), self.queue.popleft())
+            if self._pending is not None:
+                break  # a long prompt: continue its chunks on later ticks
         if not any(s.active for s in self.slots):
-            if self.queue:  # pool too fragmented/small for the next request
+            if self.queue and self._pending is None:
                 raise MemoryError(
                     "paged KV pool cannot fit the next request's prefill "
                     f"({self.allocator.n_free} pages free)")
@@ -205,17 +222,39 @@ class ServingEngine:
                 return i
         return None
 
-    def _admit(self, slot_idx: int, req: Request):
+    def _begin_admission(self, slot_idx: int, req: Request):
+        """Reserve a slot and start the (possibly chunked) prefill."""
         n = len(req.prompt_ids)
         cap = self.max_len - 2
         if n > cap:
             req.prompt_ids = req.prompt_ids[-cap:]  # keep the tail
-            n = cap
-        # bucketed single-request prefill into the scratch cache
-        logits, scratch = self._prefill_engine.prefill(
-            req.prompt_ids[None, :], _reset(self._scratch), start=0)
-        self._scratch = scratch
-        bucket = _bucket(n)
+        slot = self.slots[slot_idx]
+        slot.request = req
+        slot.admitting = True
+        self._scratch = _reset(self._scratch)
+        self._pending = [slot_idx, 0]
+        self._admit_chunk()
+
+    def _admit_chunk(self):
+        """Prefill ONE chunk of the pending admission; finalize on the last
+        chunk (first-token sample + slot splice)."""
+        slot_idx, done = self._pending
+        req = self.slots[slot_idx].request
+        n = len(req.prompt_ids)
+        take = min(self.admission_chunk, n - done)
+        logits, self._scratch = self._prefill_engine.prefill(
+            req.prompt_ids[None, done:done + take], self._scratch, start=done)
+        done += take
+        if done < n:
+            self._pending[1] = done
+            return
+        self._pending = None
+        self._finish_admission(slot_idx, req, logits)
+
+    def _finish_admission(self, slot_idx: int, req: Request, logits):
+        n = len(req.prompt_ids)
+        scratch = self._scratch
+        bucket = min(_bucket(n), self.max_len)
         if self.paged:
             p = self.allocator.page_size
             n_pg = self.allocator.pages_needed(bucket)
@@ -234,7 +273,7 @@ class ServingEngine:
                 bucket=bucket)
 
         slot = self.slots[slot_idx]
-        slot.request = req
+        slot.admitting = False  # slot joins the decode batch this tick
         slot.length = n
         # resumed (preempted) requests keep their budget: n_predict counts
         # TOTAL emitted tokens, of which len(output_ids) already happened

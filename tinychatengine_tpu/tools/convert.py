@@ -45,6 +45,51 @@ def quantize_linear(w_oc_ic: np.ndarray, qcfg: QuantConfig,
         bias=None if bias is None else jnp.asarray(bias, jnp.float32))
 
 
+def requantize_llama(params, qcfg: QuantConfig):
+    """fp LlamaParams → w4a16/w4a8 LlamaParams, numerics identical to
+    conversion-time quantization (quant/numerics.py).
+
+    Lets the accuracy pyramid derive every quantized variant from ONE
+    trained fp checkpoint (tools/train_tiny.py), so Δppl is attributable to
+    the quantizer alone. Group-wise int4 groups run along K per output
+    column, so quantizing the already-fused qkv/gate-up matrices is
+    bit-identical to quantizing before fusion (the reference quantizes
+    pre-merge, llm/tools/model_quantizer.py + llama_qkv_merger.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinychatengine_tpu.models.llama import LlamaLayerParams, LlamaParams
+
+    if qcfg.scheme == "fp":
+        return params
+
+    def qlin(p):
+        assert isinstance(p, DenseLinear), "requantize expects an fp tree"
+        return quantize_linear(
+            np.asarray(p.weight, np.float32).T, qcfg,
+            None if p.bias is None else np.asarray(p.bias, np.float32))
+
+    def qlin_stacked(p):
+        n_layers = p.weight.shape[0]
+        per = [quantize_linear(
+            np.asarray(p.weight[i], np.float32).T, qcfg,
+            None if p.bias is None else np.asarray(p.bias[i], np.float32))
+            for i in range(n_layers)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+
+    lyr = params.layers
+    return LlamaParams(
+        embed=params.embed,
+        layers=LlamaLayerParams(
+            input_norm=lyr.input_norm, wqkv=qlin_stacked(lyr.wqkv),
+            wo=qlin_stacked(lyr.wo), post_norm=lyr.post_norm,
+            wgate_up=qlin_stacked(lyr.wgate_up), down=qlin_stacked(lyr.down)),
+        final_norm=params.final_norm,
+        lm_head=qlin(params.lm_head),
+        rope_cos=params.rope_cos, rope_sin=params.rope_sin,
+    )
+
+
 # ---------------------------------------------------------------------------
 # HuggingFace source
 # ---------------------------------------------------------------------------

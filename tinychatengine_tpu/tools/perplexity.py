@@ -22,8 +22,11 @@ import numpy as np
 
 
 def perplexity(forward_fn, params, cfg, token_ids, window: int = 1024,
-               stride: int = 512, progress=None) -> float:
-    """token_ids: 1-D int array. Returns ppl = exp(mean nll)."""
+               stride: int = 512, progress=None,
+               quantized_kv: bool = False) -> float:
+    """token_ids: 1-D int array. Returns ppl = exp(mean nll).
+    quantized_kv=True scores through an int8 KV cache, so KV-quantization
+    loss shows up in the Δppl table alongside the weight schemes."""
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +44,7 @@ def perplexity(forward_fn, params, cfg, token_ids, window: int = 1024,
         contribute -log p(token_t | tokens_<t) (the first n_ctx tokens are
         context; tail padding is excluded)."""
         cache = kvc.init_cache(cfg.num_layers, 1, window, cfg.num_kv_heads,
-                               cfg.head_dim)
+                               cfg.head_dim, quantized=quantized_kv)
         logits, _ = forward_fn(params, cfg, chunk, cache,
                                jnp.int32(0), full_logits=True)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
