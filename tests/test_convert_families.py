@@ -124,6 +124,7 @@ def _write_hf_bigcode(root, cfg, rng):
         lin(p + "mlp.c_fc", e, f)
         lin(p + "mlp.c_proj", f, e)
     save_file(t, str(root / "model.safetensors"))
+    return t
 
 
 @pytest.mark.parametrize("scheme", ["fp", "w4a16"])
@@ -147,3 +148,167 @@ def test_gptbigcode_hf_convert_roundtrip(tmp_path, scheme):
     tb = Engine(loaded, BIGCODE_TINY, q2).generate(
         np.asarray([[3, 7, 11]], np.int32), g).tokens[0]
     assert ta == tb and len(ta) == 5
+
+
+def _write_reference_bigcode(root, cfg, t):
+    """Emit the starcoder_exporter.py FP32 tree from the SAME tensors as the
+    HF dict ``t`` — including its MQA→MHA tiling of c_attn
+    (starcoder_exporter.py:76-110) — so the importer's un-tiling is checked
+    against the HF-converted model exactly."""
+    e, h, d = cfg.embed_dim, cfg.num_heads, cfg.head_dim
+
+    def put(rel, arr):
+        p = root / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(np.ascontiguousarray(arr).astype(np.float32).tobytes())
+
+    put("lm_head.bin", t["transformer.wte.weight"])
+    put("decoder/wte/weight.bin", t["transformer.wte.weight"])
+    put("decoder/wpe/weight.bin", t["transformer.wpe.weight"])
+    put("decoder/ln_f/weight.bin", t["transformer.ln_f.weight"])
+    put("decoder/ln_f/bias.bin", t["transformer.ln_f.bias"])
+    for i in range(cfg.num_layers):
+        p, o = f"transformer.h.{i}.", f"decoder/layer{i}"
+        w, b = t[p + "attn.c_attn.weight"], t[p + "attn.c_attn.bias"]
+        q, k, v = np.split(w, (h * d, (h + 1) * d), axis=0)
+        put(f"{o}/attn/c_attn/weight.bin",
+            np.concatenate([q, np.tile(k, (h, 1)), np.tile(v, (h, 1))]))
+        qb, kb, vb = np.split(b, (h * d, (h + 1) * d), axis=0)
+        put(f"{o}/attn/c_attn/bias.bin",
+            np.concatenate([qb, np.tile(kb, h), np.tile(vb, h)]))
+        for hf, ref in (("attn.c_proj", "attn/c_proj"), ("mlp.c_fc", "c_fc"),
+                        ("mlp.c_proj", "c_proj")):
+            put(f"{o}/{ref}/weight.bin", t[p + hf + ".weight"])
+            put(f"{o}/{ref}/bias.bin", t[p + hf + ".bias"])
+        for ln in ("ln_1", "ln_2"):
+            put(f"{o}/{ln}/weight.bin", t[p + ln + ".weight"])
+            put(f"{o}/{ln}/bias.bin", t[p + ln + ".bias"])
+
+
+def test_gptbigcode_reference_import_matches_hf(tmp_path):
+    """Reference .bin import (MQA un-tiling) == HF import, token for token."""
+    from tinychatengine_tpu.tools.convert import convert_reference_gptbigcode
+
+    rng = np.random.default_rng(2)
+    hf_src = tmp_path / "hf"
+    hf_src.mkdir()
+    t = _write_hf_bigcode(hf_src, BIGCODE_TINY, rng)
+    ref_src = tmp_path / "ref"
+    _write_reference_bigcode(ref_src, BIGCODE_TINY, t)
+
+    qcfg = QuantConfig(scheme="w4a16", group_size=128)
+    p_hf = convert_hf_gptbigcode(str(hf_src), BIGCODE_TINY, qcfg)
+    p_ref = convert_reference_gptbigcode(str(ref_src), BIGCODE_TINY, qcfg)
+    np.testing.assert_array_equal(np.asarray(p_ref.layers.c_attn.packed),
+                                  np.asarray(p_hf.layers.c_attn.packed))
+
+    g = GenerationConfig(temp=0.0, n_predict=6, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    ta = Engine(p_hf, BIGCODE_TINY, qcfg).generate(
+        np.asarray([[3, 7, 11]], np.int32), g).tokens[0]
+    tb = Engine(p_ref, BIGCODE_TINY, qcfg).generate(
+        np.asarray([[3, 7, 11]], np.int32), g).tokens[0]
+    # lm_head differs (ref export ties wte; HF converter also ties) — equal
+    assert ta == tb and len(ta) == 6
+
+
+CLIP_TINY = ModelConfig(
+    name="clip_tiny", family="clip", num_heads=4, num_kv_heads=4, num_layers=2,
+    max_sqlen=0, embed_dim=64, hidden_dim=128, vocab_size=0,
+    image_size=56, patch_size=14, projection_dim=32, mmproj_dim=96)
+
+
+def _write_hf_clip(root, cfg, rng):
+    try:
+        from safetensors.numpy import save_file
+    except ImportError:
+        pytest.skip("safetensors unavailable")
+    e, f, p = cfg.embed_dim, cfg.hidden_dim, cfg.patch_size
+    n_pos = 1 + (cfg.image_size // p) ** 2
+    t = {}
+
+    def lin(name, k, n):
+        t[name + ".weight"] = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
+        t[name + ".bias"] = (rng.standard_normal(n) * 0.01).astype(np.float32)
+
+    pre = "vision_model."
+    t[pre + "embeddings.class_embedding"] = (
+        rng.standard_normal(e) * 0.05).astype(np.float32)
+    t[pre + "embeddings.patch_embedding.weight"] = (
+        rng.standard_normal((e, 3, p, p)) * 0.05).astype(np.float32)
+    t[pre + "embeddings.position_embedding.weight"] = (
+        rng.standard_normal((n_pos, e)) * 0.05).astype(np.float32)
+    t[pre + "pre_layrnorm.weight"] = np.ones((e,), np.float32)
+    t[pre + "pre_layrnorm.bias"] = np.zeros((e,), np.float32)
+    for i in range(cfg.num_layers):
+        q = pre + f"encoder.layers.{i}."
+        for ln in ("layer_norm1", "layer_norm2"):
+            t[q + ln + ".weight"] = np.ones((e,), np.float32)
+            t[q + ln + ".bias"] = np.zeros((e,), np.float32)
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            lin(q + "self_attn." + name, e, e)
+        lin(q + "mlp.fc1", e, f)
+        lin(q + "mlp.fc2", f, e)
+    lin("model.mm_projector.0", e, cfg.mmproj_dim)
+    lin("model.mm_projector.2", cfg.mmproj_dim, cfg.mmproj_dim)
+    save_file(t, str(root / "model.safetensors"))
+    return t
+
+
+def _write_reference_clip(root, cfg, t):
+    """Emit the clip_exporter.py FP32 tree (patch kernel NHWC-transposed,
+    clip_exporter.py:36-39) + llava_exporter.py mm_projector dirs from the
+    SAME tensors as the HF dict ``t``."""
+    pre = "vision_model."
+
+    def put(rel, arr):
+        path = root / rel
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_bytes(np.ascontiguousarray(arr).astype(np.float32).tobytes())
+
+    put("embeddings/class_embedding/weight.bin",
+        t[pre + "embeddings.class_embedding"])
+    put("embeddings/patch_embedding/weight.bin",
+        t[pre + "embeddings.patch_embedding.weight"].transpose(0, 2, 3, 1))
+    put("embeddings/position_embedding/weight.bin",
+        t[pre + "embeddings.position_embedding.weight"])
+    put("pre_layernorm/weight.bin", t[pre + "pre_layrnorm.weight"])
+    put("pre_layernorm/bias.bin", t[pre + "pre_layrnorm.bias"])
+    for i in range(cfg.num_layers):
+        q, o = pre + f"encoder.layers.{i}.", f"encoder/layer{i}"
+        for hf, ref in (("self_attn.q_proj", "self_attn/q_proj"),
+                        ("self_attn.k_proj", "self_attn/k_proj"),
+                        ("self_attn.v_proj", "self_attn/v_proj"),
+                        ("self_attn.out_proj", "self_attn/out_proj"),
+                        ("layer_norm1", "layer_norm1"),
+                        ("layer_norm2", "layer_norm2"),
+                        ("mlp.fc1", "mlp_fc1"), ("mlp.fc2", "mlp_fc2")):
+            put(f"{o}/{ref}/weight.bin", t[q + hf + ".weight"])
+            put(f"{o}/{ref}/bias.bin", t[q + hf + ".bias"])
+    for idx in (0, 2):
+        put(f"mm_projector_{idx}/weight.bin",
+            t[f"model.mm_projector.{idx}.weight"])
+        put(f"mm_projector_{idx}/bias.bin", t[f"model.mm_projector.{idx}.bias"])
+
+
+def test_clip_reference_import_matches_hf(tmp_path):
+    """Reference .bin CLIP import == HF import on an image encode."""
+    from tinychatengine_tpu.models import clip
+    from tinychatengine_tpu.tools.convert import (convert_hf_clip,
+                                                  convert_reference_clip)
+
+    rng = np.random.default_rng(3)
+    hf_src = tmp_path / "hf"
+    hf_src.mkdir()
+    t = _write_hf_clip(hf_src, CLIP_TINY, rng)
+    ref_src = tmp_path / "ref"
+    _write_reference_clip(ref_src, CLIP_TINY, t)
+
+    p_hf = convert_hf_clip(str(hf_src), CLIP_TINY, mm_proj_src=str(hf_src),
+                           prefix="vision_model.")
+    p_ref = convert_reference_clip(str(ref_src), CLIP_TINY)
+
+    pixels = jnp.asarray(rng.standard_normal((1, 56, 56, 3)), jnp.float32)
+    a = np.asarray(clip.encode_image(p_hf, CLIP_TINY, pixels), np.float32)
+    b = np.asarray(clip.encode_image(p_ref, CLIP_TINY, pixels), np.float32)
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)

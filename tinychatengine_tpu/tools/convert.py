@@ -308,7 +308,16 @@ def main(argv=None):
                          "SmoothQuant export directory)")
             params = convert_hf_opt(args.src, cfg, qcfg)
     elif cfg.family == "gptbigcode":
-        params = convert_hf_gptbigcode(args.src, cfg, qcfg)
+        params = (convert_reference_gptbigcode(args.src, cfg, qcfg)
+                  if is_ref else convert_hf_gptbigcode(args.src, cfg, qcfg))
+    elif cfg.family == "clip":
+        from tinychatengine_tpu.tools.checkpoint import save_clip
+        clip_params = (convert_reference_clip(args.src, cfg)
+                       if (src / "encoder").exists()
+                       else convert_hf_clip(args.src, cfg))
+        save_clip(args.out, clip_params, cfg)
+        print(f"converted {args.model} (fp vision tower) -> {args.out}/clip")
+        return
     else:
         raise NotImplementedError(cfg.family)
     save_checkpoint(args.out, params, cfg, qcfg,
@@ -532,14 +541,85 @@ def convert_hf_gptbigcode(src: str, cfg: ModelConfig, qcfg: QuantConfig):
         ))
         gc.collect()
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
-    wte = jnp.asarray(sd("transformer.wte.weight"), jnp.bfloat16)
+    wte_f32 = np.asarray(sd("transformer.wte.weight"), np.float32)
     return gptbigcode.GPTBigCodeParams(
-        wte=wte,
+        wte=jnp.asarray(wte_f32, jnp.bfloat16),
         wpe=jnp.asarray(sd("transformer.wpe.weight"), jnp.bfloat16),
         layers=stacked,
         lnf_w=jnp.asarray(sd("transformer.ln_f.weight"), jnp.bfloat16),
         lnf_b=jnp.asarray(sd("transformer.ln_f.bias"), jnp.bfloat16),
-        lm_head=quantize_linear(np.asarray(wte, np.float32), qcfg),
+        # tied head quantized from the RAW f32 embedding (not the bf16-
+        # rounded wte) — matches the reference export, which writes
+        # lm_head.bin in full f32 (starcoder_exporter.py:28-30)
+        lm_head=quantize_linear(wte_f32, qcfg),
+    )
+
+
+def convert_reference_gptbigcode(src: str, cfg: ModelConfig, qcfg: QuantConfig):
+    """TinyChatEngine StarCoder FP32 export dir → GPTBigCodeParams.
+
+    Layout (starcoder_exporter.py:25-127): ``lm_head.bin``,
+    ``decoder/{wte,wpe}/weight.bin``, ``decoder/ln_f/{weight,bias}.bin``,
+    ``decoder/layer{i}/{attn/{c_attn,c_proj}, ln_1, ln_2, c_fc, c_proj}``.
+    The exporter expands MQA to MHA (``_export_LinearFP_MQAtoMHA`` tiles the
+    single K/V head across all 48 heads); we read back only the FIRST
+    replica, restoring the single-KV-head layout the TPU flash-MQA kernel
+    streams (models/gptbigcode.py) — the reference pays 48× the KV compute
+    and memory for those tiled copies.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tinychatengine_tpu import native
+    from tinychatengine_tpu.models import gptbigcode
+
+    root = Path(src)
+    e = cfg.embed_dim
+    h, d = cfg.num_heads, cfg.head_dim
+
+    def raw(rel, shape):
+        return native.read_file(str(root / rel), np.float32).reshape(shape)
+
+    def lin(rel, k, n):
+        return quantize_linear(raw(f"{rel}/weight.bin", (n, k)), qcfg,
+                               bias=raw(f"{rel}/bias.bin", (n,)))
+
+    def c_attn(rel):
+        w = raw(f"{rel}/weight.bin", (3 * h * d, e))
+        b = raw(f"{rel}/bias.bin", (3 * h * d,))
+        # un-tile: [q(0:hd) | k tiled h x d | v tiled h x d] → [q | k1 | v1]
+        w = np.concatenate([w[:h * d], w[h * d:h * d + d],
+                            w[2 * h * d:2 * h * d + d]])
+        b = np.concatenate([b[:h * d], b[h * d:h * d + d],
+                            b[2 * h * d:2 * h * d + d]])
+        return quantize_linear(w, qcfg, bias=b)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"decoder/layer{i}"
+        layers.append(gptbigcode.GPTBigCodeLayerParams(
+            ln1_w=jnp.asarray(raw(f"{p}/ln_1/weight.bin", (e,)), jnp.bfloat16),
+            ln1_b=jnp.asarray(raw(f"{p}/ln_1/bias.bin", (e,)), jnp.bfloat16),
+            c_attn=c_attn(f"{p}/attn/c_attn"),
+            c_proj=lin(f"{p}/attn/c_proj", e, e),
+            ln2_w=jnp.asarray(raw(f"{p}/ln_2/weight.bin", (e,)), jnp.bfloat16),
+            ln2_b=jnp.asarray(raw(f"{p}/ln_2/bias.bin", (e,)), jnp.bfloat16),
+            fc_in=lin(f"{p}/c_fc", e, cfg.hidden_dim),
+            fc_out=lin(f"{p}/c_proj", cfg.hidden_dim, e),
+        ))
+        gc.collect()
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    wte = raw("decoder/wte/weight.bin", (cfg.vocab_size, e))
+    wpe_flat = native.read_file(str(root / "decoder/wpe/weight.bin"),
+                                np.float32)
+    return gptbigcode.GPTBigCodeParams(
+        wte=jnp.asarray(wte, jnp.bfloat16),
+        wpe=jnp.asarray(wpe_flat.reshape(-1, e), jnp.bfloat16),
+        layers=stacked,
+        lnf_w=jnp.asarray(raw("decoder/ln_f/weight.bin", (e,)), jnp.bfloat16),
+        lnf_b=jnp.asarray(raw("decoder/ln_f/bias.bin", (e,)), jnp.bfloat16),
+        lm_head=quantize_linear(raw("lm_head.bin", (cfg.vocab_size, e)), qcfg),
     )
 
 
@@ -613,6 +693,82 @@ def convert_hf_clip(src: str, cfg: ModelConfig, mm_proj_src: str | None = None,
                               jnp.float32),
         pre_ln_w=jnp.asarray(sd(prefix + "pre_layrnorm.weight"), jnp.float32),
         pre_ln_b=jnp.asarray(sd(prefix + "pre_layrnorm.bias"), jnp.float32),
+        layers=stacked,
+        mm_proj_0=mm0, mm_proj_2=mm2,
+    )
+
+
+def convert_reference_clip(src: str, cfg: ModelConfig):
+    """TinyChatEngine CLIP-ViT FP32 export dir → CLIPParams.
+
+    Layout (clip_exporter.py:20-127):
+    ``embeddings/{class_embedding,patch_embedding,position_embedding}/weight.bin``
+    (patch kernel pre-transposed to [E, p, p, 3] by the exporter),
+    ``pre_layernorm/{weight,bias}.bin``,
+    ``encoder/layer{i}/{self_attn/{q,k,v,out}_proj, layer_norm1, layer_norm2,
+    mlp_fc1, mlp_fc2}/{weight,bias}.bin``, and — when the LLaVA/VILA exporter
+    ran (llava_exporter.py:33-46) — sibling ``mm_projector_{0,2}/`` dirs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tinychatengine_tpu import native
+    from tinychatengine_tpu.models import clip
+    from tinychatengine_tpu.ops.linear import DenseLinear
+
+    root = Path(src)
+    e, p = cfg.embed_dim, cfg.patch_size
+    f = cfg.hidden_dim
+
+    def raw(rel, shape):
+        return native.read_file(str(root / rel), np.float32).reshape(shape)
+
+    def dense(rel, k, n):
+        return DenseLinear(
+            weight=jnp.asarray(raw(f"{rel}/weight.bin", (n, k)).T, jnp.float32),
+            bias=jnp.asarray(raw(f"{rel}/bias.bin", (n,)), jnp.float32))
+
+    layers = []
+    for i in range(cfg.num_layers):
+        q = f"encoder/layer{i}"
+        layers.append(clip.CLIPLayerParams(
+            ln1_w=jnp.asarray(raw(f"{q}/layer_norm1/weight.bin", (e,)), jnp.float32),
+            ln1_b=jnp.asarray(raw(f"{q}/layer_norm1/bias.bin", (e,)), jnp.float32),
+            q_proj=dense(f"{q}/self_attn/q_proj", e, e),
+            k_proj=dense(f"{q}/self_attn/k_proj", e, e),
+            v_proj=dense(f"{q}/self_attn/v_proj", e, e),
+            out_proj=dense(f"{q}/self_attn/out_proj", e, e),
+            ln2_w=jnp.asarray(raw(f"{q}/layer_norm2/weight.bin", (e,)), jnp.float32),
+            ln2_b=jnp.asarray(raw(f"{q}/layer_norm2/bias.bin", (e,)), jnp.float32),
+            fc1=dense(f"{q}/mlp_fc1", e, f),
+            fc2=dense(f"{q}/mlp_fc2", f, e),
+        ))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    # exporter stores the conv kernel NHWC [E, p, p, 3]; the TPU model runs
+    # it as a patchify-matmul [(p·p·3), E] (models/clip.py patch path)
+    patch_w = raw("embeddings/patch_embedding/weight.bin",
+                  (e, p * p * 3)).T.copy()
+    n_pos = native.read_file(
+        str(root / "embeddings/position_embedding/weight.bin"),
+        np.float32).size // e
+
+    if (root / "mm_projector_0").exists():
+        mm0 = dense("mm_projector_0", e, cfg.mmproj_dim)
+        mm2 = dense("mm_projector_2", cfg.mmproj_dim, cfg.mmproj_dim)
+    else:
+        eye = jnp.eye(e, dtype=jnp.float32)
+        mm0 = DenseLinear(weight=eye)
+        mm2 = DenseLinear(weight=eye)
+
+    return clip.CLIPParams(
+        patch_embed=jnp.asarray(patch_w, jnp.float32),
+        class_embed=jnp.asarray(raw("embeddings/class_embedding/weight.bin",
+                                    (e,)), jnp.float32),
+        pos_embed=jnp.asarray(raw("embeddings/position_embedding/weight.bin",
+                                  (n_pos, e)), jnp.float32),
+        pre_ln_w=jnp.asarray(raw("pre_layernorm/weight.bin", (e,)), jnp.float32),
+        pre_ln_b=jnp.asarray(raw("pre_layernorm/bias.bin", (e,)), jnp.float32),
         layers=stacked,
         mm_proj_0=mm0, mm_proj_2=mm2,
     )
