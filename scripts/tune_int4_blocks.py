@@ -58,8 +58,8 @@ def bench_shape(name, k, n):
             continue
 
         @functools.partial(jax.jit, static_argnames=("iters",))
-        def run(x, iters):
-            def body(i, carry):
+        def run(x, packed, scales, iters):   # weights as ARGS (CLAUDE.md:
+            def body(i, carry):              # closure constants upload GBs)
                 x, acc = carry
                 y = int4_matmul(x, packed, scales, G,
                                 layer_idx=jnp.mod(i, L),
@@ -70,7 +70,7 @@ def bench_shape(name, k, n):
             return acc
 
         def once(x, iters):
-            return float(np.asarray(run(x, iters)))
+            return float(np.asarray(run(x, packed, scales, iters)))
 
         once(x0, 1)
         once(x0, ITERS)

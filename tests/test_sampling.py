@@ -99,3 +99,57 @@ def test_full_pipeline_respects_penalties():
     last = jnp.asarray([[0, -1]], jnp.int32)  # token 0 heavily penalized
     tok, _ = smp.sample(logits, state, g, last)
     assert int(tok[0]) == 1
+
+
+# -- per-row (serving) sampler ------------------------------------------------
+
+def test_sample_rows_mixed_modes_deterministic_rows():
+    """One batch, three configs: greedy / top_k=1 / penalty-flip — every row
+    deterministic, each obeying ONLY its own [B]-array parameters."""
+    cfgs = [
+        GenerationConfig(temp=0.0, repeat_penalty=1.0),
+        GenerationConfig(temp=2.0, top_k=1, repeat_penalty=1.0),
+        GenerationConfig(temp=0.0, repeat_penalty=1e9, repeat_last_n=2),
+    ]
+    params = smp.RowParams.from_configs(cfgs)
+    logits = jnp.asarray(np.tile([[5.0, 4.9, -10.0]], (3, 1)), jnp.float32)
+    last = jnp.asarray([[0, 0], [0, 0], [0, -1]], jnp.int32)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(3, dtype=jnp.uint32))
+    tok, keys2 = smp.sample_rows(logits, keys, params, last)
+    toks = [int(t) for t in np.asarray(tok)]
+    # rows 0/1: no penalty → argmax 0; row 2: token 0 penalized → argmax 1
+    assert toks == [0, 0, 1]
+    assert keys2.shape == keys.shape
+
+
+def test_sample_rows_top_p_truncates_per_row():
+    """top_p≈0 forces argmax on its row; top_p=1 leaves the other row free
+    to draw the second token at high temperature (statistically)."""
+    cfgs = [GenerationConfig(temp=5.0, top_p=1e-6, top_k=0,
+                             repeat_penalty=1.0),
+            GenerationConfig(temp=5.0, top_p=1.0, top_k=0,
+                             repeat_penalty=1.0)]
+    params = smp.RowParams.from_configs(cfgs)
+    logits = jnp.asarray(np.tile([[1.0, 0.9, 0.8, 0.7]], (2, 1)), jnp.float32)
+    row0, row1_seen = [], set()
+    for seed in range(24):
+        keys = jax.vmap(jax.random.PRNGKey)(
+            jnp.arange(2, dtype=jnp.uint32) + seed * 7)
+        tok, _ = smp.sample_rows(logits, keys, params, None)
+        row0.append(int(tok[0]))
+        row1_seen.add(int(tok[1]))
+    assert set(row0) == {0}          # nucleus collapsed to argmax
+    assert len(row1_seen) > 1        # hot row explores
+
+
+def test_sample_rows_matches_static_sampler_when_uniform_greedy():
+    g = GenerationConfig(temp=0.0, repeat_penalty=1.3, repeat_last_n=4)
+    params = smp.RowParams.from_configs([g, g])
+    rng = np.random.default_rng(5)
+    logits = jnp.asarray(rng.standard_normal((2, 64)), jnp.float32)
+    last = jnp.asarray(rng.integers(0, 64, (2, 4)), jnp.int32)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(2, dtype=jnp.uint32))
+    tok_rows, _ = smp.sample_rows(logits, keys, params, last)
+    state = smp.SamplerState.init(0, 2, g.mirostat_tau)
+    tok_static, _ = smp.sample(logits, state, g, last)
+    assert list(np.asarray(tok_rows)) == list(np.asarray(tok_static))

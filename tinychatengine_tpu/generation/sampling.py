@@ -17,7 +17,7 @@ All filters preserve the llama.cpp semantics the reference implements:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -207,6 +207,133 @@ def mirostat_v1_step(logits: jax.Array, state: SamplerState, tau: float,
     s_drawn = -jnp.take_along_axis(log_probs, tok[:, None], axis=-1)[:, 0] / jnp.log(2.0)
     mu = state.mu - eta * (s_drawn - tau)
     return tok, SamplerState(key=key, mu=mu)
+
+
+@dataclasses.dataclass
+class RowParams:
+    """Per-ROW sampling parameters as traced [B] arrays — one compiled
+    sampler serves any mix of requests (the engine-global ``sample`` keeps
+    its static GenerationConfig and recompiles per distinct config; a real
+    serving request mix cannot afford that). Mirostat needs carried per-row
+    state machines and stays engine-global — reject such requests upstream.
+    """
+
+    temp: jax.Array              # [B] f32; <= 0 → greedy for that row
+    top_k: jax.Array             # [B] i32; <= 0 → off
+    top_p: jax.Array             # [B] f32; >= 1 → off
+    tfs_z: jax.Array             # [B] f32; >= 1 → off
+    typical_p: jax.Array         # [B] f32; >= 1 → off
+    repeat_penalty: jax.Array    # [B] f32; 1 → off
+    frequency_penalty: jax.Array  # [B] f32
+    presence_penalty: jax.Array   # [B] f32
+
+    @staticmethod
+    def from_configs(gcfgs: Sequence[GenerationConfig]) -> "RowParams":
+        import numpy as np
+        def arr(f, dt=np.float32):
+            return jnp.asarray(np.asarray([f(g) for g in gcfgs], dt))
+        return RowParams(
+            temp=arr(lambda g: g.temp),
+            top_k=arr(lambda g: g.top_k, np.int32),
+            top_p=arr(lambda g: g.top_p),
+            tfs_z=arr(lambda g: g.tfs_z),
+            typical_p=arr(lambda g: g.typical_p),
+            repeat_penalty=arr(lambda g: g.repeat_penalty),
+            frequency_penalty=arr(lambda g: g.frequency_penalty),
+            presence_penalty=arr(lambda g: g.presence_penalty),
+        )
+
+
+jax.tree_util.register_pytree_node(
+    RowParams,
+    lambda p: ((p.temp, p.top_k, p.top_p, p.tfs_z, p.typical_p,
+                p.repeat_penalty, p.frequency_penalty, p.presence_penalty),
+               None),
+    lambda aux, ch: RowParams(*ch),
+)
+
+
+def sample_rows(logits: jax.Array, keys: jax.Array, params: RowParams,
+                last_tokens: Optional[jax.Array] = None):
+    """Per-row sampling pipeline, reference order (top_k → tfs → typical →
+    top_p → temp → draw), every parameter a traced [B] array.
+
+    logits [B, V] f32; keys [B, 2] uint32 (one PRNG key per row — requests
+    keep their own reproducible streams). Returns (tokens [B] i32,
+    new_keys [B, 2]).
+    """
+    logits = logits.astype(jnp.float32)
+    b, v = logits.shape
+
+    if last_tokens is not None:
+        counts = _token_counts(last_tokens, v)                       # [B, V]
+        pen = params.repeat_penalty[:, None]
+        penalized = jnp.where(logits > 0, logits / pen, logits * pen)
+        logits = jnp.where(counts > 0, penalized, logits)
+        logits = (logits - counts * params.frequency_penalty[:, None]
+                  - (counts > 0) * params.presence_penalty[:, None])
+
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    # one descending sort powers top_k (ranks) + tfs; top_p/typical keep
+    # their own orderings (probability vs typicality)
+    order = jnp.argsort(logits, axis=-1)[..., ::-1]
+    ranks = jnp.zeros_like(order).at[
+        jnp.arange(b)[:, None], order].set(
+        jnp.broadcast_to(jnp.arange(v), (b, v)))
+    k_eff = jnp.where(params.top_k <= 0, v, params.top_k)[:, None]
+    masked = jnp.where(ranks < k_eff, logits, NEG_INF)
+
+    sorted_logits = jnp.take_along_axis(masked, order, axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    # tail-free: |d2| of sorted probs, normalized, cum < z (cum <= 1 so a
+    # z >= 1 row keeps everything — the off case needs no branch)
+    d1 = probs[..., :-1] - probs[..., 1:]
+    d2 = jnp.abs(d1[..., :-1] - d1[..., 1:])
+    d2 = d2 / jnp.maximum(jnp.sum(d2, axis=-1, keepdims=True), 1e-12)
+    cum2 = jnp.cumsum(d2, axis=-1)
+    keep_sorted = jnp.concatenate(
+        [jnp.ones_like(cum2[..., :1], bool), cum2 < params.tfs_z[:, None],
+         jnp.ones_like(cum2[..., :1], bool) &
+         (params.tfs_z[:, None] >= 1.0)], axis=-1)
+    keep_sorted = keep_sorted.at[..., :1].set(True)
+    n_keep = jnp.sum(keep_sorted, axis=-1, keepdims=True)
+    thresh = jnp.take_along_axis(sorted_logits, n_keep - 1, axis=-1)
+    masked = jnp.where(masked < thresh, NEG_INF, masked)
+
+    # typical: deviation-from-entropy ordering, cum prob < typical_p
+    log_probs = jax.nn.log_softmax(masked, axis=-1)
+    p_full = jnp.exp(log_probs)
+    entropy = -jnp.sum(jnp.where(p_full > 0, p_full * log_probs, 0.0),
+                       axis=-1, keepdims=True)
+    shifted = jnp.abs(-log_probs - entropy)
+    t_order = jnp.argsort(shifted, axis=-1)
+    p_sorted = jnp.take_along_axis(p_full, t_order, axis=-1)
+    cum = jnp.cumsum(p_sorted, axis=-1)
+    keep_t = (cum - p_sorted) < params.typical_p[:, None]
+    keep_t = keep_t.at[..., :1].set(True)
+    keep = jnp.zeros_like(keep_t).at[
+        jnp.arange(b)[:, None], t_order].set(keep_t)
+    masked = jnp.where(keep, masked, NEG_INF)
+
+    # nucleus: cumulative prob (descending) < top_p
+    s_logits = jnp.sort(masked, axis=-1)[..., ::-1]
+    s_probs = jax.nn.softmax(s_logits, axis=-1)
+    s_cum = jnp.cumsum(s_probs, axis=-1)
+    keep_p = (s_cum - s_probs) < params.top_p[:, None]
+    keep_p = keep_p.at[..., :1].set(True)
+    n_keep = jnp.sum(keep_p, axis=-1, keepdims=True)
+    thresh = jnp.take_along_axis(s_logits, n_keep - 1, axis=-1)
+    masked = jnp.where(masked < thresh, NEG_INF, masked)
+
+    masked = masked / jnp.maximum(params.temp, 1e-6)[:, None]
+    splits = jax.vmap(jax.random.split)(keys)                # [B, 2, 2]
+    new_keys, subs = splits[:, 0], splits[:, 1]
+    drawn = jax.vmap(
+        lambda l, k: jax.random.categorical(k, l))(masked, subs
+                                                   ).astype(jnp.int32)
+    tok = jnp.where(params.temp <= 0, greedy_tok, drawn)
+    return tok, new_keys
 
 
 def sample(logits: jax.Array, state: SamplerState, gcfg: GenerationConfig,

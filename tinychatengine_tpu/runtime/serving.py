@@ -18,9 +18,13 @@ is the TPU framework's serving layer above the single-request Engine:
 - inactive slots still run (dead rows keep shapes static) but their cache
   writes land beyond their frozen lengths and their outputs are discarded.
 
-Sampling parameters are per-engine (one compiled sampler); per-request
-seeds/states are per-slot. Per-request sampling params would force a
-recompile per distinct config — batch requests with like configs instead.
+Sampling is per-REQUEST without recompiles: every parameter the llama.cpp
+pipeline exposes (temp/top_k/top_p/tfs/typical/penalties) rides as a traced
+[slots] array into one compiled ``sampling.sample_rows`` executable, and each
+request carries its own PRNG key (reproducible per request_id). The two
+engine-global leftovers are mirostat (per-row carried state machines; the
+engine falls back to the static per-engine sampler when its own gcfg enables
+it) and logit_bias — requests asking for either are rejected at submit().
 """
 
 from __future__ import annotations
@@ -52,6 +56,7 @@ class Request:
     stop_token_ids: tuple = ()
     on_token: Optional[Callable[[int, "Request"], None]] = None
     request_id: int = 0
+    gcfg: Optional[GenerationConfig] = None   # per-request sampling params
     # filled by the engine:
     output_ids: list = dataclasses.field(default_factory=list)
     finished: bool = False
@@ -137,6 +142,17 @@ class ServingEngine:
         self._next_tok = np.zeros((slots,), np.int32)
         self._state = sampling.SamplerState.init(
             self.gcfg.seed, slots, self.gcfg.mirostat_tau)
+        # per-request sampling (one compiled sample_rows; params are traced
+        # [slots] arrays). Mirostat/logit_bias in the ENGINE gcfg keep the
+        # static per-engine sampler for every request instead.
+        self._per_row = (self.gcfg.mirostat == 0 and not self.gcfg.logit_bias)
+        self._row_cfgs = [self.gcfg] * slots
+        self._row_params = sampling.RowParams.from_configs(self._row_cfgs)
+        self._row_window = np.full((slots,), window, np.int32)
+        base = jax.random.PRNGKey(max(self.gcfg.seed, 0))
+        self._keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+            jnp.arange(slots, dtype=jnp.uint32))
+        self._jit_sample_rows = jax.jit(sampling.sample_rows)
 
         self._jit_decode = jax.jit(
             functools.partial(_decode_step, forward_fn),
@@ -148,12 +164,25 @@ class ServingEngine:
 
     # -- public API ----------------------------------------------------------
     def submit(self, prompt_ids, n_predict: Optional[int] = None,
-               stop_token_ids=(), on_token=None) -> Request:
+               stop_token_ids=(), on_token=None,
+               gcfg: Optional[GenerationConfig] = None) -> Request:
+        """gcfg: per-request sampling parameters (temp/top_k/top_p/tfs_z/
+        typical_p/penalties/seed) — served by ONE compiled row-sampler, no
+        recompile per distinct config."""
+        if gcfg is not None:
+            if not self._per_row:
+                raise ValueError(
+                    "per-request gcfg unavailable: the engine gcfg enables "
+                    "mirostat/logit_bias (engine-global sampler)")
+            if gcfg.mirostat != 0 or gcfg.logit_bias:
+                raise ValueError(
+                    "mirostat/logit_bias are engine-global (carried per-row "
+                    "state / static table) — set them on the engine gcfg")
         req = Request(
             prompt_ids=np.asarray(prompt_ids, np.int32).reshape(-1),
-            n_predict=n_predict or self.gcfg.n_predict,
+            n_predict=n_predict or (gcfg or self.gcfg).n_predict,
             stop_token_ids=tuple(int(t) for t in stop_token_ids),
-            on_token=on_token, request_id=next(self._ids),
+            on_token=on_token, request_id=next(self._ids), gcfg=gcfg,
             submit_t=time.perf_counter())
         self.queue.append(req)
         return req
@@ -280,19 +309,40 @@ class ServingEngine:
         slot.remaining = min(req.n_predict - len(req.output_ids),
                              self.max_len - n - 1)
 
-        # first token from the prefill logits (fresh mirostat mu; PRNG key is
-        # engine-wide, mu is per-slot)
-        mu0 = jnp.asarray(2.0 * self.gcfg.mirostat_tau, jnp.float32)
-        state_b = sampling.SamplerState(key=self._state.key, mu=mu0[None])
+        # first token from the prefill logits
         window = self._last.shape[1]
         self._last[slot_idx] = -1
         tail = min(window, n)
         self._last[slot_idx, window - tail:] = req.prompt_ids[n - tail:]
-        tok, state_b = self._prefill_engine._jit_sample(
-            logits, state_b, jnp.asarray(self._last[slot_idx][None]), self._hcfg)
-        self._state = sampling.SamplerState(
-            key=state_b.key, mu=self._state.mu.at[slot_idx].set(state_b.mu[0]))
-        t = int(np.asarray(tok)[0])
+        rcfg = req.gcfg or self.gcfg
+        self._row_window[slot_idx] = window if rcfg.repeat_last_n < 0 \
+            else min(rcfg.repeat_last_n, window)
+        self._mask_row_window(slot_idx)
+        if self._per_row:
+            self._row_cfgs[slot_idx] = rcfg
+            self._row_params = sampling.RowParams.from_configs(self._row_cfgs)
+            row_key = (jax.random.PRNGKey(rcfg.seed)
+                       if req.gcfg is not None and rcfg.seed >= 0
+                       else jax.random.fold_in(
+                           jax.random.PRNGKey(max(self.gcfg.seed, 0)),
+                           req.request_id + 1 + len(self.slots)))
+            self._keys = self._keys.at[slot_idx].set(row_key)
+            tok, keys1 = self._jit_sample_rows(
+                logits, self._keys[slot_idx][None],
+                jax.tree.map(lambda a: a[slot_idx][None], self._row_params),
+                jnp.asarray(self._last[slot_idx][None]))
+            self._keys = self._keys.at[slot_idx].set(keys1[0])
+            t = int(np.asarray(tok)[0])
+        else:
+            mu0 = jnp.asarray(2.0 * self.gcfg.mirostat_tau, jnp.float32)
+            state_b = sampling.SamplerState(key=self._state.key, mu=mu0[None])
+            tok, state_b = self._prefill_engine._jit_sample(
+                logits, state_b, jnp.asarray(self._last[slot_idx][None]),
+                self._hcfg)
+            self._state = sampling.SamplerState(
+                key=state_b.key,
+                mu=self._state.mu.at[slot_idx].set(state_b.mu[0]))
+            t = int(np.asarray(tok)[0])
         req.first_token_t = time.perf_counter()
         self._emit(slot_idx, t)
 
@@ -327,13 +377,26 @@ class ServingEngine:
         else:
             logits, self.cache = self._jit_decode(
                 self.params, self.cfg, toks, self.cache, lengths)
-        tok, self._state = self._prefill_engine._jit_sample(
-            logits, self._state, jnp.asarray(self._last), self._hcfg)
+        if self._per_row:
+            tok, self._keys = self._jit_sample_rows(
+                logits, self._keys, self._row_params, jnp.asarray(self._last))
+        else:
+            tok, self._state = self._prefill_engine._jit_sample(
+                logits, self._state, jnp.asarray(self._last), self._hcfg)
         tok_host = np.asarray(tok)
         for i, slot in enumerate(self.slots):
             if slot.active:
                 slot.length += 1
                 self._emit(i, int(tok_host[i]))
+
+    def _mask_row_window(self, slot_idx: int):
+        """Per-request repeat_last_n: blank history older than the row's
+        window (the shared ``_last`` buffer is sized by the ENGINE gcfg —
+        a request asking for a larger window is capped at it)."""
+        w = int(self._row_window[slot_idx])
+        full = self._last.shape[1]
+        if w < full:
+            self._last[slot_idx, :full - w] = -1
 
     def _emit(self, slot_idx: int, token: int):
         """Record a sampled token for a slot; finish/free on stop or length."""
@@ -345,6 +408,7 @@ class ServingEngine:
         self._next_tok[slot_idx] = token
         self._last[slot_idx] = np.roll(self._last[slot_idx], -1)
         self._last[slot_idx, -1] = token
+        self._mask_row_window(slot_idx)
         slot.remaining -= 1
 
         if token in req.stop_token_ids:
