@@ -46,7 +46,7 @@ def timed_loop(body, init, iters):
         return out
 
     once(init, 1)
-    once(init, ITERS)
+    once(init, iters)
     results = []
     for t in range(TRIALS):
         # fresh values to defeat the tunnel's execution cache
@@ -56,8 +56,8 @@ def timed_loop(body, init, iters):
         leaf = jax.tree.leaves(carry)[0]
         np.asarray(jax.device_get(leaf.ravel()[:1]))
         t0 = time.perf_counter(); once(carry, 1); t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); once(carry, ITERS); t2 = time.perf_counter() - t0
-        results.append(max((t2 - t1) / (ITERS - 1), 1e-9))
+        t0 = time.perf_counter(); once(carry, iters); t2 = time.perf_counter() - t0
+        results.append(max((t2 - t1) / (iters - 1), 1e-9))
     return float(np.median(results))
 
 
@@ -93,7 +93,7 @@ def main():
     ly = params.layers
 
     # --- the four per-layer int4 matmuls (stacked, layer-cycled) ----------
-    def mm_loop(lin, k_dim):
+    def mm_loop(lin, k_dim, iters):
         x0 = jnp.ones((1, k_dim), jnp.bfloat16)
 
         def body(i, carry):
@@ -103,13 +103,16 @@ def main():
             x = x[:, :1] * 0 + x + jnp.sum(y[..., :1]).astype(x.dtype) * 1e-12
             return (x, packed, scales)
 
-        return timed_loop(body, (x0, lin.packed, lin.scales), ITERS)
+        return timed_loop(body, (x0, lin.packed, lin.scales), iters)
 
-    for name, lin, kd in [("qkv (4096->6144)", ly.wqkv, 4096),
-                          ("wo (4096->4096)", ly.wo, 4096),
-                          ("gate_up (4096->28672)", ly.wgate_up, 4096),
-                          ("down (14336->4096)", ly.down, 14336)]:
-        t = mm_loop(lin, kd)
+    # small ops need many iterations: the loop total must dwarf the tunnel's
+    # per-dispatch jitter (~1 ms) or the short/long difference is noise
+    for name, lin, kd, iters in [
+            ("qkv (4096->6144)", ly.wqkv, 4096, 512),
+            ("wo (4096->4096)", ly.wo, 4096, 512),
+            ("gate_up (4096->28672)", ly.wgate_up, 4096, 64),
+            ("down (14336->4096)", ly.down, 14336, 128)]:
+        t = mm_loop(lin, kd, iters)
         report(name, t, L, wbytes(lin))
 
     # --- lm_head (unstacked, 1 call/step) ----------------------------------
@@ -121,7 +124,7 @@ def main():
         return (x + jnp.sum(y[..., :1]).astype(x.dtype) * 1e-12, packed, scales)
 
     t = timed_loop(lmh_body, (jnp.ones((1, 4096), jnp.bfloat16),
-                              lmh.packed, lmh.scales), ITERS)
+                              lmh.packed, lmh.scales), 64)
     report("lm_head (4096->129024)", t, 1, wbytes(lmh, stacked=False))
 
     # --- flash decode attention (layer-cycled; ctx ~ 96 like bench) --------
@@ -139,7 +142,7 @@ def main():
                          None, None)
         return (q + jnp.sum(o[..., :1]).astype(q.dtype) * 1e-12, k, v)
 
-    t = timed_loop(att_body, (q0, cache.k, cache.v), ITERS)
+    t = timed_loop(att_body, (q0, cache.k, cache.v), 512)
     kv_bytes = 2 * 96 * cfg.num_kv_heads * cfg.head_dim * 2
     report("flash_decode (ctx=96)", t, L, kv_bytes)
 
@@ -158,7 +161,7 @@ def main():
         last = jnp.roll(last, -1, axis=1).at[:, -1].set(tok)
         return (logits + tok[0].astype(jnp.float32) * 1e-12, state, last)
 
-    t = timed_loop(samp_body, (logits0, state, last0), ITERS)
+    t = timed_loop(samp_body, (logits0, state, last0), 512)
     report("sample (greedy+rep)", t, 1, cfg.vocab_size * 4)
 
     # --- KV cache update (dynamic_update_slice, layer-cycled) ---------------
@@ -171,7 +174,7 @@ def main():
         c2 = kvc.update_layer(c, new, new, i % L, jnp.asarray(96, jnp.int32))
         return (c2, new)
 
-    t = timed_loop(kvu_body, (cache, kv_new), ITERS)
+    t = timed_loop(kvu_body, (cache, kv_new), 512)
     report("kv update (k+v dus)", t, L, 2 * cfg.num_kv_heads * cfg.head_dim * 2)
 
     # --- whole decode step (forward + sample), the real composition --------

@@ -69,20 +69,31 @@ def bench_shape(name, k, n):
             x, acc = jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0)))
             return acc
 
-        def once(x, iters):
-            return float(np.asarray(run(x, packed, scales, iters)))
+        import itertools
+        fresh = itertools.count(1)
 
-        once(x0, 1)
-        once(x0, ITERS)
-        best = 1e9
-        for t in range(3):
-            xt = x0 * (1.0 + 1e-3 * (t + 1))
-            once(xt, 1)
-            t0 = time.perf_counter(); once(xt, 1); t1 = time.perf_counter() - t0
-            t0 = time.perf_counter(); once(xt, ITERS); t2 = time.perf_counter() - t0
-            best = min(best, (t2 - t1) / (ITERS - 1))
-        us = best * 1e6
+        def once(iters):
+            # EVERY call gets fresh args — identical (executable, args)
+            # executions are served from the tunnel's cache and corrupt
+            # the differencing (CLAUDE.md measuring rules)
+            xt = x0 * (1.0 + 1e-4 * next(fresh))
+            return float(np.asarray(run(xt, packed, scales, iters)))
+
         label = f"bn={bn} bk={bk}" if bn else "heuristic"
+        try:
+            once(1)
+            once(ITERS)
+        except Exception as e:
+            print(f"  {label:18s} FAILED: {str(e)[:120]}")
+            continue
+        shorts, longs = [], []
+        for t in range(3):
+            t0 = time.perf_counter(); once(1)
+            shorts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); once(ITERS)
+            longs.append(time.perf_counter() - t0)
+        us = (float(np.median(longs)) - float(np.median(shorts))) \
+            / (ITERS - 1) * 1e6
         print(f"  {label:18s} {us:8.1f} us  ({roof_us / us * 100:5.1f}% of roof)")
 
 

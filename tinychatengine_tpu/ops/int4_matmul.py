@@ -40,6 +40,29 @@ from tinychatengine_tpu.quant.packing import PLANE, SUPERBLOCK
 
 ZERO_POINT = 8
 
+# Per-shape decode (M < 512) blocking overrides, (K, N) → (block_n, block_k),
+# tuned end-to-end on v5e with bench.py A/B medians (scripts/tune_int4_blocks
+# microbenches are ±20% over the shared-chip tunnel — only full-model A/B is
+# trusted). Empty entries fall through to the (2048, 2048) default.
+DECODE_BLOCKS: dict = {}
+
+
+def _parse_env_blocks():
+    """Tuning hook: TCE_DECODE_BLOCKS="K,N:bn,bk;K,N:bn,bk" overrides the
+    decode blocking table per process (scripts/ab_bench_blocks.py A/Bs
+    bench.py runs this way without code edits)."""
+    import os
+    for item in os.environ.get("TCE_DECODE_BLOCKS", "").split(";"):
+        if not item.strip():
+            continue
+        shape, blocks = item.split(":")
+        k, n = (int(s) for s in shape.split(","))
+        bn, bk = (int(s) for s in blocks.split(","))
+        DECODE_BLOCKS[(k, n)] = (bn, bk)
+
+
+_parse_env_blocks()
+
 
 def _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
                         group_size: int, n_kblocks: int, block_k: int):
@@ -229,6 +252,8 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
     if block_m is None and m + pad >= 512:
         block_m = _pick_block(m + pad, 512, 16)
         block_n = block_n or _pick_block(n, 1024, 128)
+    elif block_n is None and block_k is None and (k, n) in DECODE_BLOCKS:
+        block_n, block_k = DECODE_BLOCKS[(k, n)]
     block_m = block_m or _pick_block(m + pad, 256, 16)
     block_n = block_n or _pick_block(n, 2048, 128)
     block_k = block_k or _pick_block(k, 2048, SUPERBLOCK)
