@@ -18,12 +18,15 @@ import numpy as np
 ROUNDS = 6
 N_DECODE = 64
 
+GU1024 = {(4096, 28672): (1024, 2048)}
+
+# Round 2 (after gate_up bn=1024 won round 1: 154.9 vs 152.0 base):
 CONFIGS = {
-    "base(2048,2048)": {},
-    "gu_bn1024": {(4096, 28672): (1024, 2048)},
-    "gu_bk4096": {(4096, 28672): (2048, 4096)},
-    "all_bn1024": {(4096, 28672): (1024, 2048), (4096, 6144): (1024, 2048),
-                   (4096, 4096): (1024, 2048), (14336, 4096): (1024, 2048)},
+    "gu1024(default)": dict(GU1024),
+    "gu512": {(4096, 28672): (512, 2048)},
+    "gu1024+lm1024": {**GU1024, (4096, 129024): (1024, 2048)},
+    "gu1024+qkvwo_bk4096": {**GU1024, (4096, 6144): (2048, 4096),
+                            (4096, 4096): (2048, 4096)},
 }
 
 

@@ -29,7 +29,7 @@ def fast_w8a8_params(cfg, seed=0):
     """Layer-stacked random W8A8 OPTParams generated on device (layout-only
     fidelity, like llama.init_random_params(fast=True))."""
     L, e, f, v = cfg.num_layers, cfg.embed_dim, cfg.hidden_dim, cfg.vocab_size
-    keys = iter(jax.random.split(jax.random.PRNGKey(seed), 12))
+    keys = iter(jax.random.split(jax.random.PRNGKey(seed), 20))
 
     def w8(k, n, alpha):
         return W8A8Linear(

@@ -134,6 +134,21 @@ def test_per_request_sampling_single_compile():
     assert rc2.output_ids == rc.output_ids
 
 
+def test_per_request_logit_bias_forces_token():
+    cfg, qcfg, params = _tiny()
+    srv = ServingEngine(params, cfg, qcfg, slots=2,
+                        gcfg=GenerationConfig(temp=0.7, n_predict=4, seed=0))
+    forced = 123
+    r = srv.submit(PROMPTS[0], gcfg=GenerationConfig(
+        temp=0.7, n_predict=4, repeat_penalty=1.0, repeat_last_n=1,
+        logit_bias={forced: 1e9}, seed=5))
+    r2 = srv.submit(PROMPTS[1], gcfg=GenerationConfig(
+        temp=0.0, n_predict=4, repeat_penalty=1.0, repeat_last_n=1))
+    srv.run()
+    assert r.output_ids == [forced] * 4          # bias dominates sampling
+    assert r2.output_ids != [forced] * 4         # neighbor row unbiased
+
+
 def test_per_request_mirostat_rejected():
     cfg, qcfg, params = _tiny()
     srv = ServingEngine(params, cfg, qcfg, slots=2,

@@ -226,12 +226,26 @@ class RowParams:
     repeat_penalty: jax.Array    # [B] f32; 1 → off
     frequency_penalty: jax.Array  # [B] f32
     presence_penalty: jax.Array   # [B] f32
+    bias_ids: jax.Array          # [B, MAX_BIAS] i32; -1 = unused entry
+    bias_vals: jax.Array         # [B, MAX_BIAS] f32
+
+    MAX_BIAS = 16  # per-request logit_bias entries (static scatter width)
 
     @staticmethod
     def from_configs(gcfgs: Sequence[GenerationConfig]) -> "RowParams":
         import numpy as np
         def arr(f, dt=np.float32):
             return jnp.asarray(np.asarray([f(g) for g in gcfgs], dt))
+        nb = RowParams.MAX_BIAS
+        ids = np.full((len(gcfgs), nb), -1, np.int32)
+        vals = np.zeros((len(gcfgs), nb), np.float32)
+        for r, g in enumerate(gcfgs):
+            if g.logit_bias:
+                items = (g.logit_bias.items()
+                         if hasattr(g.logit_bias, "items") else g.logit_bias)
+                for c, (t, v) in enumerate(list(items)[:nb]):
+                    ids[r, c] = int(t)
+                    vals[r, c] = float(v)
         return RowParams(
             temp=arr(lambda g: g.temp),
             top_k=arr(lambda g: g.top_k, np.int32),
@@ -241,13 +255,15 @@ class RowParams:
             repeat_penalty=arr(lambda g: g.repeat_penalty),
             frequency_penalty=arr(lambda g: g.frequency_penalty),
             presence_penalty=arr(lambda g: g.presence_penalty),
+            bias_ids=jnp.asarray(ids), bias_vals=jnp.asarray(vals),
         )
 
 
 jax.tree_util.register_pytree_node(
     RowParams,
     lambda p: ((p.temp, p.top_k, p.top_p, p.tfs_z, p.typical_p,
-                p.repeat_penalty, p.frequency_penalty, p.presence_penalty),
+                p.repeat_penalty, p.frequency_penalty, p.presence_penalty,
+                p.bias_ids, p.bias_vals),
                None),
     lambda aux, ch: RowParams(*ch),
 )
@@ -264,6 +280,12 @@ def sample_rows(logits: jax.Array, keys: jax.Array, params: RowParams,
     """
     logits = logits.astype(jnp.float32)
     b, v = logits.shape
+
+    # per-row logit_bias: fixed-width scatter-add ([-1]-padded ids no-op via
+    # zero values; clip keeps the index in range)
+    rows = jnp.arange(b)[:, None]
+    logits = logits.at[rows, jnp.clip(params.bias_ids, 0, v - 1)].add(
+        jnp.where(params.bias_ids >= 0, params.bias_vals, 0.0))
 
     if last_tokens is not None:
         counts = _token_counts(last_tokens, v)                       # [B, V]

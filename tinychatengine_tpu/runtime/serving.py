@@ -20,11 +20,12 @@ is the TPU framework's serving layer above the single-request Engine:
 
 Sampling is per-REQUEST without recompiles: every parameter the llama.cpp
 pipeline exposes (temp/top_k/top_p/tfs/typical/penalties) rides as a traced
-[slots] array into one compiled ``sampling.sample_rows`` executable, and each
-request carries its own PRNG key (reproducible per request_id). The two
-engine-global leftovers are mirostat (per-row carried state machines; the
-engine falls back to the static per-engine sampler when its own gcfg enables
-it) and logit_bias — requests asking for either are rejected at submit().
+[slots] array into one compiled ``sampling.sample_rows`` executable —
+including logit_bias (fixed-width scatter) — and each request carries its
+own PRNG key (reproducible per request_id). The one engine-global leftover
+is mirostat (per-row carried state machines): the engine falls back to the
+static per-engine sampler when its own gcfg enables it, and requests asking
+for it are rejected at submit().
 """
 
 from __future__ import annotations
@@ -143,9 +144,12 @@ class ServingEngine:
         self._state = sampling.SamplerState.init(
             self.gcfg.seed, slots, self.gcfg.mirostat_tau)
         # per-request sampling (one compiled sample_rows; params are traced
-        # [slots] arrays). Mirostat/logit_bias in the ENGINE gcfg keep the
+        # [slots] arrays, logit_bias as a fixed-width scatter). Mirostat in
+        # the ENGINE gcfg (or an oversized engine-level bias table) keeps the
         # static per-engine sampler for every request instead.
-        self._per_row = (self.gcfg.mirostat == 0 and not self.gcfg.logit_bias)
+        self._per_row = (self.gcfg.mirostat == 0 and
+                         len(self.gcfg.logit_bias or ())
+                         <= sampling.RowParams.MAX_BIAS)
         self._row_cfgs = [self.gcfg] * slots
         self._row_params = sampling.RowParams.from_configs(self._row_cfgs)
         self._row_window = np.full((slots,), window, np.int32)
@@ -172,12 +176,16 @@ class ServingEngine:
         if gcfg is not None:
             if not self._per_row:
                 raise ValueError(
-                    "per-request gcfg unavailable: the engine gcfg enables "
-                    "mirostat/logit_bias (engine-global sampler)")
-            if gcfg.mirostat != 0 or gcfg.logit_bias:
+                    "per-request gcfg unavailable: the engine gcfg uses the "
+                    "engine-global sampler (mirostat / oversized logit_bias)")
+            if gcfg.mirostat != 0:
                 raise ValueError(
-                    "mirostat/logit_bias are engine-global (carried per-row "
-                    "state / static table) — set them on the engine gcfg")
+                    "mirostat is engine-global (carried per-row state "
+                    "machine) — set it on the engine gcfg")
+            if len(gcfg.logit_bias or ()) > sampling.RowParams.MAX_BIAS:
+                raise ValueError(
+                    f"per-request logit_bias supports at most "
+                    f"{sampling.RowParams.MAX_BIAS} entries")
         req = Request(
             prompt_ids=np.asarray(prompt_ids, np.int32).reshape(-1),
             n_predict=n_predict or (gcfg or self.gcfg).n_predict,
