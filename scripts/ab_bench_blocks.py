@@ -15,18 +15,20 @@ import time
 
 import numpy as np
 
-ROUNDS = 6
-N_DECODE = 64
+ROUNDS = 8
+N_DECODE = 256
 
 GU1024 = {(4096, 28672): (1024, 2048)}
+LM1024 = {(4096, 129024): (1024, 2048)}
+QKVWO4096 = {(4096, 6144): (2048, 4096), (4096, 4096): (2048, 4096)}
 
-# Round 2 (after gate_up bn=1024 won round 1: 154.9 vs 152.0 base):
+# Round 5 (FINAL): rounds 3/4 contradicted each other at n_decode=64 —
+# the deltas are inside the co-tenant noise floor. 256-token decode runs
+# (4x signal) for the three candidates that ever won a round.
 CONFIGS = {
-    "gu1024(default)": dict(GU1024),
-    "gu512": {(4096, 28672): (512, 2048)},
-    "gu1024+lm1024": {**GU1024, (4096, 129024): (1024, 2048)},
-    "gu1024+qkvwo_bk4096": {**GU1024, (4096, 6144): (2048, 4096),
-                            (4096, 4096): (2048, 4096)},
+    "base(no table)": {},
+    "gu1024": dict(GU1024),
+    "gu1024+lm1024": {**GU1024, **LM1024},
 }
 
 

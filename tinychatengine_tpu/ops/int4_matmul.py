@@ -40,10 +40,13 @@ from tinychatengine_tpu.quant.packing import PLANE, SUPERBLOCK
 
 ZERO_POINT = 8
 
-# Per-shape decode (M < 512) blocking overrides, (K, N) → (block_n, block_k),
-# tuned end-to-end on v5e with bench.py A/B medians (scripts/tune_int4_blocks
-# microbenches are ±20% over the shared-chip tunnel — only full-model A/B is
-# trusted). Empty entries fall through to the (2048, 2048) default.
+# Per-shape decode (M < 512) blocking overrides, (K, N) → (block_n, block_k).
+# EMPTY after a 5-round end-to-end study (scripts/ab_bench_blocks.py):
+# with 256-token decode runs and interleaved configs, every candidate
+# (gate_up bn∈{512,1024}, lm_head bn∈{512,1024}, qkv/wo bk=4096) measured
+# within ±1% of the (2048, 2048) default — earlier "wins" at 64-token runs
+# were co-tenant noise. The table + TCE_DECODE_BLOCKS env hook stay for
+# future shapes/toolchains.
 DECODE_BLOCKS: dict = {}
 
 
