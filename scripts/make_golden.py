@@ -12,7 +12,7 @@ from pathlib import Path
 import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
-PROMPT = "def fibonacci(n):\n    "
+PROMPT = "class Foo:\n    def __init__(self"
 N_PREDICT = 48
 
 

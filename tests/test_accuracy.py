@@ -64,15 +64,18 @@ def fp_ppl(trained, eval_ids):
 
 
 def test_fp_model_actually_learned(fp_ppl):
-    # byte-level ppl on held-out Python source; random model scores ~258,
-    # the committed model measured ~2.6 on the full eval split (ppl.json)
-    assert fp_ppl < 4.0, f"fp ppl {fp_ppl} — checkpoint looks untrained"
+    # byte-level ppl on held-out Python source; a random model scores ~258,
+    # the committed model measured 3.089 on the full 200k-token eval split
+    # (assets/bytellama_5m/ppl.json, TPU) — CPU on this 6k sample is close
+    assert fp_ppl < 3.5, f"fp ppl {fp_ppl} — checkpoint looks untrained"
 
 
+# measured Δppl vs fp (TPU, 200k tokens): w4a16 +0.95%, w4a8 +0.96%,
+# w4a16+int8KV +0.96% — tolerances are ~3x the measured gap
 @pytest.mark.parametrize("scheme,quant_kv,rel_tol", [
-    ("w4a16", False, 0.05),
-    ("w4a8", False, 0.08),
-    ("w4a16", True, 0.08),   # + int8 KV
+    ("w4a16", False, 0.03),
+    ("w4a8", False, 0.04),
+    ("w4a16", True, 0.04),   # + int8 KV
 ])
 def test_quantized_ppl_within_budget(trained, eval_ids, fp_ppl, scheme,
                                      quant_kv, rel_tol):
