@@ -69,4 +69,6 @@ def template_for(model_name: str) -> ChatTemplate:
         return TEMPLATES["completion"]
     if "opt" in n:
         return TEMPLATES["completion"]
+    if "bytellama" in n:  # in-repo accuracy model: raw code completion
+        return TEMPLATES["completion"]
     return TEMPLATES["llama2"]
