@@ -149,6 +149,65 @@ def test_per_request_logit_bias_forces_token():
     assert r2.output_ids != [forced] * 4         # neighbor row unbiased
 
 
+def test_tick_batching_exactness():
+    """K-tick burst decode (one dispatch per K tokens) must be INVISIBLE:
+    greedy and seeded-stochastic outputs identical to tick_batch=1, stop
+    tokens honored (overshoot discarded), mixed per-request configs."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=21, repeat_penalty=1.1,
+                         repeat_last_n=8, seed=4)
+
+    def run(tb):
+        srv = ServingEngine(params, cfg, qcfg, slots=3, gcfg=g, tick_batch=tb)
+        ra = srv.submit(PROMPTS[0])                          # greedy 21 toks
+        rb = srv.submit(PROMPTS[1], gcfg=GenerationConfig(
+            temp=1.1, top_p=0.9, n_predict=17, repeat_penalty=1.0,
+            repeat_last_n=4, seed=33))                       # stochastic
+        srv.run()
+        return ra.output_ids, rb.output_ids
+
+    a1, b1 = run(1)
+    a8, b8 = run(8)
+    assert a8 == a1, (a8, a1)
+    assert b8 == b1, (b8, b1)
+    assert len(a1) == 21 and len(b1) == 17
+
+
+def test_tick_batching_stop_token_mid_burst():
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=40, repeat_penalty=1.3,
+                         repeat_last_n=8)
+    probe = ServingEngine(params, cfg, qcfg, slots=1, gcfg=g, tick_batch=1)
+    r0 = probe.submit(PROMPTS[0])
+    probe.run()
+    # pick a token whose FIRST occurrence lands mid-sequence (and mid-burst)
+    cut = next(i for i in range(2, 39)
+               if r0.output_ids[i] not in r0.output_ids[:i])
+    stop_tok = r0.output_ids[cut]
+
+    srv = ServingEngine(params, cfg, qcfg, slots=1, gcfg=g, tick_batch=8)
+    r = srv.submit(PROMPTS[0], stop_token_ids=(stop_tok,))
+    srv.run()
+    assert r.finish_reason == "stop"
+    assert r.output_ids == r0.output_ids[:cut + 1]  # overshoot discarded
+
+
+def test_tick_batching_paged_matches_dense():
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=18, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    dense = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g, tick_batch=1)
+    want = [dense.submit(p) for p in PROMPTS]
+    dense.run()
+
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g, tick_batch=6,
+                        paged=True, page_size=16)
+    reqs = [srv.submit(p) for p in PROMPTS]
+    srv.run()
+    for r, w in zip(reqs, want):
+        assert r.output_ids == w.output_ids
+
+
 def test_per_request_mirostat_rejected():
     cfg, qcfg, params = _tiny()
     srv = ServingEngine(params, cfg, qcfg, slots=2,
@@ -220,6 +279,35 @@ def test_paged_batched_greedy_matches_single():
         assert r.output_ids == list(w), (r.request_id, r.output_ids, w)
     # every non-dead page is back in the free list
     assert srv.allocator.n_free == srv.page_cache.n_pages - 1
+
+
+def test_paged_with_per_request_sampling():
+    """Paged KV × per-request sampling compose: a greedy-configured request
+    inside a hot-sampling engine, under block-table paging, still matches
+    the solo greedy run; its hot neighbor still draws stochastically —
+    and per-request seeds reproduce across engines."""
+    cfg, qcfg, params = _tiny()
+    engine_g = GenerationConfig(temp=1.0, n_predict=12, seed=9)
+    greedy = GenerationConfig(temp=0.0, n_predict=12, repeat_penalty=1.0,
+                              repeat_last_n=1)
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=cfg.max_sqlen)
+    want = list(eng.generate(PROMPTS[0][None, :], greedy).tokens[0])
+
+    def run_once():
+        srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=engine_g,
+                            paged=True, page_size=16)
+        ra = srv.submit(PROMPTS[0], gcfg=greedy)
+        rb = srv.submit(PROMPTS[1], gcfg=GenerationConfig(
+            temp=1.3, top_p=0.9, n_predict=12, repeat_penalty=1.0,
+            repeat_last_n=1, seed=21))
+        srv.run()
+        return ra.output_ids, rb.output_ids
+
+    a1, b1 = run_once()
+    a2, b2 = run_once()
+    assert a1 == want and a2 == want
+    assert b1 == b2                      # per-request seed reproducibility
+    assert len(b1) == 12
 
 
 def test_paged_pool_smaller_than_dense():

@@ -87,14 +87,19 @@ class ServingEngine:
                  gcfg: GenerationConfig | None = None,
                  forward_fn=llama.forward, paged: bool = False,
                  page_size: int = 128, n_pages: Optional[int] = None,
-                 admission_chunk: int = 512):
+                 admission_chunk: int = 512, tick_batch: int = 8):
         """paged=True swaps the slot-reserved cache (slots x max_len) for a
         page pool (runtime/paged.py): sequences borrow pages as they grow, so
         capacity is ~total resident tokens instead of worst-case per slot.
 
         admission_chunk: long prompts prefill in chunks of this many tokens,
         ONE chunk per scheduler tick, interleaved with decode steps — an
-        admission never stalls the running batch for a full prefill."""
+        admission never stalls the running batch for a full prefill.
+
+        tick_batch: when the queue is idle and every active slot has this
+        much budget/page headroom, run this many decode+sample ticks in ONE
+        device dispatch (amortizes per-tick host dispatch overhead; slots
+        stopping mid-burst discard their overshoot). 1 disables."""
         self.params = params
         self.cfg = cfg
         self.qcfg = qcfg or QuantConfig()
@@ -164,6 +169,10 @@ class ServingEngine:
         self._jit_decode_paged = jax.jit(
             functools.partial(_decode_step_paged, forward_fn),
             static_argnames=("cfg",), donate_argnames=("cache",))
+        self.tick_batch = max(int(tick_batch), 1)
+        self._jit_decode_multi = jax.jit(
+            functools.partial(_decode_multi, forward_fn),
+            static_argnames=("cfg", "n_ticks"), donate_argnames=("cache",))
         self._jit_insert = _insert_slot  # jitted below (donates cache)
 
     # -- public API ----------------------------------------------------------
@@ -234,7 +243,69 @@ class ServingEngine:
                     "paged KV pool cannot fit the next request's prefill "
                     f"({self.allocator.n_free} pages free)")
             return
-        self._decode_once()
+        k = self._burst_ticks()
+        if k >= 2:
+            self._decode_burst(k)
+        else:
+            self._decode_once()
+
+    def _burst_ticks(self) -> int:
+        """How many decode ticks can run as one device dispatch without the
+        host needing to intervene: requires the per-row sampler, no
+        in-flight chunked admission, and tick_batch tokens of budget +
+        cache/page headroom on every active slot. All-or-nothing (a single
+        extra executable, not one per burst length). A standing queue does
+        NOT disable bursting — waiting requests admit at the next burst
+        boundary (admission delay bounded by tick_batch-1 ticks; set
+        tick_batch=1 for a latency-first engine)."""
+        if self.tick_batch < 2 or not self._per_row \
+                or self._pending is not None:
+            return 1
+        if self.queue and self._free_slot() is not None:
+            return 1  # an admission is actually possible right now — take it
+        k = self.tick_batch
+        for i, s in enumerate(self.slots):
+            if not s.active:
+                continue
+            k = min(k, s.remaining, self.max_len - s.length - 1)
+            if self.paged:
+                k = min(k, len(self._slot_pages[i])
+                        * self.allocator.page_size - s.length)
+        # quantize to a power of two: one executable per size {2,4,8,...},
+        # not one per arbitrary burst length — keeps the tail (a slot close
+        # to its budget) bursting instead of collapsing to single ticks
+        p2 = 1
+        while p2 * 2 <= k:
+            p2 *= 2
+        return p2
+
+    def _decode_burst(self, k: int):
+        """K decode+sample ticks in one dispatch; host-side bookkeeping
+        (emit, stop, window mask) replays the [K, B] token burst in order."""
+        window = self._last.shape[1]
+        keep_mask = jnp.asarray(
+            np.arange(window)[None, :] >= (window - self._row_window[:, None]))
+        lengths = jnp.asarray([s.length for s in self.slots], jnp.int32)
+        active0 = [s.active for s in self.slots]
+        if self.paged:
+            seq, self.page_cache, self._keys = self._jit_decode_multi(
+                self.params, self.cfg, jnp.asarray(self._next_tok),
+                self.page_cache, lengths, self._keys, self._row_params,
+                jnp.asarray(self._last), keep_mask,
+                jnp.asarray(self._tables), n_ticks=k)
+        else:
+            seq, self.cache, self._keys = self._jit_decode_multi(
+                self.params, self.cfg, jnp.asarray(self._next_tok),
+                self.cache, lengths, self._keys, self._row_params,
+                jnp.asarray(self._last), keep_mask, None, n_ticks=k)
+        seq = np.asarray(seq)                               # [K, B]
+        for t in range(k):
+            for i, slot in enumerate(self.slots):
+                # only slots live since the burst started emit; a slot that
+                # stopped mid-burst discards its overshoot tokens
+                if active0[i] and slot.active:
+                    slot.length += 1
+                    self._emit(i, int(seq[t, i]))
 
     def _preempt(self, slot_idx: int):
         """Free a slot mid-generation and requeue its request with progress
@@ -477,6 +548,39 @@ def _decode_step_paged(forward_fn, params, cfg, tokens, cache, lengths,
     logits, cache = forward_fn(params, cfg, tokens[:, None], cache, lengths,
                                page_table=tables)
     return logits, cache
+
+
+def _decode_multi(forward_fn, params, cfg, tokens, cache, lengths, keys,
+                  rparams, last, keep_mask, tables, *, n_ticks):
+    """K decode+sample ticks in ONE dispatch (lax.scan): the host-driven
+    per-token scheduler costs 2-3 dispatch round-trips per tick (tunnel RTT
+    ~25-30 ms makes that THE serving bottleneck; even local dispatch is
+    ~100 us/tick of pure overhead). When no admission is pending and every
+    active slot has ≥ K tokens of budget/page capacity, the scheduler hands
+    the device a whole K-tick burst and gets back [K, B] tokens. Per-tick
+    scheduling (admission interleave, stop detection) resumes on the host
+    afterwards — slots that stop mid-burst simply have their overshoot
+    tokens discarded (bounded by K; dead-row cache writes land beyond the
+    live lengths or under the next splice). ``last`` is maintained on
+    device with the same roll+append+window-mask semantics as the host copy
+    (keep_mask encodes each row's repeat window)."""
+    def tick(carry, _):
+        toks, cache, lengths, keys, last = carry
+        if tables is None:
+            logits, cache = forward_fn(params, cfg, toks[:, None], cache,
+                                       lengths)
+        else:
+            logits, cache = forward_fn(params, cfg, toks[:, None], cache,
+                                       lengths, page_table=tables)
+        tok, keys = sampling.sample_rows(logits, keys, rparams, last)
+        last = jnp.where(keep_mask,
+                         jnp.concatenate([last[:, 1:], tok[:, None]], axis=1),
+                         -1)
+        return (tok, cache, lengths + 1, keys, last), tok
+
+    (tokens, cache, lengths, keys, last), seq = jax.lax.scan(
+        tick, (tokens, cache, lengths, keys, last), None, length=n_ticks)
+    return seq, cache, keys
 
 
 @functools.partial(jax.jit, static_argnames=("bucket",),
