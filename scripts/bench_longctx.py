@@ -1,0 +1,70 @@
+"""Long-context decode: tokens/s at 4k and 8k context (Llama-3-8B W4A16).
+
+At ctx 96 the KV read is noise next to the 4.0 GB of weights; at 8k it adds
+~1.07 GB/token — this measures whether the flash decode kernel's
+length-bounded streaming actually scales (SURVEY §5 long-context audit; the
+reference caps every model at 2048 and reads O(S_max) dense).
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_longctx.py
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_DECODE = 64
+HBM_BW = 819e9
+
+
+def main():
+    from tinychatengine_tpu.core.config import (GenerationConfig, QuantConfig,
+                                                get_model_config)
+    from tinychatengine_tpu.generation.engine import Engine
+    from tinychatengine_tpu.models import llama
+
+    cfg = get_model_config("llama3_8b")
+    qcfg = QuantConfig(scheme="w4a16", group_size=128)
+    print("building params...", file=sys.stderr)
+    params = llama.init_random_params(cfg, qcfg, seed=0, max_pos=8192,
+                                      fast=True)
+    g = GenerationConfig(temp=0.0, n_predict=N_DECODE + 1,
+                         repeat_penalty=1.1, repeat_last_n=64)
+
+    w_bytes = 4.00e9  # weights+scales per token (bench.py accounting)
+    out = {}
+    for ctx in (4096, 8192):
+        eng = Engine(params, cfg, qcfg, batch=1, max_len=ctx)
+        plen = ctx - N_DECODE - 8
+
+        def run(seed, n_tokens):
+            rng = np.random.default_rng(seed)
+            ids = rng.integers(100, cfg.vocab_size - 100, (1, plen))
+            return np.asarray(eng.generate_device(ids, g, n_tokens=n_tokens))
+
+        print(f"ctx {ctx}: compiling...", file=sys.stderr)
+        run(0, 1)
+        run(0, 1 + N_DECODE)
+        shorts, longs = [], []
+        for t in range(4):
+            t0 = time.perf_counter(); run(10 + t, 1)
+            shorts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); run(20 + t, 1 + N_DECODE)
+            longs.append(time.perf_counter() - t0)
+        per = (float(np.median(longs)) - float(np.median(shorts))) / N_DECODE
+        kv = cfg.num_layers * plen * cfg.num_kv_heads * cfg.head_dim * 2 * 2
+        roof = HBM_BW / (w_bytes + kv)
+        out[f"ctx{ctx}"] = {
+            "tokens_per_s": round(1.0 / per, 2),
+            "roofline": round(roof, 1),
+            "frac": round(1.0 / per / roof, 3),
+            "kv_gb_per_token": round(kv / 1e9, 2),
+        }
+        print(f"  ctx {ctx}: {1.0 / per:.1f} tok/s (roof {roof:.1f})",
+              file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
