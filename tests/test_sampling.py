@@ -153,3 +153,19 @@ def test_sample_rows_matches_static_sampler_when_uniform_greedy():
     state = smp.SamplerState.init(0, 2, g.mirostat_tau)
     tok_static, _ = smp.sample(logits, state, g, last)
     assert list(np.asarray(tok_rows)) == list(np.asarray(tok_static))
+
+
+def test_sample_rows_tfs_off_keeps_min_token():
+    """tfs_z=1.0 is 'off': the minimum-logit token must stay sampleable
+    (regression: a non-prefix keep mask used as a prefix count masked the
+    tail token whenever the |d2| cumsum rounded to 1.0)."""
+    cfgs = [GenerationConfig(temp=8.0, top_k=0, top_p=1.0, tfs_z=1.0,
+                             typical_p=1.0, repeat_penalty=1.0)]
+    params = smp.RowParams.from_configs(cfgs)
+    logits = jnp.asarray([[2.0, 1.5, 1.0, 0.5]], jnp.float32)
+    seen = set()
+    for seed in range(64):
+        keys = jax.random.PRNGKey(seed)[None]
+        tok, _ = smp.sample_rows(logits, keys, params, None)
+        seen.add(int(tok[0]))
+    assert seen == {0, 1, 2, 3}, seen  # nothing masked at high temperature

@@ -310,6 +310,36 @@ def test_paged_with_per_request_sampling():
     assert len(b1) == 12
 
 
+def test_paged_chunked_admission_reserves_pages():
+    """Regression (r2 review): pages for a chunked admission must be
+    reserved when the admission STARTS — an active slot growing across a
+    page boundary during the multi-tick prefill used to steal them, and
+    _finish_admission then crashed the whole engine with MemoryError."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=24, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=cfg.max_sqlen)
+    a_prompt = np.arange(30, 44, dtype=np.int32)             # 14 tokens
+    long_prompt = np.arange(10, 74, dtype=np.int32)          # 64 tokens
+    want_a = eng.generate(a_prompt[None, :], g).tokens[0]
+    want_b = eng.generate(long_prompt[None, :], GenerationConfig(
+        temp=0.0, n_predict=8, repeat_penalty=1.0, repeat_last_n=1)).tokens[0]
+
+    # 6-page pool (1 dead): B's check at tick 0 sees 4 free == 4 needed, but
+    # A (14 tokens, page 16) crosses a page boundary during B's 4 chunk
+    # ticks — the old code's deferred alloc then blew up; now B's pages are
+    # reserved up-front and A's growth cancels/requeues the admission
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g, paged=True,
+                        page_size=16, n_pages=6, admission_chunk=16,
+                        tick_batch=1)
+    ra = srv.submit(a_prompt, n_predict=24)
+    srv.step()                                               # admit A + decode
+    rb = srv.submit(long_prompt, n_predict=8)                # 4 chunk-ticks
+    srv.run()                                                # must not raise
+    assert ra.output_ids == list(want_a)
+    assert rb.output_ids == list(want_b)
+
+
 def test_paged_pool_smaller_than_dense():
     """A page pool sized well below slots*max_len still serves the queue
     (the capacity win vs the reference's worst-case preallocation)."""

@@ -163,10 +163,14 @@ class Engine:
 
         hcfg = _hashable_gcfg(gcfg)
         state = sampling.SamplerState.init(gcfg.seed, b, gcfg.mirostat_tau)
-        window = max(gcfg.repeat_last_n, 1)
+        window = gcfg.n_ctx if gcfg.repeat_last_n < 0 else gcfg.repeat_last_n
+        window = max(window, 1)  # -1 = context size (Generate.h:58 semantics)
         last_tokens = np.full((b, window), -1, np.int32)
-        for i in range(min(window, n_prompt)):
-            last_tokens[:, -(i + 1)] = input_ids[:, -(i + 1)]
+        # repeat_last_n == 0 disables penalties (config.py:167) — keep the
+        # window all -1 so Engine matches the serving row sampler exactly
+        if gcfg.repeat_last_n != 0:
+            for i in range(min(window, n_prompt)):
+                last_tokens[:, -(i + 1)] = input_ids[:, -(i + 1)]
 
         t0 = time.perf_counter()
         logits, cache = self.prefill(input_ids, cache, start=start,
@@ -193,8 +197,9 @@ class Engine:
                 break
             if pos + 1 >= self.max_len:
                 break
-            last_tokens = np.roll(last_tokens, -1, axis=1)
-            last_tokens[:, -1] = tok_host
+            if gcfg.repeat_last_n != 0:
+                last_tokens = np.roll(last_tokens, -1, axis=1)
+                last_tokens[:, -1] = tok_host
             with self.profiler.section("decode"):
                 logits, cache = self._jit_step(
                     self.params, self.cfg, jnp.asarray(tok_host[:, None]),
@@ -228,11 +233,13 @@ class Engine:
         logits, cache = self.prefill(input_ids, cache)
         state = sampling.SamplerState.init(gcfg.seed, b, gcfg.mirostat_tau)
 
-        window = max(gcfg.repeat_last_n, 1)
+        window = gcfg.n_ctx if gcfg.repeat_last_n < 0 else gcfg.repeat_last_n
+        window = max(window, 1)
         last = jnp.full((b, window), -1, jnp.int32)
-        tail = min(window, n_prompt)
-        last = last.at[:, window - tail:].set(
-            jnp.asarray(input_ids[:, n_prompt - tail:]))
+        if gcfg.repeat_last_n != 0:  # 0 = penalties disabled
+            tail = min(window, n_prompt)
+            last = last.at[:, window - tail:].set(
+                jnp.asarray(input_ids[:, n_prompt - tail:]))
 
         tokens, cache = _device_decode_loop(
             self.params, self.cfg, logits, cache, state, last,
@@ -248,7 +255,8 @@ def _device_decode_loop(params, cfg, logits, cache, state, last, pos, gcfg,
     def step(carry, _):
         logits, cache, state, last, pos = carry
         tok, state = sampling.sample(logits, state, gcfg, last)
-        last = jnp.roll(last, -1, axis=1).at[:, -1].set(tok)
+        if gcfg.repeat_last_n != 0:  # 0 = penalties disabled: never record
+            last = jnp.roll(last, -1, axis=1).at[:, -1].set(tok)
         logits, cache = forward_fn(params, cfg, tok[:, None], cache, pos)
         return (logits, cache, state, last, pos + 1), tok
 

@@ -314,12 +314,13 @@ def sample_rows(logits: jax.Array, keys: jax.Array, params: RowParams,
     d2 = jnp.abs(d1[..., :-1] - d1[..., 1:])
     d2 = d2 / jnp.maximum(jnp.sum(d2, axis=-1, keepdims=True), 1e-12)
     cum2 = jnp.cumsum(d2, axis=-1)
-    keep_sorted = jnp.concatenate(
-        [jnp.ones_like(cum2[..., :1], bool), cum2 < params.tfs_z[:, None],
-         jnp.ones_like(cum2[..., :1], bool) &
-         (params.tfs_z[:, None] >= 1.0)], axis=-1)
-    keep_sorted = keep_sorted.at[..., :1].set(True)
-    n_keep = jnp.sum(keep_sorted, axis=-1, keepdims=True)
+    # PREFIX keep-count (n_keep indexes into the sorted order): the first
+    # token always survives, then tokens while cum|d2| < z; a z >= 1 row is
+    # "off" and must keep ALL v tokens (cum2 can round to exactly 1.0, so
+    # deriving the off case from the comparison would mask the tail token)
+    z = params.tfs_z[:, None]
+    n_keep = jnp.where(z >= 1.0, v,
+                       1 + jnp.sum(cum2 < z, axis=-1, keepdims=True))
     thresh = jnp.take_along_axis(sorted_logits, n_keep - 1, axis=-1)
     masked = jnp.where(masked < thresh, NEG_INF, masked)
 

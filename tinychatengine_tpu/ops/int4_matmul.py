@@ -55,12 +55,23 @@ def _parse_env_blocks():
     """Tuning hook: TCE_DECODE_BLOCKS="K,N:bn,bk;K,N:bn,bk" overrides the
     decode blocking table per process (scripts/ab_bench_blocks.py A/Bs
     bench.py runs this way without code edits)."""
-    for item in os.environ.get("TCE_DECODE_BLOCKS", "").split(";"):
+    spec = os.environ.get("TCE_DECODE_BLOCKS", "")
+    for item in spec.split(";"):
         if not item.strip():
             continue
-        shape, blocks = item.split(":")
-        k, n = (int(s) for s in shape.split(","))
-        bn, bk = (int(s) for s in blocks.split(","))
+        try:
+            shape, blocks = item.split(":")
+            k, n = (int(s) for s in shape.split(","))
+            bn, bk = (int(s) for s in blocks.split(","))
+        except ValueError as e:
+            raise ValueError(
+                f"TCE_DECODE_BLOCKS entry {item!r} malformed (want "
+                f"'K,N:block_n,block_k;...'): {e}") from None
+        if n % bn or k % bk or bk % SUPERBLOCK or bn % 128:
+            raise ValueError(
+                f"TCE_DECODE_BLOCKS {item!r}: block_n must divide N and be a "
+                f"multiple of 128; block_k must divide K and be a multiple "
+                f"of {SUPERBLOCK}")
         DECODE_BLOCKS[(k, n)] = (bn, bk)
 
 
@@ -131,6 +142,14 @@ def _stacked_kernel(layer_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, **kw):
     _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, **kw)
 
 
+def _stacked_kernel_s3d(layer_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, **kw):
+    """Variant with 3D-blocked scales ([1, K/G, TN]): used when K/G is not a
+    multiple of the f32 sublane count (8) — Mosaic only allows such a row
+    count when the block spans the full array dim, which the flattened
+    [L*K/G, N] view cannot (small models, e.g. K=256 G=128 → 2 rows)."""
+    _int4_matmul_kernel(x_ref, w_ref, s_ref.at[0], o_ref, acc_ref, **kw)
+
+
 
 
 @functools.partial(
@@ -195,6 +214,18 @@ def _int4_matmul_2d(x, packed, scales, layer_idx=None, *, group_size, block_m,
     n_layers, kp = packed.shape[0], packed.shape[1]
     kpb = kp // (block_k // 2)          # k-blocks per layer
     sg = k // group_size                # scale rows per layer (full-K block)
+    if sg % 8 == 0:                     # f32 sublane-aligned: flat 2D scales
+        s_spec = pl.BlockSpec((sg, block_n),
+                              lambda i, j, kb, lref: (lref[0], j),
+                              memory_space=pltpu.VMEM)
+        s_arg = scales.reshape(n_layers * sg, n)
+        body = _stacked_kernel
+    else:  # Mosaic needs block==array dims for odd row counts → 3D blocks
+        s_spec = pl.BlockSpec((1, sg, block_n),
+                              lambda i, j, kb, lref: (lref[0], 0, j),
+                              memory_space=pltpu.VMEM)
+        s_arg = scales
+        body = _stacked_kernel_s3d
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -203,16 +234,13 @@ def _int4_matmul_2d(x, packed, scales, layer_idx=None, *, group_size, block_m,
             pl.BlockSpec((block_k // 2, block_n),
                          lambda i, j, kb, lref: (lref[0] * kpb + kb, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((sg, block_n),
-                         lambda i, j, kb, lref: (lref[0], j),
-                         memory_space=pltpu.VMEM),
+            s_spec,
         ],
         out_specs=out_spec,
         scratch_shapes=scratch,
     )
     wrapped = functools.partial(
-        _stacked_kernel, group_size=group_size, n_kblocks=grid[2],
-        block_k=block_k)
+        body, group_size=group_size, n_kblocks=grid[2], block_k=block_k)
     return pl.pallas_call(
         wrapped,
         grid_spec=grid_spec,
@@ -221,8 +249,7 @@ def _int4_matmul_2d(x, packed, scales, layer_idx=None, *, group_size, block_m,
         compiler_params=compiler_params,
         interpret=interpret,
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1),
-      x, packed.reshape(n_layers * kp, n),
-      scales.reshape(n_layers * sg, n))
+      x, packed.reshape(n_layers * kp, n), s_arg)
 
 
 def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
@@ -415,6 +442,12 @@ def _a8_stacked_kernel(layer_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, **kw):
     _int4_a8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, **kw)
 
 
+def _a8_stacked_kernel_s3d(layer_ref, x_ref, w_ref, s_ref, o_ref, acc_ref,
+                           **kw):
+    # 3D-blocked scales for K/G not a multiple of 8 (see _stacked_kernel_s3d)
+    _int4_a8_kernel(x_ref, w_ref, s_ref.at[0], o_ref, acc_ref, **kw)
+
+
 def int4_matmul_a8(x: jax.Array, packed: jax.Array, scales: jax.Array,
                    group_size: int = 128, *, layer_idx=None,
                    interpret: bool = False) -> jax.Array:
@@ -466,11 +499,22 @@ def int4_matmul_a8(x: jax.Array, packed: jax.Array, scales: jax.Array,
             interpret=interpret,
         )(x2.astype(jnp.bfloat16), packed, scales.astype(jnp.float32))
     else:
-        # flattened-2D stacked addressing (see _int4_matmul_2d: the
-        # degenerate [1, ...] BlockSpec costs ~17 us/call on v5e)
+        # flattened-2D stacked addressing (see _int4_matmul_2d)
         n_layers, kp = packed.shape[0], packed.shape[1]
         kpb = kp // (block_k // 2)
         sg = k // group_size
+        if sg % 8 == 0:
+            s_spec = pl.BlockSpec((sg, block_n),
+                                  lambda i, j, kb, lref: (lref[0], j),
+                                  memory_space=pltpu.VMEM)
+            s_arg = scales.astype(jnp.float32).reshape(n_layers * sg, n)
+            body = _a8_stacked_kernel
+        else:
+            s_spec = pl.BlockSpec((1, sg, block_n),
+                                  lambda i, j, kb, lref: (lref[0], 0, j),
+                                  memory_space=pltpu.VMEM)
+            s_arg = scales.astype(jnp.float32)
+            body = _a8_stacked_kernel_s3d
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
             in_specs=[
@@ -478,18 +522,15 @@ def int4_matmul_a8(x: jax.Array, packed: jax.Array, scales: jax.Array,
                 pl.BlockSpec((block_k // 2, block_n),
                              lambda i, j, kb, lref: (lref[0] * kpb + kb, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((sg, block_n),
-                             lambda i, j, kb, lref: (lref[0], j),
-                             memory_space=pltpu.VMEM),
+                s_spec,
             ],
             out_specs=out_spec, scratch_shapes=scratch)
         y = pl.pallas_call(
-            functools.partial(_a8_stacked_kernel, **kw),
+            functools.partial(body, **kw),
             grid_spec=grid_spec, out_shape=out_shape, cost_estimate=cost,
             compiler_params=compiler_params, interpret=interpret,
         )(jnp.asarray(layer_idx, jnp.int32).reshape(1),
-          x2.astype(jnp.bfloat16), packed.reshape(n_layers * kp, n),
-          scales.astype(jnp.float32).reshape(n_layers * sg, n))
+          x2.astype(jnp.bfloat16), packed.reshape(n_layers * kp, n), s_arg)
     y = y[:m]
     return y.reshape(*orig_shape[:-1], n)
 

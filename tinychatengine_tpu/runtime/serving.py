@@ -307,6 +307,21 @@ class ServingEngine:
                     slot.length += 1
                     self._emit(i, int(seq[t, i]))
 
+    def _cancel_admission(self):
+        """Abort the in-flight chunked admission: requeue its request (front
+        of queue — it keeps its turn), free the slot and any reserved
+        pages. Only prefill work is lost; no tokens were emitted yet."""
+        slot_idx, _ = self._pending
+        self._pending = None
+        slot = self.slots[slot_idx]
+        req = slot.request
+        slot.request = None
+        slot.admitting = False
+        if self.paged:
+            self.allocator.free(self._slot_pages[slot_idx])
+            self._slot_pages[slot_idx] = []
+        self.queue.appendleft(req)
+
     def _preempt(self, slot_idx: int):
         """Free a slot mid-generation and requeue its request with progress
         folded into the prompt (vLLM-style recompute preemption): the cache
@@ -331,14 +346,23 @@ class ServingEngine:
         return None
 
     def _begin_admission(self, slot_idx: int, req: Request):
-        """Reserve a slot and start the (possibly chunked) prefill."""
+        """Reserve a slot (and, paged, the prefill's pages) and start the
+        possibly-chunked prefill. Pages are RESERVED UP-FRONT: the admission
+        check in step() sees the free count at tick 0, but a chunked prefill
+        finishes ticks later — by which time interleaved decode growth may
+        have consumed the pool (that race crashed the engine with a
+        MemoryError out of _finish_admission)."""
         n = len(req.prompt_ids)
         cap = self.max_len - 2
         if n > cap:
             req.prompt_ids = req.prompt_ids[-cap:]  # keep the tail
+            n = cap
         slot = self.slots[slot_idx]
         slot.request = req
         slot.admitting = True
+        if self.paged:
+            n_pg = self.allocator.pages_needed(min(_bucket(n), self.max_len))
+            self._slot_pages[slot_idx] = self.allocator.alloc(n_pg)
         self._scratch = _reset(self._scratch)
         self._pending = [slot_idx, 0]
         self._admit_chunk()
@@ -365,9 +389,9 @@ class ServingEngine:
         bucket = min(_bucket(n), self.max_len)
         if self.paged:
             p = self.allocator.page_size
-            n_pg = self.allocator.pages_needed(bucket)
-            pages = self.allocator.alloc(n_pg)
-            self._slot_pages[slot_idx] = pages
+            pages = self._slot_pages[slot_idx]   # reserved at admission start
+            n_pg = len(pages)
+            assert n_pg == self.allocator.pages_needed(bucket), (n_pg, bucket)
             self._tables[slot_idx] = self._dead_page
             self._tables[slot_idx, :n_pg] = pages
             # splice a page-aligned span (scratch columns past the bucket are
@@ -399,7 +423,11 @@ class ServingEngine:
         self._mask_row_window(slot_idx)
         if self._per_row:
             self._row_cfgs[slot_idx] = rcfg
-            self._row_params = sampling.RowParams.from_configs(self._row_cfgs)
+            # update ONE row in the resident device arrays (a full
+            # from_configs rebuild re-uploaded ~10 arrays per admission)
+            self._row_params = _set_param_row(
+                self._row_params, sampling.RowParams.from_configs([rcfg]),
+                jnp.int32(slot_idx))
             row_key = (jax.random.PRNGKey(rcfg.seed)
                        if req.gcfg is not None and rcfg.seed >= 0
                        else jax.random.fold_in(
@@ -435,6 +463,12 @@ class ServingEngine:
                 p = self.allocator.page_size
                 if slot.length == len(self._slot_pages[i]) * p:
                     while self.allocator.n_free < 1:
+                        if self._pending is not None:
+                            # cheapest victim: the in-flight admission —
+                            # cancelling loses only prefill work and frees
+                            # its up-front page reservation
+                            self._cancel_admission()
+                            continue
                         victim = max(
                             (j for j, s in enumerate(self.slots)
                              if s.active and j != i),
@@ -535,6 +569,13 @@ def _insert_slot(cache: kvc.KVCache, scratch: kvc.KVCache, slot_idx,
                                                              scratch.k_scale),
         v_scale=None if cache.v_scale is None else put_scale(cache.v_scale,
                                                              scratch.v_scale))
+
+
+@jax.jit
+def _set_param_row(full, row, idx):
+    """Write a 1-row RowParams into row ``idx`` of the resident [slots]
+    arrays — one dispatch per admission instead of a full rebuild."""
+    return jax.tree.map(lambda f, r: f.at[idx].set(r[0]), full, row)
 
 
 def _decode_step(forward_fn, params, cfg, tokens, cache, lengths):

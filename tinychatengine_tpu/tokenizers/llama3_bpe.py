@@ -57,6 +57,7 @@ class Llama3BPE:
             self._special_pat = _regex.compile(
                 "(" + "|".join(_regex.escape(s) for s in alts) + ")")
         self._cache: dict[bytes, list[int]] = {}
+        self._CACHE_CAP = 1 << 16  # per-word results; cleared when full
         self._native = None
         self._native_tried = False
 
@@ -167,7 +168,9 @@ class Llama3BPE:
                     break
                 _, i, m = best
                 ids[i:i + 2] = [m]
-        self._cache[word_bytes] = ids
+        if len(self._cache) >= self._CACHE_CAP:  # bound memory: long-running
+            self._cache.clear()                  # servers see unbounded
+        self._cache[word_bytes] = ids            # distinct words otherwise
         return ids
 
     def _encode_plain(self, text: str, out: list[int]):

@@ -68,8 +68,18 @@ def train(cfg, corpus_train: bytes, steps: int = 3000, batch: int = 16,
     sched = optax.warmup_cosine_decay_schedule(
         0.0, peak_lr, warmup_steps=min(100, steps // 10),
         decay_steps=steps, end_value=peak_lr * 0.01)
+
+    def wd_mask(p):
+        # decoupled weight decay applies REGARDLESS of gradients — the RoPE
+        # cos/sin tables must be masked out, not just grad-zeroed, or they
+        # decay off the unit circle (r2 review finding: the first trained
+        # checkpoint shipped shrunken rope tables)
+        mask = jax.tree.map(lambda _: True, p)
+        return dataclasses.replace(mask, rope_cos=False, rope_sin=False)
+
     opt = optax.chain(optax.clip_by_global_norm(1.0),
-                      optax.adamw(sched, b1=0.9, b2=0.95, weight_decay=0.05))
+                      optax.adamw(sched, b1=0.9, b2=0.95, weight_decay=0.05,
+                                  mask=wd_mask))
     opt_state = opt.init(params)
 
     data = jnp.asarray(np.frombuffer(corpus_train, np.uint8))
