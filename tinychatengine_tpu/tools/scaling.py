@@ -63,10 +63,9 @@ def run_config(params_fn, cfg, qcfg, n_data: int, n_model: int,
 
 
 def main(argv=None):
-    import jax
+    import os
 
-    from tinychatengine_tpu.core.config import QuantConfig, get_model_config
-    from tinychatengine_tpu.models import llama
+    import jax
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="llama3_8b")
@@ -74,7 +73,21 @@ def main(argv=None):
     ap.add_argument("--configs", default=None,
                     help="comma list like 1x1,1x4,2x4 (default: powers of 2)")
     ap.add_argument("--n-decode", type=int, default=32)
+    ap.add_argument("--cpu-devices", type=int, default=0,
+                    help="force an N-device virtual CPU mesh (this "
+                         "environment's TPU plugin overrides JAX_PLATFORMS/"
+                         "XLA_FLAGS env vars — only jax.config works)")
     args = ap.parse_args(argv)
+
+    if args.cpu_devices:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+        except RuntimeError as e:
+            ap.error(f"--cpu-devices must be set before backend init: {e}")
+
+    from tinychatengine_tpu.core.config import QuantConfig, get_model_config
+    from tinychatengine_tpu.models import llama
 
     cfg = get_model_config(args.model)
     qcfg = QuantConfig(scheme=args.scheme)
@@ -98,6 +111,14 @@ def main(argv=None):
     base = None
     for n_data, n_model in configs:
         if n_data * n_model > n_dev:
+            print(json.dumps({"mesh": f"{n_data}x{n_model}",
+                              "skipped": f"needs {n_data * n_model} devices,"
+                                         f" have {n_dev}"}))
+            continue
+        if n_model > 1 and cfg.num_kv_heads % n_model:
+            print(json.dumps({"mesh": f"{n_data}x{n_model}",
+                              "skipped": f"TP {n_model} does not divide "
+                                         f"{cfg.num_kv_heads} KV heads"}))
             continue
         r = run_config(params_fn, cfg, qcfg, n_data, n_model,
                        n_decode=args.n_decode)
