@@ -148,3 +148,23 @@ def test_chunked_prefill_matches_single_shot():
     np.testing.assert_allclose(np.asarray(logits_a), np.asarray(logits_b),
                                rtol=2e-2, atol=2e-2)
     assert int(cache_a.length) == int(cache_b.length) == 100
+
+
+def test_repeat_last_n_zero_disables_penalties():
+    """repeat_last_n=0 means 'penalties disabled' (config.py:167 /
+    llama.cpp): Engine must produce the same greedy tokens as an explicit
+    no-penalty config, and -1 (context window) must compile and run."""
+    from tinychatengine_tpu.core.config import QuantConfig
+    cfg = TINY
+    params = llama.init_random_params(cfg, QuantConfig(scheme="fp"), seed=0)
+    eng = Engine(params, cfg, QuantConfig(scheme="fp"), batch=1,
+                 max_len=cfg.max_sqlen)
+    ids = np.asarray([[5, 9, 11, 2]], np.int32)
+    off = GenerationConfig(temp=0.0, n_predict=12, repeat_penalty=5.0,
+                           repeat_last_n=0)      # penalty set but window off
+    none = GenerationConfig(temp=0.0, n_predict=12, repeat_penalty=1.0,
+                            repeat_last_n=1)
+    assert eng.generate(ids, off).tokens[0] == eng.generate(ids, none).tokens[0]
+    ctx = GenerationConfig(temp=0.0, n_predict=4, repeat_penalty=1.2,
+                           repeat_last_n=-1, n_ctx=32)
+    assert len(eng.generate(ids, ctx).tokens[0]) == 4
