@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tinychatengine_tpu.core.config import GenerationConfig
 from tinychatengine_tpu.generation import sampling as smp
@@ -153,6 +154,42 @@ def test_sample_rows_matches_static_sampler_when_uniform_greedy():
     state = smp.SamplerState.init(0, 2, g.mirostat_tau)
     tok_static, _ = smp.sample(logits, state, g, last)
     assert list(np.asarray(tok_rows)) == list(np.asarray(tok_static))
+
+
+def test_sample_rows_mu_does_not_disturb_plain_rows():
+    """Passing mu (mirostat-capable 3-return form) must not change the
+    tokens of rows whose mirostat is off — and mu must pass through
+    unchanged for them."""
+    cfgs = [GenerationConfig(temp=0.9, top_p=0.9, repeat_penalty=1.0, seed=1),
+            GenerationConfig(temp=0.0, repeat_penalty=1.0)]
+    params = smp.RowParams.from_configs(cfgs)
+    rng = np.random.default_rng(9)
+    logits = jnp.asarray(rng.standard_normal((2, 32)), jnp.float32)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(2, dtype=jnp.uint32))
+    tok2, keys2 = smp.sample_rows(logits, keys, params, None)
+    mu = jnp.asarray([10.0, 10.0], jnp.float32)
+    tok3, keys3, mu3 = smp.sample_rows(logits, keys, params, None, mu)
+    assert list(np.asarray(tok2)) == list(np.asarray(tok3))
+    np.testing.assert_array_equal(np.asarray(keys2), np.asarray(keys3))
+    np.testing.assert_array_equal(np.asarray(mu), np.asarray(mu3))
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_sample_rows_mirostat_updates_mu(version):
+    """Mirostat rows draw and move mu toward tau (Generate.cc:138,176):
+    after a draw, mu -= eta*(surprise - tau) — with a sharply peaked
+    distribution the drawn surprise is ~0 bits, so mu must increase by
+    ~eta*tau."""
+    g = GenerationConfig(temp=1.0, mirostat=version, mirostat_tau=3.0,
+                         mirostat_eta=0.5, repeat_penalty=1.0)
+    params = smp.RowParams.from_configs([g])
+    logits = jnp.asarray([[20.0] + [0.0] * 127], jnp.float32)
+    keys = jax.random.PRNGKey(0)[None]
+    mu = jnp.asarray([2.0 * g.mirostat_tau], jnp.float32)
+    tok, _, mu2 = smp.sample_rows(logits, keys, params, None, mu)
+    assert int(tok[0]) == 0                       # peak token dominates
+    # surprise(argmax) ≈ 0 bits → mu grows by ≈ eta*tau = 1.5
+    assert float(mu2[0]) > float(mu[0]) + 1.0
 
 
 def test_sample_rows_tfs_off_keeps_min_token():

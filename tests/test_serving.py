@@ -208,13 +208,60 @@ def test_tick_batching_paged_matches_dense():
         assert r.output_ids == w.output_ids
 
 
-def test_per_request_mirostat_rejected():
+@pytest.mark.parametrize("version", [1, 2])
+def test_per_request_mirostat(version):
+    """Per-request mirostat v1/v2 (Generate.cc:138,176): a mirostat request
+    in a mixed batch produces EXACTLY the tokens it produces alone in the
+    engine (per-row mu state + per-row keys isolate it), it is reproducible
+    per seed, and a greedy neighbor still matches its solo run."""
     cfg, qcfg, params = _tiny()
-    srv = ServingEngine(params, cfg, qcfg, slots=2,
-                        gcfg=GenerationConfig(temp=0.5))
-    import pytest
-    with pytest.raises(ValueError):
-        srv.submit(PROMPTS[0], gcfg=GenerationConfig(mirostat=2))
+    g = GenerationConfig(temp=0.7, n_predict=10, repeat_penalty=1.0,
+                         repeat_last_n=1, seed=2)
+    miro = GenerationConfig(temp=0.8, mirostat=version, mirostat_tau=4.0,
+                            mirostat_eta=0.3, n_predict=10,
+                            repeat_penalty=1.0, repeat_last_n=1, seed=17)
+    greedy = GenerationConfig(temp=0.0, n_predict=10, repeat_penalty=1.0,
+                              repeat_last_n=1)
+
+    # solo: the mirostat request alone in a serving engine
+    solo = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g)
+    rs = solo.submit(PROMPTS[0], gcfg=miro)
+    solo.run()
+    assert len(rs.output_ids) == 10
+
+    # mixed batch: same mirostat request next to greedy + hot rows
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=cfg.max_sqlen)
+    want_greedy = list(eng.generate(PROMPTS[1][None, :], greedy).tokens[0])
+    srv = ServingEngine(params, cfg, qcfg, slots=3, gcfg=g)
+    rm = srv.submit(PROMPTS[0], gcfg=miro)
+    rg = srv.submit(PROMPTS[1], gcfg=greedy)
+    rh = srv.submit(PROMPTS[2], gcfg=GenerationConfig(
+        temp=1.3, top_p=0.9, n_predict=10, repeat_penalty=1.0,
+        repeat_last_n=1, seed=5))
+    srv.run()
+    assert rm.output_ids == rs.output_ids      # batch placement is invisible
+    assert rg.output_ids == want_greedy        # neighbor rows unaffected
+    assert len(rh.output_ids) == 10
+
+
+def test_mirostat_tick_burst_matches_per_tick():
+    """mu is carried through the device-side K-tick scan identically to the
+    host per-tick path."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.7, n_predict=16, repeat_penalty=1.0,
+                         repeat_last_n=1, seed=3)
+    miro = GenerationConfig(temp=0.9, mirostat=2, mirostat_tau=5.0,
+                            mirostat_eta=0.1, n_predict=16,
+                            repeat_penalty=1.1, repeat_last_n=4, seed=23)
+
+    def run(tb):
+        srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g, tick_batch=tb)
+        r = srv.submit(PROMPTS[0], gcfg=miro)
+        srv.run()
+        return r.output_ids
+
+    a, b = run(1), run(8)
+    assert a == b and len(a) == 16
 
 
 def test_stop_tokens_free_slots_early():

@@ -158,6 +158,11 @@ class Engine:
         input_ids = np.atleast_2d(np.asarray(input_ids, np.int32))
         b, n_prompt = input_ids.shape
         assert b == self.batch, (b, self.batch)
+        if on_token is not None and b != 1:
+            # the callback streams ONE sequence (chat path); with batch > 1
+            # rows >= 1 would be silently dropped — refuse instead
+            raise ValueError("on_token streaming requires batch == 1; "
+                             "use per-row stop_token_ids for batched runs")
         if cache is None:
             cache = self.new_cache()
 

@@ -104,6 +104,13 @@ def tail_free_mask(logits: jax.Array, z: float, min_keep: int = 1) -> jax.Array:
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     d1 = probs[..., :-1] - probs[..., 1:]
     d2 = jnp.abs(d1[..., :-1] - d1[..., 1:])               # [B, V-2]
+    # llama.cpp computes d2 over the SURVIVING candidate list only (an
+    # upstream top_k has already shrunk it); with full-vocab arrays the
+    # masked (-inf → prob 0) tail would add two spurious boundary terms per
+    # row — drop d2 entries whose window reaches past the last live token
+    n_live = jnp.sum(sorted_logits > NEG_INF / 2, axis=-1, keepdims=True)
+    d2 = jnp.where(
+        jnp.arange(v - 2)[None, :] < n_live - 2, d2, 0.0)
     d2 = d2 / jnp.maximum(jnp.sum(d2, axis=-1, keepdims=True), 1e-12)
     cum = jnp.cumsum(d2, axis=-1)
     keep_sorted = jnp.concatenate(
@@ -228,6 +235,9 @@ class RowParams:
     presence_penalty: jax.Array   # [B] f32
     bias_ids: jax.Array          # [B, MAX_BIAS] i32; -1 = unused entry
     bias_vals: jax.Array         # [B, MAX_BIAS] f32
+    mirostat: jax.Array          # [B] i32; 0 = off, 1/2 = mirostat version
+    mirostat_tau: jax.Array      # [B] f32
+    mirostat_eta: jax.Array      # [B] f32
 
     MAX_BIAS = 16  # per-request logit_bias entries (static scatter width)
 
@@ -256,6 +266,9 @@ class RowParams:
             frequency_penalty=arr(lambda g: g.frequency_penalty),
             presence_penalty=arr(lambda g: g.presence_penalty),
             bias_ids=jnp.asarray(ids), bias_vals=jnp.asarray(vals),
+            mirostat=arr(lambda g: g.mirostat, np.int32),
+            mirostat_tau=arr(lambda g: g.mirostat_tau),
+            mirostat_eta=arr(lambda g: g.mirostat_eta),
         )
 
 
@@ -263,20 +276,28 @@ jax.tree_util.register_pytree_node(
     RowParams,
     lambda p: ((p.temp, p.top_k, p.top_p, p.tfs_z, p.typical_p,
                 p.repeat_penalty, p.frequency_penalty, p.presence_penalty,
-                p.bias_ids, p.bias_vals),
+                p.bias_ids, p.bias_vals, p.mirostat, p.mirostat_tau,
+                p.mirostat_eta),
                None),
     lambda aux, ch: RowParams(*ch),
 )
 
 
 def sample_rows(logits: jax.Array, keys: jax.Array, params: RowParams,
-                last_tokens: Optional[jax.Array] = None):
+                last_tokens: Optional[jax.Array] = None,
+                mu: Optional[jax.Array] = None):
     """Per-row sampling pipeline, reference order (top_k → tfs → typical →
     top_p → temp → draw), every parameter a traced [B] array.
 
     logits [B, V] f32; keys [B, 2] uint32 (one PRNG key per row — requests
     keep their own reproducible streams). Returns (tokens [B] i32,
     new_keys [B, 2]).
+
+    mu: optional [B] f32 carried mirostat state. When given, rows with
+    params.mirostat == 1/2 sample via mirostat v1/v2 (Generate.cc:138,176)
+    instead of the truncation pipeline, and the return becomes
+    (tokens, new_keys, new_mu). When None, mirostat rows are not supported
+    (the caller must route them elsewhere).
     """
     logits = logits.astype(jnp.float32)
     b, v = logits.shape
@@ -312,6 +333,11 @@ def sample_rows(logits: jax.Array, keys: jax.Array, params: RowParams,
     # z >= 1 row keeps everything — the off case needs no branch)
     d1 = probs[..., :-1] - probs[..., 1:]
     d2 = jnp.abs(d1[..., :-1] - d1[..., 1:])
+    # llama.cpp runs tfs over the post-top_k candidate LIST; with full-vocab
+    # arrays the masked tail (prob 0) adds two spurious boundary d2 terms —
+    # drop d2 windows reaching past the last live (non-masked) token
+    n_live = jnp.sum(sorted_logits > NEG_INF / 2, axis=-1, keepdims=True)
+    d2 = jnp.where(jnp.arange(v - 2)[None, :] < n_live - 2, d2, 0.0)
     d2 = d2 / jnp.maximum(jnp.sum(d2, axis=-1, keepdims=True), 1e-12)
     cum2 = jnp.cumsum(d2, axis=-1)
     # PREFIX keep-count (n_keep indexes into the sorted order): the first
@@ -356,7 +382,50 @@ def sample_rows(logits: jax.Array, keys: jax.Array, params: RowParams,
         lambda l, k: jax.random.categorical(k, l))(masked, subs
                                                    ).astype(jnp.int32)
     tok = jnp.where(params.temp <= 0, greedy_tok, drawn)
-    return tok, new_keys
+    if mu is None:
+        return tok, new_keys
+
+    # -- per-row mirostat v1/v2 (Generate.cc:138,176): rows with
+    # params.mirostat != 0 replace the truncation pipeline above; mu is the
+    # carried [B] state (2*tau at admission). All rows share the same
+    # per-row subkey, so a row's draw stream is independent of its mode.
+    lt = logits / jnp.maximum(params.temp, 1e-6)[:, None]
+    log_probs_t = jax.nn.log_softmax(lt, axis=-1)
+    surprise = -log_probs_t / jnp.log(2.0)                   # bits
+    draw = jax.vmap(lambda l, k: jax.random.categorical(k, l))
+
+    # v2: truncate tokens whose surprise exceeds mu; argmax always survives
+    m2 = jnp.where(surprise > mu[:, None], NEG_INF, lt)
+    best = jnp.argmax(lt, axis=-1)
+    m2 = m2.at[rows[:, 0], best].set(
+        jnp.take_along_axis(lt, best[:, None], axis=-1)[:, 0])
+    tok2 = draw(m2, subs).astype(jnp.int32)
+
+    # v1: Zipf-estimated dynamic k from the top-m probs, then top-k draw
+    mtop = min(100, v)
+    probs_t = jnp.exp(log_probs_t)
+    topm = jax.lax.top_k(probs_t, mtop)[0]
+    i_idx = jnp.arange(1, mtop, dtype=jnp.float32)
+    t_i = jnp.log((i_idx + 1.0) / i_idx)
+    b_i = jnp.log(topm[:, :-1] / jnp.maximum(topm[:, 1:], 1e-12))
+    s_hat = jnp.sum(t_i * b_i, axis=-1) / jnp.sum(t_i * t_i)
+    eps_h = s_hat - 1.0
+    k_dyn = jnp.power((eps_h * jnp.power(2.0, mu)) /
+                      (1.0 - jnp.power(float(v), -eps_h)), 1.0 / s_hat)
+    k_dyn = jnp.clip(jnp.nan_to_num(k_dyn, nan=1.0), 1, v).astype(jnp.int32)
+    ranks_t = jnp.zeros((b, v), jnp.int32).at[
+        rows[:, 0][:, None], jnp.argsort(lt, axis=-1)[..., ::-1]].set(
+        jnp.broadcast_to(jnp.arange(v), (b, v)))
+    m1 = jnp.where(ranks_t < k_dyn[:, None], lt, NEG_INF)
+    tok1 = draw(m1, subs).astype(jnp.int32)
+
+    tok_m = jnp.where(params.mirostat == 1, tok1, tok2)
+    s_drawn = jnp.take_along_axis(surprise, tok_m[:, None], axis=-1)[:, 0]
+    mu_upd = mu - params.mirostat_eta * (s_drawn - params.mirostat_tau)
+    use_m = params.mirostat > 0
+    tok = jnp.where(use_m & (params.temp > 0), tok_m, tok)
+    new_mu = jnp.where(use_m & (params.temp > 0), mu_upd, mu)
+    return tok, new_keys, new_mu
 
 
 def sample(logits: jax.Array, state: SamplerState, gcfg: GenerationConfig,

@@ -19,13 +19,13 @@ is the TPU framework's serving layer above the single-request Engine:
   writes land beyond their frozen lengths and their outputs are discarded.
 
 Sampling is per-REQUEST without recompiles: every parameter the llama.cpp
-pipeline exposes (temp/top_k/top_p/tfs/typical/penalties) rides as a traced
-[slots] array into one compiled ``sampling.sample_rows`` executable —
-including logit_bias (fixed-width scatter) — and each request carries its
-own PRNG key (reproducible per request_id). The one engine-global leftover
-is mirostat (per-row carried state machines): the engine falls back to the
-static per-engine sampler when its own gcfg enables it, and requests asking
-for it are rejected at submit().
+pipeline exposes (temp/top_k/top_p/tfs/typical/penalties, mirostat v1/v2
+with its per-row carried mu state) rides as a traced [slots] array into one
+compiled ``sampling.sample_rows`` executable — including logit_bias
+(fixed-width scatter) — and each request carries its own PRNG key
+(reproducible per request_id). The only engine-global fallback left is an
+oversized engine-level logit_bias table (> RowParams.MAX_BIAS entries),
+which keeps the static per-engine sampler for every request.
 """
 
 from __future__ import annotations
@@ -143,20 +143,23 @@ class ServingEngine:
         self.admission_chunk = admission_chunk
         self._pending = None  # in-flight chunked admission: (slot_idx, done)
 
-        window = max(self.gcfg.repeat_last_n, 1)
+        # repeat_last_n < 0 means "context size" (Generate.h:58 / engine.py
+        # semantics) — size the shared history window accordingly
+        window = max(self._resolve_window(self.gcfg), 1)
         self._last = np.full((slots, window), -1, np.int32)
         self._next_tok = np.zeros((slots,), np.int32)
         self._state = sampling.SamplerState.init(
             self.gcfg.seed, slots, self.gcfg.mirostat_tau)
         # per-request sampling (one compiled sample_rows; params are traced
-        # [slots] arrays, logit_bias as a fixed-width scatter). Mirostat in
-        # the ENGINE gcfg (or an oversized engine-level bias table) keeps the
-        # static per-engine sampler for every request instead.
-        self._per_row = (self.gcfg.mirostat == 0 and
-                         len(self.gcfg.logit_bias or ())
+        # [slots] arrays, logit_bias as a fixed-width scatter, mirostat mu as
+        # carried per-row state). An oversized engine-level bias table keeps
+        # the static per-engine sampler for every request instead.
+        self._per_row = (len(self.gcfg.logit_bias or ())
                          <= sampling.RowParams.MAX_BIAS)
         self._row_cfgs = [self.gcfg] * slots
         self._row_params = sampling.RowParams.from_configs(self._row_cfgs)
+        self._mu = jnp.full((slots,), 2.0 * self.gcfg.mirostat_tau,
+                            jnp.float32)
         self._row_window = np.full((slots,), window, np.int32)
         base = jax.random.PRNGKey(max(self.gcfg.seed, 0))
         self._keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
@@ -174,23 +177,37 @@ class ServingEngine:
             functools.partial(_decode_multi, forward_fn),
             static_argnames=("cfg", "n_ticks"), donate_argnames=("cache",))
         self._jit_insert = _insert_slot  # jitted below (donates cache)
+        # fused admission: final prefill chunk + slot/page splice + row-state
+        # fold-in + first-token sample in ONE dispatch (the unfused path cost
+        # ~5 dispatch round-trips per admission — at the 25-30 ms tunnel RTT
+        # that dominated serving aggregate throughput)
+        self._jit_admit = jax.jit(
+            functools.partial(_admit_fused, forward_fn),
+            static_argnames=("cfg", "insert_bucket"),
+            donate_argnames=("cache", "scratch"))
+        self._jit_admit_paged = jax.jit(
+            functools.partial(_admit_fused_paged, forward_fn),
+            static_argnames=("cfg", "insert_bucket"),
+            donate_argnames=("cache", "scratch"))
+
+    def _resolve_window(self, g: GenerationConfig) -> int:
+        """Penalty-history window for a config: -1 = context size
+        (Generate.h:58), 0 = penalties disabled (window stays all -1)."""
+        return min(g.n_ctx, self.max_len) if g.repeat_last_n < 0 \
+            else g.repeat_last_n
 
     # -- public API ----------------------------------------------------------
     def submit(self, prompt_ids, n_predict: Optional[int] = None,
                stop_token_ids=(), on_token=None,
                gcfg: Optional[GenerationConfig] = None) -> Request:
         """gcfg: per-request sampling parameters (temp/top_k/top_p/tfs_z/
-        typical_p/penalties/seed) — served by ONE compiled row-sampler, no
-        recompile per distinct config."""
+        typical_p/penalties/mirostat/seed) — served by ONE compiled
+        row-sampler, no recompile per distinct config."""
         if gcfg is not None:
             if not self._per_row:
                 raise ValueError(
                     "per-request gcfg unavailable: the engine gcfg uses the "
-                    "engine-global sampler (mirostat / oversized logit_bias)")
-            if gcfg.mirostat != 0:
-                raise ValueError(
-                    "mirostat is engine-global (carried per-row state "
-                    "machine) — set it on the engine gcfg")
+                    "engine-global sampler (oversized logit_bias)")
             if len(gcfg.logit_bias or ()) > sampling.RowParams.MAX_BIAS:
                 raise ValueError(
                     f"per-request logit_bias supports at most "
@@ -288,16 +305,16 @@ class ServingEngine:
         lengths = jnp.asarray([s.length for s in self.slots], jnp.int32)
         active0 = [s.active for s in self.slots]
         if self.paged:
-            seq, self.page_cache, self._keys = self._jit_decode_multi(
+            seq, self.page_cache, self._keys, self._mu = self._jit_decode_multi(
                 self.params, self.cfg, jnp.asarray(self._next_tok),
                 self.page_cache, lengths, self._keys, self._row_params,
-                jnp.asarray(self._last), keep_mask,
+                jnp.asarray(self._last), keep_mask, self._mu,
                 jnp.asarray(self._tables), n_ticks=k)
         else:
-            seq, self.cache, self._keys = self._jit_decode_multi(
+            seq, self.cache, self._keys, self._mu = self._jit_decode_multi(
                 self.params, self.cfg, jnp.asarray(self._next_tok),
                 self.cache, lengths, self._keys, self._row_params,
-                jnp.asarray(self._last), keep_mask, None, n_ticks=k)
+                jnp.asarray(self._last), keep_mask, self._mu, None, n_ticks=k)
         seq = np.asarray(seq)                               # [K, B]
         for t in range(k):
             for i, slot in enumerate(self.slots):
@@ -369,11 +386,17 @@ class ServingEngine:
 
     def _admit_chunk(self):
         """Prefill ONE chunk of the pending admission; finalize on the last
-        chunk (first-token sample + slot splice)."""
+        chunk (first-token sample + slot splice). With the per-row sampler,
+        the FINAL chunk runs through the fused admission executable — prefill
+        + splice + row-state fold-in + sample in one dispatch."""
         slot_idx, done = self._pending
         req = self.slots[slot_idx].request
         n = len(req.prompt_ids)
         take = min(self.admission_chunk, n - done)
+        if done + take >= n and self._per_row:
+            self._pending = None
+            self._finish_admission_fused(slot_idx, req, done, take)
+            return
         logits, self._scratch = self._prefill_engine.prefill(
             req.prompt_ids[None, done:done + take], self._scratch, start=done)
         done += take
@@ -383,7 +406,81 @@ class ServingEngine:
         self._pending = None
         self._finish_admission(slot_idx, req, logits)
 
+    def _admit_host_prep(self, slot_idx: int, req: Request):
+        """Host-side per-admission bookkeeping shared by the fused and
+        unfused paths: slot budget, penalty window, per-row config/key."""
+        n = len(req.prompt_ids)
+        slot = self.slots[slot_idx]
+        slot.admitting = False  # slot joins the decode batch this tick
+        slot.length = n
+        # resumed (preempted) requests keep their budget: n_predict counts
+        # TOTAL emitted tokens, of which len(output_ids) already happened
+        slot.remaining = min(req.n_predict - len(req.output_ids),
+                             self.max_len - n - 1)
+        window = self._last.shape[1]
+        self._last[slot_idx] = -1
+        tail = min(window, n)
+        self._last[slot_idx, window - tail:] = req.prompt_ids[n - tail:]
+        rcfg = req.gcfg or self.gcfg
+        self._row_window[slot_idx] = min(
+            max(self._resolve_window(rcfg), 0), window)
+        self._mask_row_window(slot_idx)
+        return rcfg
+
+    def _row_key_for(self, req: Request, rcfg: GenerationConfig):
+        return (jax.random.PRNGKey(rcfg.seed)
+                if req.gcfg is not None and rcfg.seed >= 0
+                else jax.random.fold_in(
+                    jax.random.PRNGKey(max(self.gcfg.seed, 0)),
+                    req.request_id + 1 + len(self.slots)))
+
+    def _finish_admission_fused(self, slot_idx: int, req: Request,
+                                done: int, take: int):
+        """Final-chunk admission as ONE device dispatch (VERDICT r2 item 3):
+        prefill of the last chunk, scratch→slot/page splice, per-row
+        key/params/mu fold-in and the first-token sample all run inside a
+        single jit — the unfused path cost ~5 dispatch RTTs per admission."""
+        n = len(req.prompt_ids)
+        rcfg = self._admit_host_prep(slot_idx, req)
+        self._row_cfgs[slot_idx] = rcfg
+        rp_row = sampling.RowParams.from_configs([rcfg])
+        row_key = self._row_key_for(req, rcfg)
+        mu0 = jnp.float32(2.0 * rcfg.mirostat_tau)
+
+        bucket_p = _bucket(take)
+        ids = np.zeros((1, bucket_p), np.int32)
+        ids[0, :take] = req.prompt_ids[done:done + take]
+        last_row = jnp.asarray(self._last[slot_idx][None])
+        insert_bucket = min(_bucket(n), self.max_len)
+        if self.paged:
+            p = self.allocator.page_size
+            pages = self._slot_pages[slot_idx]   # reserved at admission start
+            n_pg = len(pages)
+            assert n_pg == self.allocator.pages_needed(insert_bucket), (
+                n_pg, insert_bucket)
+            self._tables[slot_idx] = self._dead_page
+            self._tables[slot_idx, :n_pg] = pages
+            (tok, self.page_cache, self._scratch, self._keys,
+             self._row_params, self._mu) = self._jit_admit_paged(
+                self.params, self.cfg, jnp.asarray(ids), self._scratch,
+                self.page_cache, jnp.asarray(pages, jnp.int32),
+                jnp.asarray(done, jnp.int32), jnp.asarray(take, jnp.int32),
+                self._keys, self._row_params, self._mu, row_key, rp_row,
+                last_row, mu0, jnp.int32(slot_idx),
+                insert_bucket=n_pg * p)
+        else:
+            (tok, self.cache, self._scratch, self._keys,
+             self._row_params, self._mu) = self._jit_admit(
+                self.params, self.cfg, jnp.asarray(ids), self._scratch,
+                self.cache, jnp.asarray(done, jnp.int32),
+                jnp.asarray(take, jnp.int32), self._keys, self._row_params,
+                self._mu, row_key, rp_row, last_row, mu0,
+                jnp.int32(slot_idx), insert_bucket=insert_bucket)
+        req.first_token_t = time.perf_counter()
+        self._emit(slot_idx, int(np.asarray(tok)))
+
     def _finish_admission(self, slot_idx: int, req: Request, logits):
+        """Unfused finalization (engine-global sampler path only)."""
         n = len(req.prompt_ids)
         scratch = self._scratch
         bucket = min(_bucket(n), self.max_len)
@@ -404,52 +501,16 @@ class ServingEngine:
                 self.cache, scratch, jnp.asarray(slot_idx, jnp.int32),
                 bucket=bucket)
 
-        slot = self.slots[slot_idx]
-        slot.admitting = False  # slot joins the decode batch this tick
-        slot.length = n
-        # resumed (preempted) requests keep their budget: n_predict counts
-        # TOTAL emitted tokens, of which len(output_ids) already happened
-        slot.remaining = min(req.n_predict - len(req.output_ids),
-                             self.max_len - n - 1)
-
-        # first token from the prefill logits
-        window = self._last.shape[1]
-        self._last[slot_idx] = -1
-        tail = min(window, n)
-        self._last[slot_idx, window - tail:] = req.prompt_ids[n - tail:]
-        rcfg = req.gcfg or self.gcfg
-        self._row_window[slot_idx] = window if rcfg.repeat_last_n < 0 \
-            else min(rcfg.repeat_last_n, window)
-        self._mask_row_window(slot_idx)
-        if self._per_row:
-            self._row_cfgs[slot_idx] = rcfg
-            # update ONE row in the resident device arrays (a full
-            # from_configs rebuild re-uploaded ~10 arrays per admission)
-            self._row_params = _set_param_row(
-                self._row_params, sampling.RowParams.from_configs([rcfg]),
-                jnp.int32(slot_idx))
-            row_key = (jax.random.PRNGKey(rcfg.seed)
-                       if req.gcfg is not None and rcfg.seed >= 0
-                       else jax.random.fold_in(
-                           jax.random.PRNGKey(max(self.gcfg.seed, 0)),
-                           req.request_id + 1 + len(self.slots)))
-            self._keys = self._keys.at[slot_idx].set(row_key)
-            tok, keys1 = self._jit_sample_rows(
-                logits, self._keys[slot_idx][None],
-                jax.tree.map(lambda a: a[slot_idx][None], self._row_params),
-                jnp.asarray(self._last[slot_idx][None]))
-            self._keys = self._keys.at[slot_idx].set(keys1[0])
-            t = int(np.asarray(tok)[0])
-        else:
-            mu0 = jnp.asarray(2.0 * self.gcfg.mirostat_tau, jnp.float32)
-            state_b = sampling.SamplerState(key=self._state.key, mu=mu0[None])
-            tok, state_b = self._prefill_engine._jit_sample(
-                logits, state_b, jnp.asarray(self._last[slot_idx][None]),
-                self._hcfg)
-            self._state = sampling.SamplerState(
-                key=state_b.key,
-                mu=self._state.mu.at[slot_idx].set(state_b.mu[0]))
-            t = int(np.asarray(tok)[0])
+        self._admit_host_prep(slot_idx, req)
+        mu0 = jnp.asarray(2.0 * self.gcfg.mirostat_tau, jnp.float32)
+        state_b = sampling.SamplerState(key=self._state.key, mu=mu0[None])
+        tok, state_b = self._prefill_engine._jit_sample(
+            logits, state_b, jnp.asarray(self._last[slot_idx][None]),
+            self._hcfg)
+        self._state = sampling.SamplerState(
+            key=state_b.key,
+            mu=self._state.mu.at[slot_idx].set(state_b.mu[0]))
+        t = int(np.asarray(tok)[0])
         req.first_token_t = time.perf_counter()
         self._emit(slot_idx, t)
 
@@ -491,8 +552,9 @@ class ServingEngine:
             logits, self.cache = self._jit_decode(
                 self.params, self.cfg, toks, self.cache, lengths)
         if self._per_row:
-            tok, self._keys = self._jit_sample_rows(
-                logits, self._keys, self._row_params, jnp.asarray(self._last))
+            tok, self._keys, self._mu = self._jit_sample_rows(
+                logits, self._keys, self._row_params, jnp.asarray(self._last),
+                self._mu)
         else:
             tok, self._state = self._prefill_engine._jit_sample(
                 logits, self._state, jnp.asarray(self._last), self._hcfg)
@@ -547,9 +609,7 @@ def _reset(cache: kvc.KVCache) -> kvc.KVCache:
                        k_scale=cache.k_scale, v_scale=cache.v_scale)
 
 
-@functools.partial(jax.jit, static_argnames=("bucket",),
-                   donate_argnames=("cache",))
-def _insert_slot(cache: kvc.KVCache, scratch: kvc.KVCache, slot_idx,
+def _insert_body(cache: kvc.KVCache, scratch: kvc.KVCache, slot_idx,
                  bucket: int) -> kvc.KVCache:
     """Splice scratch[:, 0, :, :bucket] into cache[:, slot_idx] (one D2D copy
     per buffer; bucket is the jit-static prefill bucket length)."""
@@ -569,6 +629,56 @@ def _insert_slot(cache: kvc.KVCache, scratch: kvc.KVCache, slot_idx,
                                                              scratch.k_scale),
         v_scale=None if cache.v_scale is None else put_scale(cache.v_scale,
                                                              scratch.v_scale))
+
+
+@functools.partial(jax.jit, static_argnames=("bucket",),
+                   donate_argnames=("cache",))
+def _insert_slot(cache: kvc.KVCache, scratch: kvc.KVCache, slot_idx,
+                 bucket: int) -> kvc.KVCache:
+    return _insert_body(cache, scratch, slot_idx, bucket)
+
+
+def _fold_row_and_sample(logits, slot_idx, keys, rparams, mu, row_key,
+                         rp_row, last_row, mu0):
+    """Fold one admission's row state into the resident [slots] arrays and
+    draw the first token — the traced body shared by both fused admits."""
+    keys = keys.at[slot_idx].set(row_key)
+    rparams = jax.tree.map(lambda f, r: f.at[slot_idx].set(r[0]),
+                           rparams, rp_row)
+    mu = mu.at[slot_idx].set(mu0)
+    tok, k1, mu1 = sampling.sample_rows(
+        logits, keys[slot_idx][None],
+        jax.tree.map(lambda a: a[slot_idx][None], rparams),
+        last_row, mu[slot_idx][None])
+    keys = keys.at[slot_idx].set(k1[0])
+    mu = mu.at[slot_idx].set(mu1[0])
+    return tok[0], keys, rparams, mu
+
+
+def _admit_fused(forward_fn, params, cfg, ids, scratch, cache, start,
+                 true_len, keys, rparams, mu, row_key, rp_row, last_row,
+                 mu0, slot_idx, *, insert_bucket):
+    """Final-chunk admission in ONE dispatch: prefill + slot splice + row
+    fold-in + first-token sample. Numerically identical to the unfused
+    sequence (same forward, same splice, same sample_rows call)."""
+    logits, scratch = forward_fn(params, cfg, ids, scratch, start,
+                                 true_len=true_len)
+    cache = _insert_body(cache, scratch, slot_idx, insert_bucket)
+    tok, keys, rparams, mu = _fold_row_and_sample(
+        logits, slot_idx, keys, rparams, mu, row_key, rp_row, last_row, mu0)
+    return tok, cache, scratch, keys, rparams, mu
+
+
+def _admit_fused_paged(forward_fn, params, cfg, ids, scratch, cache,
+                       page_ids, start, true_len, keys, rparams, mu,
+                       row_key, rp_row, last_row, mu0, slot_idx, *,
+                       insert_bucket):
+    logits, scratch = forward_fn(params, cfg, ids, scratch, start,
+                                 true_len=true_len)
+    cache = _insert_pages_body(cache, scratch, page_ids, insert_bucket)
+    tok, keys, rparams, mu = _fold_row_and_sample(
+        logits, slot_idx, keys, rparams, mu, row_key, rp_row, last_row, mu0)
+    return tok, cache, scratch, keys, rparams, mu
 
 
 @jax.jit
@@ -592,7 +702,7 @@ def _decode_step_paged(forward_fn, params, cfg, tokens, cache, lengths,
 
 
 def _decode_multi(forward_fn, params, cfg, tokens, cache, lengths, keys,
-                  rparams, last, keep_mask, tables, *, n_ticks):
+                  rparams, last, keep_mask, mu, tables, *, n_ticks):
     """K decode+sample ticks in ONE dispatch (lax.scan): the host-driven
     per-token scheduler costs 2-3 dispatch round-trips per tick (tunnel RTT
     ~25-30 ms makes that THE serving bottleneck; even local dispatch is
@@ -606,27 +716,25 @@ def _decode_multi(forward_fn, params, cfg, tokens, cache, lengths, keys,
     device with the same roll+append+window-mask semantics as the host copy
     (keep_mask encodes each row's repeat window)."""
     def tick(carry, _):
-        toks, cache, lengths, keys, last = carry
+        toks, cache, lengths, keys, last, mu = carry
         if tables is None:
             logits, cache = forward_fn(params, cfg, toks[:, None], cache,
                                        lengths)
         else:
             logits, cache = forward_fn(params, cfg, toks[:, None], cache,
                                        lengths, page_table=tables)
-        tok, keys = sampling.sample_rows(logits, keys, rparams, last)
+        tok, keys, mu = sampling.sample_rows(logits, keys, rparams, last, mu)
         last = jnp.where(keep_mask,
                          jnp.concatenate([last[:, 1:], tok[:, None]], axis=1),
                          -1)
-        return (tok, cache, lengths + 1, keys, last), tok
+        return (tok, cache, lengths + 1, keys, last, mu), tok
 
-    (tokens, cache, lengths, keys, last), seq = jax.lax.scan(
-        tick, (tokens, cache, lengths, keys, last), None, length=n_ticks)
-    return seq, cache, keys
+    (tokens, cache, lengths, keys, last, mu), seq = jax.lax.scan(
+        tick, (tokens, cache, lengths, keys, last, mu), None, length=n_ticks)
+    return seq, cache, keys, mu
 
 
-@functools.partial(jax.jit, static_argnames=("bucket",),
-                   donate_argnames=("cache",))
-def _jit_insert_pages(cache, scratch: kvc.KVCache, page_ids, bucket: int):
+def _insert_pages_body(cache, scratch: kvc.KVCache, page_ids, bucket: int):
     """Splice a bucketed single-request prefill (contiguous scratch) into the
     allocated pages (runtime/paged.py insert_prefix)."""
     from tinychatengine_tpu.runtime import paged as pg
@@ -637,3 +745,9 @@ def _jit_insert_pages(cache, scratch: kvc.KVCache, page_ids, bucket: int):
         sks = jax.lax.slice_in_dim(scratch.k_scale[:, 0], 0, bucket, axis=2)
         svs = jax.lax.slice_in_dim(scratch.v_scale[:, 0], 0, bucket, axis=2)
     return pg.insert_prefix(cache, sk, sv, page_ids, sks, svs)
+
+
+@functools.partial(jax.jit, static_argnames=("bucket",),
+                   donate_argnames=("cache",))
+def _jit_insert_pages(cache, scratch: kvc.KVCache, page_ids, bucket: int):
+    return _insert_pages_body(cache, scratch, page_ids, bucket)

@@ -122,12 +122,23 @@ class Llama3BPE:
                 while len(tokens) <= rank:
                     tokens.append(b"")
                 tokens[rank] = tok
-            # the llama-3 reserved special block sits above the BPE ranks
+            # the llama-3 reserved special block sits above the BPE ranks;
+            # ids follow the 3.1 naming (step_id/eom_id/python_tag). A 3.0
+            # tokenizer.model names the same id range
+            # reserved_special_token_2..4 — register those as ALIASES so 3.0
+            # prompts still map their special strings to the right ids
+            # (bos/eos/eot/header ids are identical across generations)
             names = (["begin_of_text", "end_of_text",
                       "reserved_special_token_0", "reserved_special_token_1",
                       "finetune_right_pad_id", "step_id", "start_header_id",
                       "end_header_id", "eom_id", "eot_id", "python_tag"])
             special = {f"<|{n}|>": len(tokens) + i for i, n in enumerate(names)}
+            for alias, canon in (
+                    ("reserved_special_token_2", "finetune_right_pad_id"),
+                    ("reserved_special_token_3", "step_id"),
+                    ("reserved_special_token_4", "eom_id"),
+                    ("reserved_special_token_5", "python_tag")):
+                special[f"<|{alias}|>"] = special[f"<|{canon}|>"]
             return cls(tokens, special)
         if p.name.endswith("tokenizer.json"):
             data = json.loads(p.read_text())
