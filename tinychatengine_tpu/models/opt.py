@@ -144,7 +144,23 @@ def forward(params: OPTParams, cfg: ModelConfig, input_ids: jax.Array,
 
         use_flash = (not int8_path and jax.default_backend() == "tpu"
                      and d % 128 == 0)
-        if int8_path:
+        use_int8_flash = (int8_path and s == 1
+                          and jax.default_backend() == "tpu" and d % 128 == 0)
+        if use_int8_flash:
+            # length-bounded streaming decode keeping the exact
+            # Int8OPTAttention dataflow (ops/attention.py int8_decode):
+            # per-step KV traffic is O(context), not O(S_max) dense
+            from tinychatengine_tpu.ops.attention import int8_decode
+            attn = int8_decode(
+                q[:, 0], cache2.k, cache2.v, layer_idx,
+                jnp.broadcast_to(start + 1, (b,)),
+                unstack(layers.qk_alpha, layer_idx),
+                unstack(layers.pv_alpha, layer_idx))        # [B, H, D] f32
+            attn_s8 = jnp.clip(jnp.round(attn), -128, 127).astype(jnp.int8)
+            attn_out = row_parallel(layers.out_proj,
+                                    attn_s8.reshape(b, 1, hq * d), tp_axis,
+                                    layer_idx=layer_idx)
+        elif int8_path:
             ck, cv = kvc.read_layer(cache2, layer_idx)  # [B, H, Smax, D]
             smax = ck.shape[2]
             qk_alpha = unstack(layers.qk_alpha, layer_idx)
@@ -283,6 +299,18 @@ def init_random_params(cfg: ModelConfig, quantized: bool = False,
     layers = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
     embed = jnp.asarray(rng.standard_normal((v, e)) * 0.02, jnp.float32)
+    if scheme in ("w4a16", "w4a8"):
+        # the Int4OPT stack quantizes the (tied) head too, bias-less and
+        # N-padded — mirror convert_hf_opt so checkpoint templates match
+        from tinychatengine_tpu.models.llama import lmhead_padded
+        from tinychatengine_tpu.ops.linear import (Int4A8Linear,
+                                                    random_int4_linear)
+        p = random_int4_linear(jax.random.PRNGKey(int(rng.integers(1 << 30))),
+                               e, lmhead_padded(v), qcfg.group_size)
+        cls = Int4A8Linear if scheme == "w4a8" else type(p)
+        lm_head = cls(packed=p.packed, scales=p.scales, bias=None)
+    else:
+        lm_head = DenseLinear(weight=embed.T.astype(jnp.bfloat16))
     return OPTParams(
         embed_tokens=embed,
         embed_positions=jnp.asarray(
@@ -290,5 +318,5 @@ def init_random_params(cfg: ModelConfig, quantized: bool = False,
         layers=layers,
         final_ln_w=jnp.ones((e,), jnp.float32),
         final_ln_b=jnp.zeros((e,), jnp.float32),
-        lm_head=DenseLinear(weight=embed.T.astype(jnp.bfloat16)),
+        lm_head=lm_head,
     )

@@ -126,7 +126,11 @@ def _build_template(cfg: ModelConfig, qcfg: QuantConfig, meta: dict):
     if family == "opt":
         from tinychatengine_tpu.models import opt
         tiny = _tiny_like(cfg)
-        return opt.init_random_params(tiny, quantized=(qcfg.scheme == "w8a8"))
+        # qcfg selects the container types: w8a8 → W8A8Linear, w4a16/w4a8 →
+        # Int4(A8)Linear (without it an int4 OPT checkpoint would unflatten
+        # against a dense template and fail on tree-structure mismatch)
+        return opt.init_random_params(tiny, quantized=(qcfg.scheme == "w8a8"),
+                                      qcfg=qcfg)
     if family == "gptbigcode":
         from tinychatengine_tpu.models import gptbigcode
         tiny = _tiny_like(cfg)
