@@ -196,3 +196,37 @@ def test_sliding_window_prefill():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(want, np.float32),
                                rtol=0.05, atol=0.05)
+
+
+def test_int8_decode_matches_dense_dataflow():
+    """Length-bounded int8 OPT decode kernel (ops/attention.py int8_decode)
+    vs the dense Int8OPTAttention.cc dataflow: logits=(q·k)·α_qk → f32
+    softmax → ×127 requant → (p_s8·v_s8)·α_pv. Ragged per-batch lengths."""
+    rng = np.random.default_rng(3)
+    L, B, H, S, D = 2, 2, 4, 512, 128
+    ck_all = rng.integers(-127, 128, (L, B, H, S, D)).astype(np.int8)
+    cv_all = rng.integers(-127, 128, (L, B, H, S, D)).astype(np.int8)
+    q = jnp.asarray(rng.integers(-127, 128, (B, H, D)), jnp.int8)
+    qk_alpha, pv_alpha = 1.7e-4, 2.3e-3
+
+    for li in range(L):
+        lengths = np.asarray([37, 512], np.int32)
+        got = np.asarray(
+            __import__("tinychatengine_tpu.ops.attention",
+                       fromlist=["int8_decode"]).int8_decode(
+                q, jnp.asarray(ck_all), jnp.asarray(cv_all), jnp.int32(li),
+                jnp.asarray(lengths), qk_alpha, pv_alpha, interpret=True),
+            np.float32)
+
+        # dense oracle (the exact model-code formula, models/opt.py int8 path)
+        for b in range(B):
+            n = int(lengths[b])
+            kk = ck_all[li, b, :, :n].astype(np.float32)      # [H, n, D]
+            vv = cv_all[li, b, :, :n].astype(np.float32)
+            qq = np.asarray(q, np.float32)[b]                 # [H, D]
+            s = np.einsum("hd,hnd->hn", qq, kk) * qk_alpha
+            p = np.exp(s - s.max(-1, keepdims=True))
+            p = p / p.sum(-1, keepdims=True)
+            p127 = np.clip(np.round(p * 127.0), -128, 127)
+            want = np.einsum("hn,hnd->hd", p127, vv) * pv_alpha
+            np.testing.assert_allclose(got[b], want, rtol=1e-4, atol=5e-3)

@@ -550,6 +550,157 @@ def flash_prefill(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# int8 OPT decode: length-bounded streaming attention that PRESERVES the
+# Int8OPTAttention.cc dataflow (logits = (q_s8·k_s8)·α_qk → f32 softmax →
+# probs ×127 requant to s8 → (p_s8·v_s8)_i32 · α_pv). The ×127 requant needs
+# the GLOBAL softmax max/sum before probs can be quantized, so the kernel
+# makes two passes over the valid KV prefix (phase 0: online max/sum stats;
+# phase 1: exact-normalized quantized probs, i32 PV accumulation) — 2x K +
+# 1x V reads of O(context) instead of the dense path's O(S_max) read +
+# [B,H,S,S_max] logits materialization (llm/src/nn_modules/
+# Int8OPTAttention.cc:27-58; the reference itself is dense).
+# ---------------------------------------------------------------------------
+
+def _int8_decode_kernel(info_ref, q_ref, k_ref, v_ref, alpha_ref, o_ref,
+                        m_ref, l_ref, acc_ref, *, block_s: int, h: int):
+    """Grid (B, 2, NB): phase 0 accumulates flash max/sum over K blocks,
+    phase 1 quantizes probs against the final stats and accumulates the
+    int8 PV dot in an i32 scratch (exact: |sum p*v| <= 127*127*S)."""
+    b = pl.program_id(0)
+    ph = pl.program_id(1)
+    j = pl.program_id(2)
+    nb = pl.num_programs(2)
+    length = info_ref[1 + b]
+    d = q_ref.shape[2]
+
+    @pl.when((ph == 0) & (j == 0))
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    rows, cols = h, h * block_s
+
+    @pl.when(j * block_s < length)
+    def _block():
+        q = q_ref[0].reshape(rows, d)                        # int8
+        k = k_ref[0, 0].reshape(cols, d)                     # int8
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * alpha_ref[0, 0]              # [H, H*T]
+        row_h = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        col_h = col_i // block_s
+        pos = j * block_s + col_i % block_s
+        s = jnp.where((row_h == col_h) & (pos < length), s, NEG_INF)
+
+        @pl.when(ph == 0)
+        def _stats():
+            m_prev = m_ref[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[:, :1] = (l_ref[:, :1] * alpha
+                            + jnp.sum(jnp.exp(s - m_new), axis=-1,
+                                      keepdims=True))
+            m_ref[:, :1] = m_new
+
+        @pl.when(ph == 1)
+        def _accum():
+            # exact softmax against the FINAL stats, then the reference's
+            # ×127 prob requant; masked columns exp(-inf) == 0 → p_s8 == 0
+            p = jnp.exp(s - m_ref[:, :1]) / jnp.maximum(l_ref[:, :1], 1e-30)
+            p_s8 = jnp.clip(jnp.round(p * 127.0), -128, 127).astype(jnp.int8)
+            v = v_ref[0, 0].reshape(cols, d)                 # int8
+            acc_ref[:] += jax.lax.dot_general(
+                p_s8, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+    @pl.when((ph == 1) & (j == nb - 1))
+    def _fin():
+        o_ref[0] = (acc_ref[:].astype(jnp.float32)
+                    * alpha_ref[0, 1]).reshape(h, d)
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+def _int8_decode_impl(info, q, ck, cv, alphas, *, block_s, interpret):
+    bq, h, d = q.shape
+    smax = ck.shape[3]
+    nb = smax // block_s
+    grid = (bq, 2, nb)
+
+    def clamp_blk(info_ref, b, j):
+        last = jnp.minimum(
+            jax.lax.div(jnp.maximum(info_ref[1 + b], 1) - 1, block_s), nb - 1)
+        return jnp.minimum(j, last)
+
+    def k_map(b, ph, j, info_ref):
+        return (info_ref[0], b, 0, clamp_blk(info_ref, b, j), 0)
+
+    def v_map(b, ph, j, info_ref):
+        # V is phase-1-only: during phase 0 park the index on block 0 so the
+        # revolving buffer serves it without fresh DMAs (CLAUDE.md trick)
+        return (info_ref[0], b, 0,
+                jnp.where(ph == 0, 0, clamp_blk(info_ref, b, j)), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h, d), lambda b, ph, j, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, block_s, d), k_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, block_s, d), v_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda b, ph, j, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, d), lambda b, ph, j, i: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((h, 128), jnp.float32),   # m
+            pltpu.VMEM((h, 128), jnp.float32),   # l
+            pltpu.VMEM((h, d), jnp.int32),       # i32 PV accumulator
+        ],
+    )
+    kernel = functools.partial(_int8_decode_kernel, block_s=block_s, h=h)
+    cost = pl.CostEstimate(flops=2 * 2 * bq * h * smax * d,
+                           bytes_accessed=3 * bq * h * smax * d,
+                           transcendentals=2 * bq * h * smax)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bq, h, d), jnp.float32),
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(info, q, ck, cv, alphas)
+
+
+def int8_decode(q_s8: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
+                layer_idx, lengths, qk_alpha, pv_alpha, *,
+                block_s: int = 512, interpret: bool = False) -> jax.Array:
+    """Single-step Int8OPT attention: q_s8 [B, H, D] int8 against the int8
+    stacked cache [L, B, H, S_max, D] (no scales — SmoothQuant's static
+    scales live in the BMM alphas). Returns pre-requant attn f32 [B, H, D]
+    == softmax((q·k)·qk_alpha) ×127-requantized, PV-dotted, ·pv_alpha."""
+    b, h, d = q_s8.shape
+    smax = cache_k.shape[3]
+    block_s = min(block_s, smax)
+    assert smax % block_s == 0, (smax, block_s)
+    info = jnp.concatenate([
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        jnp.broadcast_to(jnp.asarray(lengths, jnp.int32).reshape(-1), (b,)),
+    ])
+    alphas = jnp.stack([jnp.asarray(qk_alpha, jnp.float32).reshape(()),
+                        jnp.asarray(pv_alpha, jnp.float32).reshape(())]
+                       ).reshape(1, 2)
+    return _int8_decode_impl(info, q_s8, cache_k, cache_v, alphas,
+                             block_s=block_s, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
 # XLA reference (correctness oracle + CPU fallback)
 # ---------------------------------------------------------------------------
 
