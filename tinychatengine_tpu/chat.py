@@ -73,6 +73,26 @@ def build_engine(model: str, precision: str, checkpoint: str,
     return Engine(params, cfg, qcfg), tok, cfg
 
 
+def shift_context(engine: Engine, history: list, n_keep: int):
+    """llama.cpp-style context shift on window overflow: retain the first
+    ``n_keep`` conversation tokens (system prompt) plus the most recent tail
+    (half the window), re-prefill them into a fresh cache and continue —
+    instead of dropping the whole conversation. The reference persists
+    context up to max_sqlen and then stops growing (LLaMA3Generate.cc:74-75);
+    llama.cpp's --keep shift is the behavior ``GenerationConfig.n_keep``
+    advertises.
+
+    Returns (cache, start, kept_history)."""
+    n_keep = max(0, min(n_keep, engine.max_len // 4))
+    tail = max(engine.max_len // 2 - n_keep, 1)
+    kept = list(history[:n_keep]) + list(history[-tail:]) if history else []
+    cache = engine.new_cache()
+    if kept:
+        import numpy as _np
+        _, cache = engine.prefill(_np.asarray([kept], _np.int32), cache)
+    return cache, len(kept), kept
+
+
 def repl(engine: Engine, tok, cfg: ModelConfig, gcfg: GenerationConfig,
          vlm_ctx=None, voice: bool = False, speculative: bool = False):
     """vlm_ctx: optional (clip_params, clip_cfg, image_path) — the image is
@@ -93,6 +113,8 @@ def repl(engine: Engine, tok, cfg: ModelConfig, gcfg: GenerationConfig,
     cache = engine.new_cache()
     start = 0
     first = True
+    history: list[int] = []   # full conversation ids (for context shifting)
+    used_embeds = False       # image embeds can't be re-prefilled from ids
     print(f"{_BOLD}TinyChatEngine-TPU{_RESET} — model {cfg.name} "
           f"(ctx {engine.max_len}). Ctrl-D to exit.")
     while True:
@@ -173,11 +195,24 @@ def repl(engine: Engine, tok, cfg: ModelConfig, gcfg: GenerationConfig,
         # context persists across turns (reference keeps past_kv static;
         # LLaMA3Generate.cc:74-75) — continue from the updated position
         start += len(ids) + n_gen
+        used_embeds = used_embeds or input_embeds is not None
+        history.extend(ids)
+        out_ids = (result.tokens[0] if result is not None else out_toks)
+        history.extend(int(t) for t in out_ids)
         if start >= engine.max_len - 8:
-            print("[context full — resetting]")
-            cache = engine.new_cache()
-            start = 0
-            first = True
+            if used_embeds:
+                # image tokens live only as embeds — can't re-prefill from ids
+                print("[context full — resetting]")
+                cache = engine.new_cache()
+                start = 0
+                first = True
+                history = []
+                used_embeds = False
+            else:
+                print("[context full — shifting (n_keep="
+                      f"{gcfg.n_keep})]")
+                cache, start, history = shift_context(engine, history,
+                                                      gcfg.n_keep)
         if result is not None:
             print(engine.profiler.report_turn(n_gen), file=sys.stderr)
             engine.profiler.reset()
