@@ -66,6 +66,33 @@ def test_xla_fallback_matches_ref():
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("bn,bk", [(512, 1024), (256, 256), (128, 512)])
+def test_kouter_variant_matches_standard_kernel(bn, bk):
+    """The K-outer restructure (j-innermost grid, [n_j, M, TN] accumulator
+    scratch, resident scales) must be BIT-IDENTICAL to the production
+    stacked kernel — same dequant factoring, different schedule.
+    NOTE: interpret mode does not validate Mosaic lowering; the on-chip
+    check lives in scripts/check_block_correctness.py."""
+    import jax
+
+    from tinychatengine_tpu.ops.int4_matmul import (_int4_matmul_kouter,
+                                                    int4_matmul)
+
+    G, L, K, N = 128, 2, 1024, 512
+    key = jax.random.PRNGKey(1)
+    packed = jax.random.randint(key, (L, K // 2, N), 0, 255, jnp.int32
+                                ).astype(jnp.uint8)
+    scales = jax.random.uniform(key, (L, K // G, N), jnp.float32) * 0.01
+    x = jax.random.normal(key, (16, K), jnp.bfloat16)
+    for li in range(L):
+        want = int4_matmul(x, packed[li], scales[li], G, interpret=True)
+        got = _int4_matmul_kouter(x, packed, scales, jnp.int32(li),
+                                  group_size=G, block_m=16, block_n=bn,
+                                  block_k=bk, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(want, np.float32))
+
+
 def test_glu_fused_down_matches_composition():
     import jax
     import jax.numpy as jnp

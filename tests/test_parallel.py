@@ -120,6 +120,58 @@ def test_opt_tp_matches_single_device():
                                rtol=2e-2, atol=2e-2)
 
 
+def _collective_counts(lowered_text):
+    import re
+    return {op: len(re.findall(r"stablehlo\." + op + r"\b", lowered_text))
+            for op in ("all_reduce", "all_gather", "collective_permute",
+                       "all_to_all")}
+
+
+@pytest.mark.parametrize("scheme", ["fp", "w4a16"])
+def test_tp_decode_collective_structure(scheme):
+    """Guard the COLLECTIVE STRUCTURE of the TP decode step (the ≥85%-scaling
+    north star, SURVEY §2.8): the lowered program must contain exactly the
+    Megatron pattern — 2 psums per layer (o_proj + down_proj, inside the
+    layer scan body) and 1 lm_head all-gather, and nothing else. A
+    sharding-spec typo that introduces resharding (extra all-gathers,
+    permutes, all-to-alls) fails here even though numerics tests would still
+    pass."""
+    cfg = TINY
+    params = llama.init_random_params(cfg, QuantConfig(scheme=scheme),
+                                      seed=0, tp_degree=4)
+    mesh = make_mesh(n_data=1, n_model=4)
+    sp = shard_params(params, mesh)
+    sc = shard_cache(_cache(cfg), mesh)
+    tp_fwd = make_tp_forward(mesh)
+    ids = jnp.asarray([[3]], jnp.int32)  # decode step
+
+    txt = jax.jit(tp_fwd, static_argnames=("cfg",)).lower(
+        sp, cfg, ids, sc, jnp.int32(0)).as_text()
+    got = _collective_counts(txt)
+    # layer collectives appear ONCE in the text (lax.scan body region)
+    assert got == {"all_reduce": 2, "all_gather": 1,
+                   "collective_permute": 0, "all_to_all": 0}, got
+
+
+def test_tp_prefill_collective_structure():
+    """Prefill (bucketed, full_logits=False) keeps the same collective
+    budget as decode — chunked prefill must not pay extra resharding."""
+    cfg = TINY
+    params = llama.init_random_params(cfg, QuantConfig(scheme="fp"),
+                                      seed=0, tp_degree=4)
+    mesh = make_mesh(n_data=1, n_model=4)
+    sp = shard_params(params, mesh)
+    sc = shard_cache(_cache(cfg), mesh)
+    tp_fwd = make_tp_forward(mesh)
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32)
+
+    txt = jax.jit(tp_fwd, static_argnames=("cfg",)).lower(
+        sp, cfg, ids, sc, jnp.int32(0)).as_text()
+    got = _collective_counts(txt)
+    assert got == {"all_reduce": 2, "all_gather": 1,
+                   "collective_permute": 0, "all_to_all": 0}, got
+
+
 def test_multihost_mesh_helpers():
     from tinychatengine_tpu.parallel import distributed
     info = distributed.process_info()

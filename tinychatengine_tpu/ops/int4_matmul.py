@@ -50,12 +50,22 @@ ZERO_POINT = 8
 # future shapes/toolchains.
 DECODE_BLOCKS: dict = {}
 
+# Per-shape decode restructure overrides, (K, N) → (block_n, block_k) run
+# through the K-OUTER kernel (_kouter_kernel): grid (i, kb, j) with j
+# innermost, a [n_j, TM, TN] full-N fp32 accumulator scratch and the whole
+# layer's scales resident in VMEM — weight DMA walks row bands j-inner
+# (sequential HBM) and scales are fetched once per layer instead of once per
+# N-tile re-DMA. Opt-in per shape (env TCE_DECODE_KOUTER="K,N:bn,bk;...").
+DECODE_KOUTER: dict = {}
 
-def _parse_env_blocks():
+
+def _parse_env_blocks(env="TCE_DECODE_BLOCKS", table=None):
     """Tuning hook: TCE_DECODE_BLOCKS="K,N:bn,bk;K,N:bn,bk" overrides the
     decode blocking table per process (scripts/ab_bench_blocks.py A/Bs
-    bench.py runs this way without code edits)."""
-    spec = os.environ.get("TCE_DECODE_BLOCKS", "")
+    bench.py runs this way without code edits). TCE_DECODE_KOUTER uses the
+    same syntax to route shapes through the K-outer restructured kernel."""
+    table = DECODE_BLOCKS if table is None else table
+    spec = os.environ.get(env, "")
     for item in spec.split(";"):
         if not item.strip():
             continue
@@ -65,17 +75,18 @@ def _parse_env_blocks():
             bn, bk = (int(s) for s in blocks.split(","))
         except ValueError as e:
             raise ValueError(
-                f"TCE_DECODE_BLOCKS entry {item!r} malformed (want "
+                f"{env} entry {item!r} malformed (want "
                 f"'K,N:block_n,block_k;...'): {e}") from None
         if n % bn or k % bk or bk % SUPERBLOCK or bn % 128:
             raise ValueError(
-                f"TCE_DECODE_BLOCKS {item!r}: block_n must divide N and be a "
+                f"{env} {item!r}: block_n must divide N and be a "
                 f"multiple of 128; block_k must divide K and be a multiple "
                 f"of {SUPERBLOCK}")
-        DECODE_BLOCKS[(k, n)] = (bn, bk)
+        table[(k, n)] = (bn, bk)
 
 
 _parse_env_blocks()
+_parse_env_blocks("TCE_DECODE_KOUTER", DECODE_KOUTER)
 
 
 def _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
@@ -252,6 +263,105 @@ def _int4_matmul_2d(x, packed, scales, layer_idx=None, *, group_size, block_m,
       x, packed.reshape(n_layers * kp, n), s_arg)
 
 
+def _kouter_kernel(layer_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *,
+                   group_size: int, n_kblocks: int, block_k: int):
+    """K-OUTER restructure of _int4_matmul_kernel: grid (i, kb, j) with j
+    innermost. Weight blocks stream j-inner across a K row band (sequential
+    HBM addresses within the band), x stays resident across the whole band,
+    and the full layer's scales sit in VMEM once (s_ref block is the
+    [K/G, N] layer slab — no per-N-tile scale re-DMA). Accumulation lives in
+    a [n_j, TM, TN] fp32 scratch indexed by j."""
+    kb = pl.program_id(1)
+    j = pl.program_id(2)
+    gpp = PLANE // group_size
+    n_sb = block_k // SUPERBLOCK
+    bn = o_ref.shape[1]
+    col0 = pl.multiple_of(j * bn, 128)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[j] = jnp.zeros_like(acc_ref[j])
+
+    acc = acc_ref[j]
+    for sb in range(n_sb):
+        p = w_ref[sb * PLANE:(sb + 1) * PLANE, :].astype(jnp.int32)
+        for plane in range(2):
+            codes = ((p & 0x0F) if plane == 0 else (p >> 4)
+                     ).astype(jnp.bfloat16)
+            g0 = kb * (block_k // group_size) + (2 * sb + plane) * gpp
+            x_plane = x_ref[:, (2 * sb + plane) * PLANE:
+                            (2 * sb + plane + 1) * PLANE]
+            for g in range(gpp):
+                d_row = s_ref[pl.ds(g0 + g, 1), pl.ds(col0, bn)]  # [1, TN]
+                x_g = x_plane[:, g * group_size:(g + 1) * group_size]
+                c_g = codes[g * group_size:(g + 1) * group_size, :]
+                dot = jnp.dot(x_g, c_g, preferred_element_type=jnp.float32)
+                xsum8 = jnp.sum(x_g.astype(jnp.float32), axis=1,
+                                keepdims=True) * ZERO_POINT
+                acc += (dot - xsum8) * d_row
+    acc_ref[j] = acc
+
+    @pl.when(kb == n_kblocks - 1)
+    def _store():
+        o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "block_m", "block_n", "block_k",
+                     "interpret", "out_dtype"),
+)
+def _int4_matmul_kouter(x, packed, scales, layer_idx, *, group_size, block_m,
+                        block_n, block_k, interpret=False,
+                        out_dtype=jnp.bfloat16):
+    """K-outer variant driver (stacked weights only; opt-in via
+    DECODE_KOUTER). See _kouter_kernel."""
+    m, k = x.shape
+    assert packed.ndim == 3, "K-outer variant requires stacked weights"
+    n_layers, kp, n = packed.shape
+    sg = k // group_size
+    assert sg % 8 == 0, (k, group_size)
+    kpb = kp // (block_k // 2)
+    grid = (m // block_m, k // block_k, n // block_n)
+    kernel = functools.partial(_kouter_kernel, group_size=group_size,
+                               n_kblocks=grid[1], block_k=block_k)
+    flops = 2 * m * n * k
+    bytes_accessed = m * k * 2 + n * k // 2 + (n * sg) * 4 + m * n * 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k),
+                         lambda i, kb, j, lref: (i, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k // 2, block_n),
+                         lambda i, kb, j, lref: (lref[0] * kpb + kb, j),
+                         memory_space=pltpu.VMEM),
+            # whole layer's scales resident (constant index across the grid)
+            pl.BlockSpec((sg, n), lambda i, kb, j, lref: (lref[0], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n),
+                               lambda i, kb, j, lref: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n // block_n, block_m, block_n),
+                                   jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1),
+      x.astype(jnp.bfloat16), packed.reshape(n_layers * kp, n),
+      scales.astype(jnp.float32).reshape(n_layers * sg, n))
+
+
 def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
                 group_size: int = 128, *, layer_idx=None,
                 interpret: bool = False,
@@ -296,6 +406,14 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
     if block_m is None and m + pad >= 512:
         block_m = _pick_block(m + pad, 512, 16)
         block_n = block_n or _pick_block(n, 1024, 128)
+    elif (block_n is None and block_k is None and stacked
+          and m + pad < 512 and (k, n) in DECODE_KOUTER):
+        bn, bk = DECODE_KOUTER[(k, n)]
+        return _int4_matmul_kouter(
+            x2.astype(jnp.bfloat16), packed, scales, layer_idx,
+            group_size=group_size, block_m=_pick_block(m + pad, 256, 16),
+            block_n=bn, block_k=bk, interpret=interpret
+        )[:m].reshape(*orig_shape[:-1], n)
     elif block_n is None and block_k is None and (k, n) in DECODE_BLOCKS:
         block_n, block_k = DECODE_BLOCKS[(k, n)]
     block_m = block_m or _pick_block(m + pad, 256, 16)
