@@ -230,3 +230,23 @@ def test_int8_decode_matches_dense_dataflow():
             p127 = np.clip(np.round(p * 127.0), -128, 127)
             want = np.einsum("hn,hnd->hd", p127, vv) * pv_alpha
             np.testing.assert_allclose(got[b], want, rtol=1e-4, atol=5e-3)
+
+
+def test_flash_prefill_ragged_starts():
+    """Per-batch start/length prefill (the serving speculative-verify
+    shape): each row attends causally from ITS OWN offset; must match the
+    XLA oracle row by row."""
+    rng = np.random.default_rng(5)
+    L, B, H, S, D, sq = 2, 3, 2, 256, 128, 8
+    cache = _mk_cache(rng, L, B, H, S, D)
+    q = jnp.asarray(rng.standard_normal((B, sq, 4, D)), jnp.bfloat16)
+    starts = jnp.asarray([0, 37, 100], jnp.int32)
+
+    out = flash_prefill(q, cache.k, cache.v, jnp.int32(1), starts,
+                        starts + sq, interpret=True)
+    ck, cv = kvc.read_layer(cache, 1)
+    positions = starts[:, None] + jnp.arange(sq)[None, :]
+    want = attention_xla(q, ck, cv, positions, (starts + sq)[:, None, None])
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.05, atol=0.05)

@@ -499,3 +499,88 @@ def test_paged_serving_with_tensor_parallel():
     srv4.run()
     for a, b in zip(r1, r4):
         assert a.output_ids == b.output_ids
+
+
+def test_speculative_serving_exact_and_fewer_ticks():
+    """PLD-eligible (greedy) requests through speculative serving: tokens
+    IDENTICAL to the plain serving engine, in fewer decode dispatches
+    (accepted draft runs emit several tokens per tick on repetitive
+    prompts)."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=24, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    rep = np.tile(np.array([5, 9, 11, 7], np.int32), 6)   # repetitive prompt
+
+    plain = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g, tick_batch=1)
+    want = [plain.submit(p) for p in (rep, PROMPTS[0], PROMPTS[2])]
+    plain.run()
+
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g, tick_batch=1,
+                        speculative=True)
+    got = [srv.submit(p) for p in (rep, PROMPTS[0], PROMPTS[2])]
+    srv.run()
+    for w, r in zip(want, got):
+        assert r.output_ids == w.output_ids, (r.output_ids, w.output_ids)
+    # speculation must actually have accepted drafts: more tokens than ticks
+    assert srv._spec_stats["ticks"] > 0
+    assert srv._spec_stats["tokens"] > srv._spec_stats["ticks"], \
+        srv._spec_stats
+
+
+def test_speculative_pauses_for_stochastic_neighbor():
+    """A non-greedy request in the batch disables spec ticks while it is
+    active (exactness requires an all-greedy batch) — everyone's output
+    still matches the non-speculative engine."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=16, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    hot = GenerationConfig(temp=1.2, top_p=0.9, n_predict=16,
+                           repeat_penalty=1.0, repeat_last_n=1, seed=7)
+
+    def run(spec):
+        srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g, tick_batch=1,
+                            speculative=spec)
+        ra = srv.submit(PROMPTS[0])
+        rb = srv.submit(PROMPTS[1], gcfg=hot)
+        srv.run()
+        return ra.output_ids, rb.output_ids
+
+    a0, b0 = run(False)
+    a1, b1 = run(True)
+    assert a1 == a0 and b1 == b0
+
+
+def test_speculative_stop_token_mid_run():
+    """A stop token inside an accepted draft run truncates exactly there."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=40, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    rep = np.arange(10, 40, dtype=np.int32)   # diverse greedy continuation
+    probe = ServingEngine(params, cfg, qcfg, slots=1, gcfg=g, tick_batch=1)
+    r0 = probe.submit(rep)
+    probe.run()
+    cut = next(i for i in range(2, 39)
+               if r0.output_ids[i] not in r0.output_ids[:i])
+    stop_tok = r0.output_ids[cut]
+
+    srv = ServingEngine(params, cfg, qcfg, slots=1, gcfg=g, tick_batch=1,
+                        speculative=True)
+    r = srv.submit(rep, stop_token_ids=(stop_tok,))
+    srv.run()
+    assert r.finish_reason == "stop"
+    assert r.output_ids == r0.output_ids[:cut + 1]
+
+
+def test_speculative_greedy_with_logit_bias_not_spec_eligible():
+    """Greedy + logit_bias must NOT ride the spec path (the verify computes
+    a raw argmax chain and would drop the bias) — the bias keeps winning."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=6, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    forced = 99
+    srv = ServingEngine(params, cfg, qcfg, slots=1, gcfg=g, speculative=True)
+    r = srv.submit(PROMPTS[0], gcfg=GenerationConfig(
+        temp=0.0, n_predict=6, repeat_penalty=1.0, repeat_last_n=1,
+        logit_bias={forced: 1e9}))
+    srv.run()
+    assert r.output_ids == [forced] * 6

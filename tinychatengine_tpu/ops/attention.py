@@ -390,15 +390,18 @@ def flash_decode_paged(q: jax.Array, pages_k: jax.Array, pages_v: jax.Array,
 
 def _prefill_kernel(info_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
                     block_s: int, sm_scale: float, quantized: bool,
-                    window: int | None):
+                    window: int | None, n_batch: int):
     if quantized:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
         o_ref, m_ref, l_ref, acc_ref = rest
+    b = pl.program_id(0)
     qb = pl.program_id(2)
     j = pl.program_id(3)
     nb = pl.num_programs(3)
-    start, length = info_ref[1], info_ref[2]
+    # per-batch start/length (ragged prefill: serving speculative verify);
+    # uniform callers broadcast the scalar into both B-blocks of info
+    start, length = info_ref[1 + b], info_ref[1 + n_batch + b]
 
     @pl.when(j == 0)
     def _init():
@@ -452,21 +455,22 @@ def _flash_prefill_impl(info, q, ck, cv, ks, vs, *, groups, block_q, block_s,
     quantized = ks is not None
     grid = (bq, hq, nqb, nb)
 
-    def clamp_blk(info_ref, qb, j):
-        needed = jnp.minimum(info_ref[2], info_ref[1] + (qb + 1) * block_q)
+    def clamp_blk(info_ref, b, qb, j):
+        st, ln = info_ref[1 + b], info_ref[1 + bq + b]
+        needed = jnp.minimum(ln, st + (qb + 1) * block_q)
         last = jnp.minimum(
             jax.lax.div(jnp.maximum(needed, 1) - 1, block_s), nb - 1)
         j = jnp.minimum(j, last)
         if window is not None:
-            lo = jnp.maximum(info_ref[1] + qb * block_q - window + 1, 0)
+            lo = jnp.maximum(st + qb * block_q - window + 1, 0)
             j = jnp.maximum(j, jnp.minimum(jax.lax.div(lo, block_s), last))
         return j
 
     def kv_map(b, h, qb, j, info_ref):
-        return (info_ref[0], b, h // groups, clamp_blk(info_ref, qb, j), 0)
+        return (info_ref[0], b, h // groups, clamp_blk(info_ref, b, qb, j), 0)
 
     def kvs_map(b, h, qb, j, info_ref):
-        return (info_ref[0], b, h // groups, clamp_blk(info_ref, qb, j))
+        return (info_ref[0], b, h // groups, clamp_blk(info_ref, b, qb, j))
 
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda b, h, qb, j, i: (b, h, qb, 0),
@@ -497,7 +501,8 @@ def _flash_prefill_impl(info, q, ck, cv, ks, vs, *, groups, block_q, block_s,
     )
     kernel = functools.partial(_prefill_kernel, block_q=block_q,
                                block_s=block_s, sm_scale=sm_scale,
-                               quantized=quantized, window=window)
+                               quantized=quantized, window=window,
+                               n_batch=bq)
     cost = pl.CostEstimate(
         flops=2 * 2 * bq * hq * sq * smax * d,
         bytes_accessed=bq * hq * sq * d * 2 + 2 * bq * hq * smax * d * 2,
@@ -522,9 +527,11 @@ def flash_prefill(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
     start..start+S-1) against the stacked cache (which already holds the
     chunk's own K/V — the caller runs kv_cache.update_layer first).
 
-    length: scalar int32 total valid KV length (= start + true_len). Rows past
-    the true prompt length attend to the full valid prefix (never an empty
-    row, so no NaNs; their outputs are discarded downstream).
+    start/length: scalar int32 — or [B] int32 for RAGGED chunks (each batch
+    row at its own offset; the serving speculative-verify path). length is
+    the total valid KV length (= start + true_len). Rows past the true
+    prompt length attend to the full valid prefix (never an empty row, so no
+    NaNs; their outputs are discarded downstream).
     Returns [B, S, Hq * D].
     """
     b, s, hq, d = q.shape
@@ -538,9 +545,11 @@ def flash_prefill(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
         qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad), (0, 0)))
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
-    info = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
-                      jnp.asarray(start, jnp.int32),
-                      jnp.asarray(length, jnp.int32)])
+    info = jnp.concatenate([
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        jnp.broadcast_to(jnp.asarray(start, jnp.int32).reshape(-1), (b,)),
+        jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1), (b,)),
+    ])
     out = _flash_prefill_impl(
         info, qt, cache_k, cache_v, k_scale, v_scale, groups=g,
         block_q=block_q, block_s=block_s, sm_scale=float(sm_scale),

@@ -87,7 +87,8 @@ class ServingEngine:
                  gcfg: GenerationConfig | None = None,
                  forward_fn=llama.forward, paged: bool = False,
                  page_size: int = 128, n_pages: Optional[int] = None,
-                 admission_chunk: int = 512, tick_batch: int = 8):
+                 admission_chunk: int = 512, tick_batch: int = 8,
+                 speculative: bool = False, spec_K: int = 7):
         """paged=True swaps the slot-reserved cache (slots x max_len) for a
         page pool (runtime/paged.py): sequences borrow pages as they grow, so
         capacity is ~total resident tokens instead of worst-case per slot.
@@ -99,7 +100,15 @@ class ServingEngine:
         tick_batch: when the queue is idle and every active slot has this
         much budget/page headroom, run this many decode+sample ticks in ONE
         device dispatch (amortizes per-tick host dispatch overhead; slots
-        stopping mid-burst discard their overshoot). 1 disables."""
+        stopping mid-burst discard their overshoot). 1 disables.
+
+        speculative: prompt-lookup draft+verify ticks (generation/
+        speculative.py semantics, batched): when EVERY active slot is
+        greedy-eligible (temp<=0, no penalties/mirostat), one dispatch
+        verifies spec_K self-drafted tokens per slot — on repetitive text
+        several tokens land per tick, and exactness vs plain greedy decode
+        is preserved (verification recomputes the argmax chain). Dense KV
+        only (spec_K+1 rows must fit below the smallest insert bucket)."""
         self.params = params
         self.cfg = cfg
         self.qcfg = qcfg or QuantConfig()
@@ -190,6 +199,22 @@ class ServingEngine:
             static_argnames=("cfg", "insert_bucket"),
             donate_argnames=("cache", "scratch"))
 
+        # speculative (prompt-lookup) serving state
+        self.speculative = bool(speculative) and not paged and self._per_row
+        self.spec_K = int(spec_K)
+        assert self.spec_K + 1 < 16, "spec_K+1 must stay below the smallest bucket"
+        self._row_greedy = [False] * slots
+        if self.speculative:
+            self.hist_len = self.max_len + self.spec_K + 1
+            self._hist = jnp.zeros((slots, self.hist_len), jnp.int32)
+            self._h = np.zeros((slots,), np.int64)
+            self._hist_dirty = [True] * slots
+            self._in_spec = False
+            self._spec_stats = {"ticks": 0, "tokens": 0}
+            self._jit_spec = jax.jit(
+                functools.partial(_spec_verify, forward_fn),
+                static_argnames=("cfg", "n_spec"), donate_argnames=("cache",))
+
     def _resolve_window(self, g: GenerationConfig) -> int:
         """Penalty-history window for a config: -1 = context size
         (Generate.h:58), 0 = penalties disabled (window stays all -1)."""
@@ -260,11 +285,82 @@ class ServingEngine:
                     "paged KV pool cannot fit the next request's prefill "
                     f"({self.allocator.n_free} pages free)")
             return
+        if self._spec_ok():
+            self._decode_spec()
+            return
         k = self._burst_ticks()
         if k >= 2:
             self._decode_burst(k)
         else:
             self._decode_once()
+
+    # -- speculative (prompt-lookup) ticks -----------------------------------
+    def _spec_ok(self) -> bool:
+        """A spec tick needs: enabled, no pending admission/admittable queue,
+        and EVERY active slot greedy-eligible with K+1 of cache headroom."""
+        if not self.speculative or self._pending is not None:
+            return False
+        if self.queue and self._free_slot() is not None:
+            return False
+        act = [i for i, s in enumerate(self.slots) if s.active]
+        if not act:
+            return False
+        for i in act:
+            s = self.slots[i]
+            if not self._row_greedy[i]:
+                return False
+            if s.length + self.spec_K + 1 >= self.max_len:
+                return False
+            if self._h[i] + self.spec_K + 1 > self.hist_len:
+                return False
+        return True
+
+    def _refresh_hist(self, i: int):
+        """Rebuild slot i's device-side lookup history from the host record
+        (prompt + emitted so far) — needed after admissions and after any
+        non-spec ticks, which don't maintain the device history."""
+        req = self.slots[i].request
+        n = len(req.prompt_ids)
+        row = np.zeros((self.hist_len,), np.int32)
+        row[:n] = req.prompt_ids
+        row[n:n + len(req.output_ids)] = req.output_ids
+        self._hist = self._hist.at[i].set(jnp.asarray(row))
+        self._h[i] = n + len(req.output_ids)
+        self._hist_dirty[i] = False
+
+    def _decode_spec(self):
+        """One draft+verify dispatch: every active slot drafts spec_K tokens
+        from its own history (prompt-lookup) and verifies them in a single
+        ragged [B, K+1] forward; accepted runs emit several tokens per tick
+        with EXACT greedy semantics (the verify recomputes the argmax
+        chain). Slots stopping mid-run discard their overshoot, as in
+        tick bursts."""
+        for i, s in enumerate(self.slots):
+            if s.active and self._hist_dirty[i]:
+                self._refresh_hist(i)
+        lengths = jnp.asarray([s.length for s in self.slots], jnp.int32)
+        active0 = [s.active for s in self.slots]
+        seq, emitted, self.cache, self._hist = self._jit_spec(
+            self.params, self.cfg, jnp.asarray(self._next_tok), self.cache,
+            lengths, self._hist, jnp.asarray(self._h, jnp.int32),
+            n_spec=self.spec_K)
+        seq = np.asarray(seq)                # [slots, K+1]
+        emitted = np.asarray(emitted)
+        self._in_spec = True
+        try:
+            for i, slot in enumerate(self.slots):
+                if not active0[i]:
+                    continue
+                self._h[i] += int(emitted[i])
+                for t in range(int(emitted[i])):
+                    if not slot.active:
+                        break                 # stopped mid-run: discard rest
+                    slot.length += 1
+                    self._emit(i, int(seq[i, t]))
+                    self._spec_stats["tokens"] += 1
+        finally:
+            self._in_spec = False
+        self._spec_stats["ticks"] += 1
 
     def _burst_ticks(self) -> int:
         """How many decode ticks can run as one device dispatch without the
@@ -425,6 +521,15 @@ class ServingEngine:
         self._row_window[slot_idx] = min(
             max(self._resolve_window(rcfg), 0), window)
         self._mask_row_window(slot_idx)
+        # PLD eligibility: exactness requires a pure greedy argmax chain
+        # (the verify computes raw argmax — penalties/bias would be dropped)
+        self._row_greedy[slot_idx] = (
+            rcfg.temp <= 0 and rcfg.repeat_penalty == 1.0
+            and rcfg.frequency_penalty == 0.0
+            and rcfg.presence_penalty == 0.0 and rcfg.mirostat == 0
+            and not rcfg.logit_bias)
+        if self.speculative:
+            self._hist_dirty[slot_idx] = True
         return rcfg
 
     def _row_key_for(self, req: Request, rcfg: GenerationConfig):
@@ -578,6 +683,8 @@ class ServingEngine:
         slot = self.slots[slot_idx]
         req = slot.request
         req.output_ids.append(token)
+        if self.speculative and not self._in_spec:
+            self._hist_dirty[slot_idx] = True  # device history went stale
         if req.on_token is not None:
             req.on_token(token, req)
         self._next_tok[slot_idx] = token
@@ -751,3 +858,39 @@ def _insert_pages_body(cache, scratch: kvc.KVCache, page_ids, bucket: int):
                    donate_argnames=("cache",))
 def _jit_insert_pages(cache, scratch: kvc.KVCache, page_ids, bucket: int):
     return _insert_pages_body(cache, scratch, page_ids, bucket)
+
+
+def _spec_verify(forward_fn, params, cfg, last_tok, cache, lengths, hist, h,
+                 *, n_spec):
+    """One batched draft+verify step (prompt-lookup speculation inside
+    serving; per-row generation/speculative.py semantics):
+
+    - each row drafts n_spec tokens from its own history (most recent
+      bigram continuation),
+    - ONE ragged [B, K+1] forward verifies all rows at their own offsets
+      (flash_prefill per-batch start/length),
+    - row b accepts its longest matching draft prefix: emitted = a+1 greedy
+      tokens, bit-equal to a+1 plain decode ticks.
+
+    Cache rows are written at lengths..lengths+K; only lengths+emitted are
+    valid afterwards (the host advances slot lengths; unaccepted rows sit
+    beyond every consumer's length mask — free rollback).
+    Returns (tokens [B, K+1], emitted [B], cache, hist)."""
+    from tinychatengine_tpu.generation.speculative import _lookup_draft
+
+    b = last_tok.shape[0]
+    rows = jnp.arange(b)
+    prev = hist[rows, jnp.maximum(h - 2, 0)]
+    draft, _ = jax.vmap(_lookup_draft, in_axes=(0, 0, 0, 0, None))(
+        hist, h, prev, last_tok, n_spec)                     # [B, K]
+    tokens_in = jnp.concatenate([last_tok[:, None], draft], axis=1)
+    logits, cache = forward_fn(params, cfg, tokens_in, cache, lengths,
+                               full_logits=True)             # [B, K+1, V]
+    g = jnp.argmax(logits, axis=-1).astype(jnp.int32)        # [B, K+1]
+    match = (draft == g[:, :n_spec]).astype(jnp.int32)
+    a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)          # [B]
+    emitted = a + 1
+    hist = jax.vmap(
+        lambda hrow, grow, hh: jax.lax.dynamic_update_slice(hrow, grow, (hh,))
+    )(hist, g, h)
+    return g, emitted, cache, hist
