@@ -108,3 +108,56 @@ def test_golden_greedy_transcript(trained):
     assert got == gold["token_ids"], (
         f"greedy transcript diverged:\n got {got}\nwant {gold['token_ids']}\n"
         f"text: {tok.decode(got)!r}")
+
+
+# ---- byteopt_4m: the SmoothQuant W8A8 accuracy anchor ----------------------
+# The reference's second headline quant scheme (SmoothQuant W8A8, OPT stack)
+# measured on real trained weights via the NATIVE calibration
+# (tools/calibrate_opt.py — the reference imports pre-calibrated torch
+# weights instead). Measured on TPU, 200k eval tokens
+# (assets/byteopt_4m/ppl.json): fp 2.5520, w8a8 2.5598 → +0.31% relative.
+
+OPT_CKPT = REPO / "assets" / "byteopt_4m"
+
+opt_ckpt_present = pytest.mark.skipif(
+    not (OPT_CKPT / "meta.json").exists(),
+    reason="trained OPT checkpoint not present "
+           "(run tools/train_tiny.py --model byteopt_4m)")
+
+
+@pytest.fixture(scope="module")
+def trained_opt():
+    cfg = get_model_config("byteopt_4m")
+    params, qcfg = load_checkpoint(str(OPT_CKPT), cfg)
+    assert qcfg.scheme == "fp"
+    return cfg, params
+
+
+@pytest.fixture(scope="module")
+def opt_eval_ids():
+    text = (OPT_CKPT / "eval_sample.txt").read_text(encoding="utf-8")
+    return np.asarray(ByteTokenizer().encode(text), np.int32)[:EVAL_TOKENS]
+
+
+@opt_ckpt_present
+def test_w8a8_ppl_within_budget(trained_opt, opt_eval_ids):
+    """Native SmoothQuant calibration → W8A8 Δppl ≤ 1% relative (measured
+    +0.31% on the full eval split; tolerance ~3x, same policy as the int4
+    rows). Calibration ids come from the TRAIN split analog (the committed
+    eval sample must never calibrate itself — here we use a fixed slice of
+    library source, disjoint from the held-out eval text)."""
+    from tinychatengine_tpu.models import opt
+    from tinychatengine_tpu.tools.calibrate_opt import quantize_opt_w8a8
+
+    cfg, params = trained_opt
+    calib_text = (Path(np.__file__).parent / "core" / "numeric.py").read_text(
+        encoding="utf-8", errors="ignore")
+    calib = np.asarray(ByteTokenizer().encode(calib_text),
+                       np.int32)[:512][None, :]
+    fp_ppl = perplexity(opt.forward, params, cfg, opt_eval_ids, WINDOW,
+                        STRIDE)
+    assert fp_ppl < 3.5, f"fp ppl {fp_ppl} — OPT checkpoint looks untrained"
+    qp = quantize_opt_w8a8(params, cfg, calib, smooth_alpha=0.5)
+    ppl = perplexity(opt.forward, qp, cfg, opt_eval_ids, WINDOW, STRIDE)
+    assert ppl < fp_ppl * 1.01, (
+        f"w8a8 ppl {ppl:.4f} vs fp {fp_ppl:.4f}: Δ exceeds 1%")

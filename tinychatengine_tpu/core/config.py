@@ -96,6 +96,12 @@ MODEL_REGISTRY: dict[str, ModelConfig] = {
     # (trained, not random) weights for end-to-end + perplexity regression.
     "bytellama_5m": _llama("bytellama_5m", 4, 2, 4, 256, 1024, 258, 1e-5,
                            max_sqlen=1024),
+    # byte-level OPT analog of bytellama_5m: the trained real-weights anchor
+    # for the SmoothQuant W8A8 Δppl row (native calibration via
+    # tools/calibrate_opt.py — the reference imports pre-calibrated torch
+    # weights instead, opt_smooth_exporter.py)
+    "byteopt_4m": dataclasses.replace(
+        _opt("byteopt_4m", 4, 4, 256, 1024, vocab=258), max_sqlen=1024),
     "starcoder_15.5b": ModelConfig(
         name="starcoder_15.5b", family="gptbigcode", num_heads=48, num_kv_heads=1,
         num_layers=40, max_sqlen=2048, embed_dim=6144, hidden_dim=24576,

@@ -170,9 +170,9 @@ def _hf_state_dict_loader(src: str):
                 raise KeyError(name)
             t = key_to_h[name].get_tensor(name)
             if t.dtype == np.dtype("V2") or str(t.dtype) == "bfloat16":
-                t = t.view(np.uint16).astype(np.uint32) << 16
-                t = t.view(np.float32) if False else np.frombuffer(
-                    t.tobytes(), np.float32)
+                # bf16 → f32 by widening each u16 into the high half of a u32
+                t = (t.view(np.uint16).astype(np.uint32) << 16).view(
+                    np.float32)
             return np.asarray(t, np.float32)
         return get
 

@@ -33,16 +33,33 @@ from pathlib import Path
 import numpy as np
 
 
-def _cast_bf16(params, jnp):
-    """f32 master → bf16 compute view; RoPE caches stay f32 (they are
-    constants, not trained, and cos/sin precision matters)."""
+def _hooks(family: str):
+    """Per-family training hooks: (init, forward, protected field names).
+
+    ``protected`` are param fields that are constants, not trained (the
+    llama RoPE cos/sin caches): they are kept f32, masked out of weight
+    decay AND grad-zeroed (see wd_mask below for why both)."""
+    if family == "opt":
+        from tinychatengine_tpu.models import opt
+
+        def init(cfg, qcfg, seed):
+            return opt.init_random_params(cfg, quantized=False, seed=seed)
+
+        return init, opt.forward, ()
+    from tinychatengine_tpu.models import llama
+    return llama.init_random_params, llama.forward, ("rope_cos", "rope_sin")
+
+
+def _cast_bf16(params, jnp, protected=("rope_cos", "rope_sin")):
+    """f32 master → bf16 compute view; protected constants (RoPE caches)
+    stay f32 (they are not trained, and cos/sin precision matters)."""
     import jax
 
     bf = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         params)
-    return dataclasses.replace(bf, rope_cos=params.rope_cos,
-                               rope_sin=params.rope_sin)
+    return dataclasses.replace(
+        bf, **{f: getattr(params, f) for f in protected})
 
 
 def train(cfg, corpus_train: bytes, steps: int = 3000, batch: int = 16,
@@ -55,15 +72,14 @@ def train(cfg, corpus_train: bytes, steps: int = 3000, batch: int = 16,
 
     from tinychatengine_tpu.core.config import QuantConfig
     from tinychatengine_tpu.generation import kv_cache as kvc
-    from tinychatengine_tpu.models import llama
 
-    params = llama.init_random_params(cfg, QuantConfig(scheme="fp"),
-                                      seed=seed)
+    init_params, forward_fn, protected = _hooks(cfg.family)
+    params = init_params(cfg, QuantConfig(scheme="fp"), seed=seed)
     # f32 masters (bf16 masters lose ~8 mantissa bits of update signal)
     params = dataclasses.replace(
         jax.tree.map(lambda x: x.astype(jnp.float32)
                      if x.dtype == jnp.bfloat16 else x, params),
-        rope_cos=params.rope_cos, rope_sin=params.rope_sin)
+        **{f: getattr(params, f) for f in protected})
 
     sched = optax.warmup_cosine_decay_schedule(
         0.0, peak_lr, warmup_steps=min(100, steps // 10),
@@ -75,7 +91,8 @@ def train(cfg, corpus_train: bytes, steps: int = 3000, batch: int = 16,
         # decay off the unit circle (r2 review finding: the first trained
         # checkpoint shipped shrunken rope tables)
         mask = jax.tree.map(lambda _: True, p)
-        return dataclasses.replace(mask, rope_cos=False, rope_sin=False)
+        return dataclasses.replace(mask, **{f: jax.tree.map(
+            lambda _: False, getattr(mask, f)) for f in protected})
 
     opt = optax.chain(optax.clip_by_global_norm(1.0),
                       optax.adamw(sched, b1=0.9, b2=0.95, weight_decay=0.05,
@@ -87,11 +104,11 @@ def train(cfg, corpus_train: bytes, steps: int = 3000, batch: int = 16,
     bos = jnp.full((batch, 1), 256, jnp.int32)
 
     def loss_fn(p32, ids):
-        p = _cast_bf16(p32, jnp)
+        p = _cast_bf16(p32, jnp, protected)
         cache = kvc.init_cache(cfg.num_layers, batch, window + 1,
                                cfg.num_kv_heads, cfg.head_dim)
-        logits, _ = llama.forward(p, cfg, ids[:, :-1], cache,
-                                  jnp.int32(0), full_logits=True)
+        logits, _ = forward_fn(p, cfg, ids[:, :-1], cache,
+                               jnp.int32(0), full_logits=True)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         tgt = ids[:, 1:]
         nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
@@ -106,8 +123,8 @@ def train(cfg, corpus_train: bytes, steps: int = 3000, batch: int = 16,
              .astype(jnp.int32)], axis=1)            # [B, W+1], BOS-led
         loss, grads = jax.value_and_grad(loss_fn)(p32, ids)
         grads = dataclasses.replace(
-            grads, rope_cos=jnp.zeros_like(grads.rope_cos),
-            rope_sin=jnp.zeros_like(grads.rope_sin))
+            grads, **{f: jax.tree.map(jnp.zeros_like, getattr(grads, f))
+                      for f in protected})
         updates, ostate = opt.update(grads, ostate, p32)
         return (optax.apply_updates(p32, updates), ostate, key), loss
 
@@ -133,7 +150,7 @@ def train(cfg, corpus_train: bytes, steps: int = 3000, batch: int = 16,
         tok_s = done * batch * window / max(time.time() - t0, 1e-9)
         log(f"  step {done}/{steps}  loss {losses[-16:].mean():.4f}  "
             f"({tok_s / 1e3:.0f}k tok/s)")
-    return _cast_bf16(params, jnp)
+    return _cast_bf16(params, jnp, protected)
 
 
 def main(argv=None):
@@ -149,6 +166,9 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--out", default="assets/bytellama_5m")
+    ap.add_argument("--model", default="bytellama_5m",
+                    help="bytellama_5m (llama Δppl pyramid) or byteopt_4m "
+                         "(the SmoothQuant W8A8 row via native calibration)")
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--window", type=int, default=512)
@@ -158,7 +178,7 @@ def main(argv=None):
     ap.add_argument("--skip-eval", action="store_true")
     args = ap.parse_args(argv)
 
-    cfg = get_model_config("bytellama_5m")
+    cfg = get_model_config(args.model)
     print("building corpus...")
     corpus = corpus_mod.build_corpus(max_bytes=args.corpus_mb << 20)
     train_b, eval_b = corpus_mod.train_eval_split(corpus)
@@ -169,7 +189,8 @@ def main(argv=None):
 
     out = Path(args.out)
     save_checkpoint(str(out), params, cfg, QuantConfig(scheme="fp"),
-                    extra_meta={"trained_on": "local python source "
+                    extra_meta={"family": cfg.family,
+                                "trained_on": "local python source "
                                 f"({len(train_b)} bytes)", "steps": args.steps})
     # committed eval sample: the first 128 KB of the held-out split, so the
     # regression test scores the exact text this table was measured on
@@ -183,18 +204,41 @@ def main(argv=None):
     ids = np.asarray(tok.encode(eval_b.decode("utf-8", errors="ignore")),
                      np.int32)[:args.eval_tokens]
     rows = []
-    for label, qcfg, qkv in [
-            ("fp (bf16)", QuantConfig(scheme="fp"), False),
-            ("w4a16", QuantConfig(scheme="w4a16", group_size=128), False),
-            ("w4a8", QuantConfig(scheme="w4a8", group_size=128), False),
-            ("w4a16 + int8 KV", QuantConfig(scheme="w4a16", group_size=128,
-                                            kv_cache_dtype="int8"), True)]:
-        qp = requantize_llama(params, qcfg)
-        t0 = time.time()
-        ppl = perplexity(llama.forward, qp, cfg, ids, window=512, stride=256,
-                         quantized_kv=qkv)
-        rows.append((label, ppl))
-        print(f"  {label:18s} ppl {ppl:.4f}   ({time.time() - t0:.0f}s)")
+    if cfg.family == "opt":
+        from tinychatengine_tpu.models import opt
+        from tinychatengine_tpu.tools.calibrate_opt import quantize_opt_w8a8
+
+        # calibration sample from the TRAIN split (never the eval text)
+        calib = np.asarray(tok.encode(
+            train_b[: 64 << 10].decode("utf-8", errors="ignore")),
+            np.int32)[:512][None, :]
+        schemes = [("fp (bf16)", lambda: params),
+                   ("w8a8 (SmoothQuant a=0.5)",
+                    lambda: quantize_opt_w8a8(params, cfg, calib,
+                                              smooth_alpha=0.5)),
+                   ("w8a8 (no smoothing)",
+                    lambda: quantize_opt_w8a8(params, cfg, calib,
+                                              smooth_alpha=0.0))]
+        for label, mk in schemes:
+            qp = mk()
+            t0 = time.time()
+            ppl = perplexity(opt.forward, qp, cfg, ids, window=512,
+                             stride=256)
+            rows.append((label, ppl))
+            print(f"  {label:26s} ppl {ppl:.4f}   ({time.time() - t0:.0f}s)")
+    else:
+        for label, qcfg, qkv in [
+                ("fp (bf16)", QuantConfig(scheme="fp"), False),
+                ("w4a16", QuantConfig(scheme="w4a16", group_size=128), False),
+                ("w4a8", QuantConfig(scheme="w4a8", group_size=128), False),
+                ("w4a16 + int8 KV", QuantConfig(scheme="w4a16", group_size=128,
+                                                kv_cache_dtype="int8"), True)]:
+            qp = requantize_llama(params, qcfg)
+            t0 = time.time()
+            ppl = perplexity(llama.forward, qp, cfg, ids, window=512,
+                             stride=256, quantized_kv=qkv)
+            rows.append((label, ppl))
+            print(f"  {label:18s} ppl {ppl:.4f}   ({time.time() - t0:.0f}s)")
     fp_ppl = rows[0][1]
     report = {"model": cfg.name, "eval_tokens": int(len(ids)),
               "window": 512, "stride": 256,
