@@ -74,6 +74,45 @@ def main():
     }
     print(json.dumps(out))
 
+    # -- speculative serving on PLD-friendly prompts -------------------------
+    # All-greedy batch of repetitive prompts (the prompt-lookup sweet spot:
+    # code/doc-style text where continuations repeat). Same engine config
+    # ± speculative; identical outputs are asserted, wall clock compared.
+    g = GenerationConfig(temp=0.0, n_predict=128, repeat_penalty=1.0,
+                         repeat_last_n=1)
+
+    def rep_prompts():
+        return [np.tile(rng0.integers(100, 1000, 12), 16)   # 192-tok loops
+                for _ in range(8)]
+
+    results = {}
+    for spec in (False, True):
+        srv2 = ServingEngine(params, cfg, qcfg, slots=4, max_len=2048,
+                             gcfg=g, tick_batch=16, speculative=spec)
+        rng0 = np.random.default_rng(7)
+        print(f"spec={spec} warmup...", file=sys.stderr)
+        for p in rep_prompts():
+            srv2.submit(p)
+        srv2.run()
+        srv2.done.clear()
+        rng0 = np.random.default_rng(7)
+        t0 = time.perf_counter()
+        reqs2 = [srv2.submit(p) for p in rep_prompts()]
+        srv2.run()
+        wall2 = time.perf_counter() - t0
+        total2 = sum(len(r.output_ids) for r in reqs2)
+        results[spec] = (total2 / wall2, [r.output_ids for r in reqs2])
+        if spec:
+            print(f"  spec stats: {srv2._spec_stats}", file=sys.stderr)
+    assert results[True][1] == results[False][1], "spec output diverged"
+    print(json.dumps({
+        "metric": "llama3_8b_w4a16_serving_speculative_tokens_per_s",
+        "value": round(results[True][0], 1),
+        "unit": "tokens/s",
+        "plain_tokens_per_s": round(results[False][0], 1),
+        "speedup": round(results[True][0] / results[False][0], 2),
+    }))
+
 
 if __name__ == "__main__":
     main()

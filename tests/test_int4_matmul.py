@@ -69,10 +69,13 @@ def test_xla_fallback_matches_ref():
 @pytest.mark.parametrize("bn,bk", [(512, 1024), (256, 256), (128, 512)])
 def test_kouter_variant_matches_standard_kernel(bn, bk):
     """The K-outer restructure (j-innermost grid, [n_j, M, TN] accumulator
-    scratch, resident scales) must be BIT-IDENTICAL to the production
-    stacked kernel — same dequant factoring, different schedule.
-    NOTE: interpret mode does not validate Mosaic lowering; the on-chip
-    check lives in scripts/check_block_correctness.py."""
+    scratch, resident scales) computes the same dequant factoring as the
+    production stacked kernel. Bit-identity only holds when the block
+    shapes coincide with the default — interpret-mode CPU dots reassociate
+    their contraction with operand shape, so a split blocking moves a ULP
+    on cancellation-heavy outputs (measured: 1 element in 8192 at ~2e-6
+    absolute). NOTE: interpret mode does not validate Mosaic lowering; the
+    on-chip check lives in scripts/exp_kouter.py."""
     import jax
 
     from tinychatengine_tpu.ops.int4_matmul import (_int4_matmul_kouter,
@@ -85,12 +88,16 @@ def test_kouter_variant_matches_standard_kernel(bn, bk):
     scales = jax.random.uniform(key, (L, K // G, N), jnp.float32) * 0.01
     x = jax.random.normal(key, (16, K), jnp.bfloat16)
     for li in range(L):
-        want = int4_matmul(x, packed[li], scales[li], G, interpret=True)
-        got = _int4_matmul_kouter(x, packed, scales, jnp.int32(li),
-                                  group_size=G, block_m=16, block_n=bn,
-                                  block_k=bk, interpret=True)
-        np.testing.assert_array_equal(np.asarray(got, np.float32),
-                                      np.asarray(want, np.float32))
+        want = np.asarray(int4_matmul(x, packed[li], scales[li], G,
+                                      interpret=True), np.float32)
+        got = np.asarray(_int4_matmul_kouter(x, packed, scales, jnp.int32(li),
+                                             group_size=G, block_m=16,
+                                             block_n=bn, block_k=bk,
+                                             interpret=True), np.float32)
+        if (bn, bk) == (512, 1024):  # same block shapes → same op order
+            np.testing.assert_array_equal(got, want)
+        else:
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 def test_glu_fused_down_matches_composition():

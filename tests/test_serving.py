@@ -584,3 +584,92 @@ def test_speculative_greedy_with_logit_bias_not_spec_eligible():
         logit_bias={forced: 1e9}))
     srv.run()
     assert r.output_ids == [forced] * 6
+
+
+# ---- prefix caching ---------------------------------------------------------
+
+def test_prefix_cache_exact_across_shared_header():
+    """Two prompts sharing a 100-token header: the second admission splices
+    the cached prefix and prefills only its tail — outputs must match the
+    no-cache engine exactly for both."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=10, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    shared = np.arange(10, 110, dtype=np.int32)
+    p1 = np.concatenate([shared, np.array([5, 9, 11], np.int32)])
+    p2 = np.concatenate([shared, np.array([7, 3, 2, 8], np.int32)])
+
+    cold = ServingEngine(params, cfg, qcfg, slots=1, gcfg=g)
+    w1 = cold.submit(p1); cold.run(); cold.done.clear()
+    w2 = cold.submit(p2); cold.run()
+
+    srv = ServingEngine(params, cfg, qcfg, slots=1, gcfg=g,
+                        prefix_cache_entries=2, prefix_min=16)
+    r1 = srv.submit(p1); srv.run(); srv.done.clear()
+    assert srv.prefix_stats["stores"] == 1
+    r2 = srv.submit(p2); srv.run()
+    assert r1.output_ids == w1.output_ids
+    assert r2.output_ids == w2.output_ids
+    assert srv.prefix_stats["hits"] == 1
+    assert srv.prefix_stats["hit_tokens"] == 100
+
+
+def test_prefix_cache_partial_and_shorter_prompt():
+    """A new prompt that is a strict PREFIX of a stored one still hits
+    (causal KV[0:m) depends only on tokens[0:m)), capped at n-1 so the final
+    chunk computes first-token logits."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=8, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    long = np.arange(10, 110, dtype=np.int32)
+    short = long[:60].copy()
+
+    cold = ServingEngine(params, cfg, qcfg, slots=1, gcfg=g)
+    w = cold.submit(short); cold.run()
+
+    srv = ServingEngine(params, cfg, qcfg, slots=1, gcfg=g,
+                        prefix_cache_entries=2, prefix_min=16)
+    srv.submit(long); srv.run(); srv.done.clear()
+    r = srv.submit(short); srv.run()
+    assert r.output_ids == w.output_ids
+    assert srv.prefix_stats["hits"] == 1
+    assert srv.prefix_stats["hit_tokens"] == 59   # capped at n-1
+
+
+def test_prefix_cache_lru_eviction():
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=4, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    pa = np.arange(10, 90, dtype=np.int32)
+    pb = np.arange(120, 200, dtype=np.int32)
+
+    srv = ServingEngine(params, cfg, qcfg, slots=1, gcfg=g,
+                        prefix_cache_entries=1, prefix_min=16)
+    srv.submit(pa); srv.run(); srv.done.clear()
+    srv.submit(pb); srv.run(); srv.done.clear()   # evicts pa
+    assert srv.prefix_stats["stores"] == 2
+    srv.submit(pa); srv.run()                     # miss again → re-store
+    assert srv.prefix_stats["hits"] == 0
+    assert srv.prefix_stats["stores"] == 3
+
+
+def test_prefix_cache_paged_and_int8_kv():
+    """Prefix reuse composes with the paged pool and the int8 KV cache."""
+    shared = np.arange(10, 110, dtype=np.int32)
+    p1 = np.concatenate([shared, np.array([5, 9], np.int32)])
+    p2 = np.concatenate([shared, np.array([7, 3, 2], np.int32)])
+    g = GenerationConfig(temp=0.0, n_predict=8, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    for paged, kv in ((True, "bf16"), (False, "int8")):
+        cfg, _, params = _tiny()
+        qcfg = QuantConfig(scheme="fp", kv_cache_dtype=kv)
+        cold = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g, paged=paged)
+        want = [cold.submit(p) for p in (p1, p2)]
+        cold.run()
+        srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g, paged=paged,
+                            prefix_cache_entries=2, prefix_min=16)
+        r1 = srv.submit(p1); srv.run(); srv.done.clear()
+        r2 = srv.submit(p2); srv.run()
+        assert r1.output_ids == want[0].output_ids, (paged, kv)
+        assert r2.output_ids == want[1].output_ids, (paged, kv)
+        assert srv.prefix_stats["hits"] == 1, (paged, kv)

@@ -88,7 +88,10 @@ class ServingEngine:
                  forward_fn=llama.forward, paged: bool = False,
                  page_size: int = 128, n_pages: Optional[int] = None,
                  admission_chunk: int = 512, tick_batch: int = 8,
-                 speculative: bool = False, spec_K: int = 7):
+                 speculative: bool = False, spec_K: int = 7,
+                 prefix_cache_entries: int = 0,
+                 prefix_cache_len: Optional[int] = None,
+                 prefix_min: int = 64):
         """paged=True swaps the slot-reserved cache (slots x max_len) for a
         page pool (runtime/paged.py): sequences borrow pages as they grow, so
         capacity is ~total resident tokens instead of worst-case per slot.
@@ -108,7 +111,17 @@ class ServingEngine:
         verifies spec_K self-drafted tokens per slot — on repetitive text
         several tokens land per tick, and exactness vs plain greedy decode
         is preserved (verification recomputes the argmax chain). Dense KV
-        only (spec_K+1 rows must fit below the smallest insert bucket)."""
+        only (spec_K+1 rows must fit below the smallest insert bucket).
+
+        prefix_cache_entries: KV prefix cache (vLLM-style automatic prefix
+        caching; no reference counterpart — SURVEY §2.8 serving gap). After
+        each admission the prompt's KV (first prefix_cache_len positions) is
+        stored in a device-side pool; a later request whose prompt shares a
+        token prefix of >= prefix_min with a stored entry splices the cached
+        KV into the prefill scratch and prefills only the uncovered tail
+        (causality makes KV[0:m) a function of tokens[0:m) alone, so any
+        matching head is reusable regardless of how the stored prompt
+        continued). LRU eviction; hit/store counters in self.prefix_stats."""
         self.params = params
         self.cfg = cfg
         self.qcfg = qcfg or QuantConfig()
@@ -198,6 +211,22 @@ class ServingEngine:
             functools.partial(_admit_fused_paged, forward_fn),
             static_argnames=("cfg", "insert_bucket"),
             donate_argnames=("cache", "scratch"))
+
+        # prefix cache: a KVCache whose batch axis is the entry pool
+        self._pfx_entries = int(prefix_cache_entries)
+        self._prefix_min = int(prefix_min)
+        if self._pfx_entries:
+            w = min(prefix_cache_len or self.max_len, self.max_len)
+            # mirror the scratch cache's storage (bf16 / int8+scales / raw
+            # int8 for the OPT W8A8 static-scale path)
+            self._pfx_store = kvc.init_cache(
+                cfg.num_layers, self._pfx_entries, w, cfg.num_kv_heads,
+                cfg.head_dim, dtype=self._scratch.k.dtype,
+                quantized=self._scratch.quantized)
+            self._pfx_tokens: list[Optional[np.ndarray]] = \
+                [None] * self._pfx_entries
+            self._pfx_lru: list[int] = list(range(self._pfx_entries))
+            self.prefix_stats = {"hits": 0, "hit_tokens": 0, "stores": 0}
 
         # speculative (prompt-lookup) serving state
         self.speculative = bool(speculative) and not paged and self._per_row
@@ -477,8 +506,60 @@ class ServingEngine:
             n_pg = self.allocator.pages_needed(min(_bucket(n), self.max_len))
             self._slot_pages[slot_idx] = self.allocator.alloc(n_pg)
         self._scratch = _reset(self._scratch)
-        self._pending = [slot_idx, 0]
+        done0 = 0
+        if self._pfx_entries:
+            hit = self._prefix_match(req.prompt_ids)
+            if hit is not None:
+                entry, m = hit
+                self._scratch = _jit_prefix_load(
+                    self._scratch, self._pfx_store, jnp.int32(entry),
+                    jnp.int32(m))
+                done0 = m
+                self.prefix_stats["hits"] += 1
+                self.prefix_stats["hit_tokens"] += m
+        self._pending = [slot_idx, done0]
         self._admit_chunk()
+
+    # -- prefix cache ---------------------------------------------------------
+    def _prefix_match(self, prompt: np.ndarray):
+        """Longest common token prefix against the stored entries (capped at
+        n-1 so the final chunk always prefills >= 1 token and produces the
+        first-token logits). Returns (entry, m) or None; refreshes LRU."""
+        n = len(prompt)
+        best, best_m = None, 0
+        for e, toks in enumerate(self._pfx_tokens):
+            if toks is None:
+                continue
+            k = min(len(toks), n)
+            neq = np.nonzero(toks[:k] != prompt[:k])[0]
+            m = int(neq[0]) if len(neq) else k
+            if m > best_m:
+                best, best_m = e, m
+        best_m = min(best_m, n - 1)
+        if best is None or best_m < self._prefix_min:
+            return None
+        self._pfx_lru.remove(best)
+        self._pfx_lru.append(best)
+        return best, best_m
+
+    def _maybe_store_prefix(self, req: Request):
+        """After an admission, store the prompt's KV head (up to the pool
+        width) unless an existing entry already covers it. Evicts LRU."""
+        w = self._pfx_store.max_len
+        keep = min(len(req.prompt_ids), w)
+        if keep < self._prefix_min:
+            return
+        head = req.prompt_ids[:keep]
+        for toks in self._pfx_tokens:
+            if toks is not None and len(toks) >= keep and \
+                    np.array_equal(toks[:keep], head):
+                return  # already covered by a same-or-longer entry
+        victim = self._pfx_lru.pop(0)
+        self._pfx_lru.append(victim)
+        self._pfx_store = _jit_prefix_store(
+            self._pfx_store, self._scratch, jnp.int32(victim))
+        self._pfx_tokens[victim] = head.copy()
+        self.prefix_stats["stores"] += 1
 
     def _admit_chunk(self):
         """Prefill ONE chunk of the pending admission; finalize on the last
@@ -582,6 +663,8 @@ class ServingEngine:
                 self._mu, row_key, rp_row, last_row, mu0,
                 jnp.int32(slot_idx), insert_bucket=insert_bucket)
         req.first_token_t = time.perf_counter()
+        if self._pfx_entries:
+            self._maybe_store_prefix(req)
         self._emit(slot_idx, int(np.asarray(tok)))
 
     def _finish_admission(self, slot_idx: int, req: Request, logits):
@@ -617,6 +700,8 @@ class ServingEngine:
             mu=self._state.mu.at[slot_idx].set(state_b.mu[0]))
         t = int(np.asarray(tok)[0])
         req.first_token_t = time.perf_counter()
+        if self._pfx_entries:
+            self._maybe_store_prefix(req)
         self._emit(slot_idx, t)
 
     def _decode_once(self):
@@ -858,6 +943,57 @@ def _insert_pages_body(cache, scratch: kvc.KVCache, page_ids, bucket: int):
                    donate_argnames=("cache",))
 def _jit_insert_pages(cache, scratch: kvc.KVCache, page_ids, bucket: int):
     return _insert_pages_body(cache, scratch, page_ids, bucket)
+
+
+@functools.partial(jax.jit, donate_argnames=("scratch",))
+def _jit_prefix_load(scratch: kvc.KVCache, store: kvc.KVCache, entry, m):
+    """Splice prefix-cache entry ``entry`` into the prefill scratch (row 0).
+
+    The full pool width is copied unconditionally (one executable for every
+    hit length): positions in [m, n) are overwritten by the tail prefill
+    chunks, positions >= n sit beyond the admitted length and are never
+    attended (the same invariant the bucketed slot splice relies on)."""
+    def put(dst, src):  # src [L, P, H, W, D] / dst [L, 1, H, S, D]
+        piece = jax.lax.dynamic_slice_in_dim(src, entry, 1, axis=1)
+        return jax.lax.dynamic_update_slice(
+            dst, piece.astype(dst.dtype), (0, 0, 0, 0, 0))
+
+    def put_scale(dst, src):
+        piece = jax.lax.dynamic_slice_in_dim(src, entry, 1, axis=1)
+        return jax.lax.dynamic_update_slice(dst, piece, (0, 0, 0, 0))
+
+    return kvc.KVCache(
+        k=put(scratch.k, store.k), v=put(scratch.v, store.v),
+        length=jnp.asarray(m, jnp.int32),
+        k_scale=None if scratch.k_scale is None
+        else put_scale(scratch.k_scale, store.k_scale),
+        v_scale=None if scratch.v_scale is None
+        else put_scale(scratch.v_scale, store.v_scale))
+
+
+@functools.partial(jax.jit, donate_argnames=("store",))
+def _jit_prefix_store(store: kvc.KVCache, scratch: kvc.KVCache, entry):
+    """Copy the scratch prompt KV (row 0, first pool-width positions) into
+    pool entry ``entry``. Positions beyond the prompt length hold garbage —
+    masked out at match time by the host-side token record."""
+    w = store.max_len
+
+    def put(dst, src):  # src [L, 1, H, S, D] / dst [L, P, H, W, D]
+        piece = jax.lax.slice_in_dim(src, 0, w, axis=3)
+        return jax.lax.dynamic_update_slice(
+            dst, piece.astype(dst.dtype), (0, entry, 0, 0, 0))
+
+    def put_scale(dst, src):
+        piece = jax.lax.slice_in_dim(src, 0, w, axis=3)
+        return jax.lax.dynamic_update_slice(dst, piece, (0, entry, 0, 0))
+
+    return kvc.KVCache(
+        k=put(store.k, scratch.k), v=put(store.v, scratch.v),
+        length=store.length,
+        k_scale=None if store.k_scale is None
+        else put_scale(store.k_scale, scratch.k_scale),
+        v_scale=None if store.v_scale is None
+        else put_scale(store.v_scale, scratch.v_scale))
 
 
 def _spec_verify(forward_fn, params, cfg, last_tok, cache, lengths, hist, h,
