@@ -1,0 +1,118 @@
+"""On-chip Mosaic-lowering + correctness validation of the round-3 kernel
+additions, BEFORE any timing A/B (fast-wrong is possible; interpret mode
+skips Mosaic legality checks — CLAUDE.md):
+
+  1. bf16 scales in the production multi-K kernel (K-blocked static-index
+     scale path), stacked + unstacked, all four 8B decode shapes;
+  2. the decode-fused single-K kernel: norm prologue, rope epilogue,
+     residual epilogue, at the exact 8B layer shapes.
+
+Each case compares against the XLA dequant oracle fed the SAME stored
+scales. Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/check_fused_correctness.py
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinychatengine_tpu.ops.int4_matmul import (
+    int4_matmul,
+    int4_matmul_fused,
+    int4_matmul_xla,
+)
+from tinychatengine_tpu.ops.ref import rms_norm_ref
+
+G = 128
+SHAPES = [(4096, 6144), (4096, 4096), (4096, 28672), (14336, 4096)]
+oracle = jax.jit(int4_matmul_xla, static_argnums=3)
+
+
+def relerr(got, want):
+    got, want = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    return float(np.max(np.abs(got - want) / np.maximum(np.abs(want), 1e-3)))
+
+
+def report(name, err, tol=3e-2):
+    ok = "OK " if err < tol else "WRONG"
+    print(f"  {name:28s} rel_err={err:.2e}  {ok}", flush=True)
+    return err < tol
+
+
+def main():
+    assert jax.devices()[0].platform == "tpu", jax.devices()
+    failures = 0
+    L = 2
+    for k, n in SHAPES:
+        key = jax.random.PRNGKey(k + n)
+        kp, ks_, kx, kn, kr, kc = jax.random.split(key, 6)
+        packed = jax.random.randint(kp, (L, k // 2, n), 0, 255,
+                                    jnp.int32).astype(jnp.uint8)
+        scales32 = jax.random.uniform(ks_, (L, k // G, n), jnp.float32) \
+            * 0.01 + 0.001
+        scales16 = scales32.astype(jnp.bfloat16)
+        s16_as32 = scales16.astype(jnp.float32)  # oracle uses STORED values
+        x = jax.random.normal(kx, (1, k), jnp.bfloat16)
+        nw = (jax.random.normal(kn, (L, k), jnp.bfloat16) * 0.1
+              + 1.0).astype(jnp.bfloat16)
+        res = jax.random.normal(kr, (1, n), jnp.bfloat16)
+        print(f"shape ({k}->{n}):", flush=True)
+
+        for li in (0, 1):
+            want = oracle(x, packed[li], s16_as32[li], G)
+            # 1a. bf16 scales, stacked multi-K kernel
+            got = int4_matmul(x, packed, scales16, G,
+                              layer_idx=jnp.int32(li))
+            failures += not report(f"bf16 scales stacked L={li}",
+                                   relerr(got, want))
+        # 1b. bf16 scales, unstacked
+        want = oracle(x, packed[0], s16_as32[0], G)
+        got = int4_matmul(x, packed[0], scales16[0], G)
+        failures += not report("bf16 scales unstacked", relerr(got, want))
+
+        # 2a. fused norm prologue
+        want = oracle(rms_norm_ref(x, nw[1], 1e-5), packed[1],
+                      s16_as32[1], G)
+        got = int4_matmul_fused(x, packed, scales16, G,
+                                layer_idx=jnp.int32(1), norm_w=nw,
+                                norm_eps=1e-5)
+        failures += not report("fused norm", relerr(got, want))
+
+        # 2b. fused residual epilogue
+        want = (oracle(x, packed[0], s16_as32[0], G).astype(jnp.bfloat16)
+                .astype(jnp.float32) + res.astype(jnp.float32)
+                ).astype(jnp.bfloat16)
+        got = int4_matmul_fused(x, packed, scales16, G,
+                                layer_idx=jnp.int32(0), residual=res)
+        failures += not report("fused residual", relerr(got, want))
+
+        # 2c. fused norm + rope epilogue (qkv shape only; d=128)
+        if (k, n) == (4096, 6144):
+            d, qk_cols = 128, 5120  # 32 q heads + 8 k heads
+            ang = jax.random.uniform(kc, (1, d), jnp.float32) * 6.28
+            cos, sin = jnp.cos(ang), jnp.sin(ang)
+            base = oracle(rms_norm_ref(x, nw[0], 1e-5), packed[0],
+                          s16_as32[0], G).astype(jnp.bfloat16)
+            bf = np.asarray(base, np.float32)
+            half = d // 2
+            want = bf.copy()
+            for h in range(qk_cols // d):
+                blk = bf[:, h * d:(h + 1) * d]
+                rot = np.concatenate([-blk[:, half:], blk[:, :half]], axis=1)
+                want[:, h * d:(h + 1) * d] = (blk * np.asarray(cos)
+                                              + rot * np.asarray(sin))
+            want = want.astype(jnp.bfloat16)
+            got = int4_matmul_fused(x, packed, scales16, G,
+                                    layer_idx=jnp.int32(0), norm_w=nw,
+                                    norm_eps=1e-5, rope_cos=cos,
+                                    rope_sin=sin, rope_qk_cols=qk_cols,
+                                    head_dim=d)
+            failures += not report("fused norm+rope", relerr(got, want))
+
+    print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

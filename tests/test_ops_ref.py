@@ -26,10 +26,14 @@ def test_int4_matmul_ref_vs_dequant_matmul(group_size):
     w = rng.standard_normal((oc, ic)).astype(np.float32) * 0.1
     x = rng.standard_normal((m, ic)).astype(np.float32)
     q, scales = quantize_groupwise_int4(w, group_size)
-    deq = dequantize_groupwise_int4(q, scales, group_size)
+    # the oracle must dequantize with the scales AS STORED (bf16-rounded)
+    # so the comparison isolates the matmul math
+    stored = pack_scales(scales, "bf16")
+    deq = dequantize_groupwise_int4(q, np.asarray(stored, np.float32).T,
+                                    group_size)
     expected = x @ deq.T
     got = ref.int4_matmul_ref(jnp.asarray(x), jnp.asarray(pack_qm_tpu(q)),
-                              jnp.asarray(pack_scales(scales)), group_size)
+                              jnp.asarray(stored), group_size)
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4, atol=1e-4)
 
 

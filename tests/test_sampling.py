@@ -206,3 +206,38 @@ def test_sample_rows_tfs_off_keeps_min_token():
         tok, _ = smp.sample_rows(logits, keys, params, None)
         seen.add(int(tok[0]))
     assert seen == {0, 1, 2, 3}, seen  # nothing masked at high temperature
+
+
+def test_greedy_penalized_fast_path_exact():
+    """greedy_penalized's argmax-shortcut must equal the full penalty path in
+    every regime: argmax outside the window (fast branch), argmax inside the
+    window (slow branch), ties at 0.0, and boosting penalties (<1)."""
+    import jax.numpy as jnp
+
+    from tinychatengine_tpu.core.config import GenerationConfig
+
+    def slow(logits, last, g):
+        lp = smp.apply_repetition_penalty(logits, last, g.repeat_penalty)
+        lp = smp.apply_frequency_presence(lp, last, g.frequency_penalty,
+                                          g.presence_penalty)
+        return smp.greedy(lp)
+
+    rng = np.random.default_rng(0)
+    v = 64
+    for trial in range(50):
+        logits = jnp.asarray(rng.standard_normal((1, v)) * 3, jnp.float32)
+        last = jnp.asarray(rng.integers(-1, v, (1, 8)), jnp.int32)
+        for rp, af, ap in ((1.3, 0.0, 0.0), (1.0, 0.5, 0.2), (2.0, 0.1, 0.0),
+                           (0.5, 0.0, 0.0), (1.0, 0.0, 0.0)):
+            g = GenerationConfig(temp=0.0, repeat_penalty=rp,
+                                 frequency_penalty=af, presence_penalty=ap)
+            got = smp.greedy_penalized(logits, last, g)
+            want = slow(logits, last, g)
+            assert int(got[0]) == int(want[0]), (trial, rp, af, ap)
+
+    # tie at exactly 0.0 with the tied token in the window
+    logits = jnp.zeros((1, v), jnp.float32)
+    last = jnp.asarray([[3]], jnp.int32)
+    g = GenerationConfig(temp=0.0, repeat_penalty=1.5)
+    assert int(smp.greedy_penalized(logits, last, g)[0]) == \
+        int(slow(logits, last, g)[0])

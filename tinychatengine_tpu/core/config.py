@@ -149,10 +149,18 @@ class QuantConfig:
     group_size: int = 128  # QK: 32 on CPU, 128 on CUDA (common.h:17-21); TPU default 128
     kv_cache_dtype: str = "bf16"  # "bf16" | "int8"
     act_dtype: str = "bf16"
+    # Per-group scale storage. The reference stores fp16 scales (QM_* packers,
+    # llm/tools/quantize_methods.py); bf16 is the TPU-native half format and
+    # halves scale HBM traffic (~6% of decode weight bytes at group_size=128).
+    # Scales are COMPUTED in f32 (numerics.py) and rounded once at pack time.
+    # Default f32 until the bf16 in-kernel scale path passes on-chip Mosaic
+    # validation (interpret mode skips lowering legality — CLAUDE.md).
+    scale_dtype: str = "f32"  # "bf16" | "f32"
 
     def __post_init__(self):
         assert self.scheme in ("fp", "w4a16", "w4a8", "w8a8"), self.scheme
         assert self.group_size in (32, 64, 128, 256), self.group_size
+        assert self.scale_dtype in ("bf16", "f32"), self.scale_dtype
 
 
 @dataclasses.dataclass

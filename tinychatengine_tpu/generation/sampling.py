@@ -65,6 +65,38 @@ def greedy(logits: jax.Array) -> jax.Array:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+def greedy_penalized(logits: jax.Array, last_tokens, gcfg) -> jax.Array:
+    """Greedy sampling with penalties, skipping the full-vocab penalty
+    scatter when it cannot change the answer.
+
+    With repeat_penalty >= 1 and non-negative frequency/presence alphas,
+    penalties only LOWER the logits of window tokens (logit>0 → /p,
+    logit<=0 → *p; -count*alpha). So if no row's plain argmax lands in its
+    penalty window, the penalized argmax equals the plain argmax exactly
+    (every other token's penalized value <= its original <= the max; ties at
+    the max are preserved or lowered, never promoted past the first max
+    index). The full scatter+argmax costs ~90 us/step on a 128k vocab
+    (scripts/bisect_decode.py); the guard costs one [B, T] compare."""
+    no_pen = (gcfg.repeat_penalty == 1.0 and gcfg.frequency_penalty == 0.0
+              and gcfg.presence_penalty == 0.0)
+    if last_tokens is None or no_pen:
+        return greedy(logits)
+
+    def slow(_):
+        lp = apply_repetition_penalty(logits, last_tokens,
+                                      gcfg.repeat_penalty)
+        lp = apply_frequency_presence(lp, last_tokens, gcfg.frequency_penalty,
+                                      gcfg.presence_penalty)
+        return greedy(lp)
+
+    if gcfg.repeat_penalty < 1.0 or gcfg.frequency_penalty < 0.0 \
+            or gcfg.presence_penalty < 0.0:
+        return slow(None)  # boosting penalties can promote a window token
+    tok0 = greedy(logits)
+    hit = jnp.any(last_tokens == tok0[:, None])
+    return jax.lax.cond(hit, slow, lambda _: tok0, None)
+
+
 def apply_temperature(logits: jax.Array, temp: float) -> jax.Array:
     return logits / max(temp, 1e-6)
 
@@ -442,13 +474,12 @@ def sample(logits: jax.Array, state: SamplerState, gcfg: GenerationConfig,
         ids = jnp.asarray([int(t) for t, _ in items], jnp.int32)
         biases = jnp.asarray([float(v) for _, v in items], jnp.float32)
         logits = logits.at[:, ids].add(biases)
+    if gcfg.temp <= 0:  # penalty scatter skipped when it can't change argmax
+        return greedy_penalized(logits, last_tokens, gcfg), state
     if last_tokens is not None:
         logits = apply_repetition_penalty(logits, last_tokens, gcfg.repeat_penalty)
         logits = apply_frequency_presence(
             logits, last_tokens, gcfg.frequency_penalty, gcfg.presence_penalty)
-
-    if gcfg.temp <= 0:
-        return greedy(logits), state
     if gcfg.mirostat == 1:
         return mirostat_v1_step(logits, state, gcfg.mirostat_tau,
                                 gcfg.mirostat_eta, gcfg.temp, logits.shape[-1])

@@ -21,6 +21,7 @@ TPU-first design decisions vs the reference:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -35,9 +36,34 @@ from tinychatengine_tpu.ops.attention import (
     flash_decode_paged,
     flash_prefill,
 )
-from tinychatengine_tpu.ops.linear import DenseLinear, apply_linear, random_int4_linear
+from tinychatengine_tpu.ops.int4_matmul import SUPERBLOCK, int4_matmul_fused
+from tinychatengine_tpu.ops.linear import (
+    DenseLinear,
+    Int4Linear,
+    apply_linear,
+    random_int4_linear,
+)
 
 NEG_INF = -1e30
+
+# Decode fast path: RMS norms and residual adds fold into the int4 matmul
+# kernels (ops/int4_matmul.py int4_matmul_fused) — at decode each of those
+# [1, E] ops is otherwise its own device kernel, ~186 us/step of launch
+# overhead across 32 layers (scripts/bisect_decode.py). Env toggle for A/B;
+# "force" enables it off-TPU via interpret-mode kernels (CPU glue tests).
+# Default OFF until the on-chip Mosaic validation + A/B lands (interpret-mode
+# tests cannot prove chip lowering — CLAUDE.md); flip to "1" then.
+FUSED_DECODE = os.environ.get("TCE_DECODE_FUSED", "0") != "0"
+FUSED_FORCE = os.environ.get("TCE_DECODE_FUSED", "") == "force"
+
+
+def _fusable(p, group_size: int) -> bool:
+    """The fused kernel needs an Int4Linear without bias whose K is
+    superblock-tileable with f32-sublane-aligned scale rows."""
+    if not isinstance(p, Int4Linear) or p.bias is not None:
+        return False
+    k = 2 * p.packed.shape[-2]
+    return k % SUPERBLOCK == 0 and (k // group_size) % 8 == 0
 
 
 def _pytree(cls):
@@ -124,6 +150,20 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
     # consuming scan xs slices would materialize a per-layer weight copy
     # (measured at 35% of decode-step device time).
 
+    # decode fast path eligibility (static at trace time); applies to both
+    # the contiguous and the paged (serving) decode — the norm/rope/residual
+    # fusions are independent of the KV layout
+    fused = (FUSED_DECODE and s == 1
+             and cfg.head_dim in (64, 128, 256)  # rope epilogue tiling
+             and (jax.default_backend() == "tpu" or FUSED_FORCE))
+    interp = jax.default_backend() != "tpu"  # forced-on CPU tests interpret
+    if fused:
+        gs = (layers.wqkv.group_size if isinstance(layers.wqkv, Int4Linear)
+              else 0)
+        fused = gs > 0 and all(
+            _fusable(p, gs) for p in (layers.wqkv, layers.wo,
+                                      layers.wgate_up, layers.down))
+
     def step(carry, layer_idx):
         x, cache = carry
         d = cfg.head_dim
@@ -132,18 +172,31 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
             return jax.lax.dynamic_index_in_dim(stacked, layer_idx, 0,
                                                 keepdims=False)
 
-        h = ref.rms_norm_ref(x, norm_w(layers.input_norm), cfg.rms_norm_eps)
-        # head counts derived from projection widths so the same code runs
-        # unsharded and inside shard_map with a tensor-parallel head slice
-        # (the local fused block is [q_local | k_local | v_local])
-        qkv = apply_linear(layers.wqkv, h, layer_idx=layer_idx)
         ratio = cfg.num_heads // cfg.num_kv_heads
+        if fused:  # norm folded into the qkv kernel prologue, RoPE into its
+            # epilogue (both were standalone [1, E] XLA kernels per layer)
+            hkv_w = layers.wqkv.packed.shape[-1] // (d * (ratio + 2))
+            qkv = int4_matmul_fused(
+                x, layers.wqkv.packed, layers.wqkv.scales, gs,
+                layer_idx=layer_idx, norm_w=layers.input_norm,
+                norm_eps=cfg.rms_norm_eps,
+                rope_cos=cos[:, 0], rope_sin=sin[:, 0],
+                rope_qk_cols=(ratio + 1) * hkv_w * d, head_dim=d,
+                interpret=interp)
+        else:
+            h = ref.rms_norm_ref(x, norm_w(layers.input_norm),
+                                 cfg.rms_norm_eps)
+            # head counts derived from projection widths so the same code
+            # runs unsharded and inside shard_map with a tensor-parallel head
+            # slice (the local fused block is [q_local | k_local | v_local])
+            qkv = apply_linear(layers.wqkv, h, layer_idx=layer_idx)
         hkv = qkv.shape[-1] // (d * (ratio + 2))
         hq = ratio * hkv
         q = qkv[..., :hq * d].reshape(b, s, hq, d)
         k = qkv[..., hq * d:(hq + hkv) * d].reshape(b, s, hkv, d)
         v = qkv[..., (hq + hkv) * d:].reshape(b, s, hkv, d)
-        q, k = ref.apply_rotary(q, k, cos, sin)
+        if not fused:
+            q, k = ref.apply_rotary(q, k, cos, sin)
 
         if page_table is not None:  # paged serving decode (S == 1)
             from tinychatengine_tpu.runtime import paged as pg
@@ -170,19 +223,34 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
                     cv = (cv.astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
                 attn = attention_xla(q, ck, cv, positions, start + 1,
                                      window=cfg.sliding_window)
-            attn = apply_linear(layers.wo, attn.astype(x.dtype),
-                                layer_idx=layer_idx)
-            if tp_axis is not None:
-                attn = jax.lax.psum(attn, tp_axis)
-            x2 = x + attn
-            h2_ = ref.rms_norm_ref(x2, norm_w(layers.post_norm), cfg.rms_norm_eps)
-            gu_ = apply_linear(layers.wgate_up, h2_, layer_idx=layer_idx)
+            if fused and tp_axis is None:
+                x2 = int4_matmul_fused(attn.astype(x.dtype), layers.wo.packed,
+                                       layers.wo.scales, gs,
+                                       layer_idx=layer_idx, residual=x,
+                                       interpret=interp)
+                gu_ = int4_matmul_fused(
+                    x2, layers.wgate_up.packed, layers.wgate_up.scales, gs,
+                    layer_idx=layer_idx, norm_w=layers.post_norm,
+                    norm_eps=cfg.rms_norm_eps, interpret=interp)
+            else:
+                attn = apply_linear(layers.wo, attn.astype(x.dtype),
+                                    layer_idx=layer_idx)
+                if tp_axis is not None:
+                    attn = jax.lax.psum(attn, tp_axis)
+                x2 = x + attn
+                h2_ = ref.rms_norm_ref(x2, norm_w(layers.post_norm),
+                                       cfg.rms_norm_eps)
+                gu_ = apply_linear(layers.wgate_up, h2_, layer_idx=layer_idx)
             fl = gu_.shape[-1] // 2
-            mlp_ = apply_linear(
-                layers.down,
-                (jax.nn.silu(gu_[..., :fl].astype(jnp.float32))
-                 * gu_[..., fl:].astype(jnp.float32)).astype(h2_.dtype),
-                layer_idx=layer_idx)
+            act_ = (jax.nn.silu(gu_[..., :fl].astype(jnp.float32))
+                    * gu_[..., fl:].astype(jnp.float32)).astype(x2.dtype)
+            if fused and tp_axis is None:
+                return (int4_matmul_fused(act_, layers.down.packed,
+                                          layers.down.scales, gs,
+                                          layer_idx=layer_idx, residual=x2,
+                                          interpret=interp),
+                        cache2), None
+            mlp_ = apply_linear(layers.down, act_, layer_idx=layer_idx)
             if tp_axis is not None:
                 mlp_ = jax.lax.psum(mlp_, tp_axis)
             return (x2 + mlp_, cache2), None
@@ -207,21 +275,39 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
         else:
             ck, cv = kvc.read_layer(cache2, layer_idx)
             attn = attention_xla(q, ck, cv, positions, start + s, window=win)
-        attn = apply_linear(layers.wo, attn.astype(x.dtype), layer_idx=layer_idx)
-        if tp_axis is not None:  # row-parallel o_proj partial sums
-            attn = jax.lax.psum(attn, tp_axis)
-        x = x + attn
+        if fused and tp_axis is None:  # residual add in the o-proj epilogue
+            x = int4_matmul_fused(attn.astype(x.dtype), layers.wo.packed,
+                                  layers.wo.scales, gs, layer_idx=layer_idx,
+                                  residual=x, interpret=interp)
+        else:  # under TP the psum must run BEFORE the residual add
+            attn = apply_linear(layers.wo, attn.astype(x.dtype),
+                                layer_idx=layer_idx)
+            if tp_axis is not None:  # row-parallel o_proj partial sums
+                attn = jax.lax.psum(attn, tp_axis)
+            x = x + attn
 
-        h2 = ref.rms_norm_ref(x, norm_w(layers.post_norm), cfg.rms_norm_eps)
-        gu = apply_linear(layers.wgate_up, h2, layer_idx=layer_idx)
+        if fused:
+            gu = int4_matmul_fused(
+                x, layers.wgate_up.packed, layers.wgate_up.scales, gs,
+                layer_idx=layer_idx, norm_w=layers.post_norm,
+                norm_eps=cfg.rms_norm_eps, interpret=interp)
+        else:
+            h2 = ref.rms_norm_ref(x, norm_w(layers.post_norm),
+                                  cfg.rms_norm_eps)
+            gu = apply_linear(layers.wgate_up, h2, layer_idx=layer_idx)
         f_local = gu.shape[-1] // 2
         gated = jax.nn.silu(gu[..., :f_local].astype(jnp.float32))
         upd = gu[..., f_local:].astype(jnp.float32)
-        mlp = apply_linear(layers.down, (gated * upd).astype(h2.dtype),
-                           layer_idx=layer_idx)
-        if tp_axis is not None:  # row-parallel down_proj partial sums
-            mlp = jax.lax.psum(mlp, tp_axis)
-        x = x + mlp
+        act = (gated * upd).astype(x.dtype)
+        if fused and tp_axis is None:
+            x = int4_matmul_fused(act, layers.down.packed, layers.down.scales,
+                                  gs, layer_idx=layer_idx, residual=x,
+                                  interpret=interp)
+        else:
+            mlp = apply_linear(layers.down, act, layer_idx=layer_idx)
+            if tp_axis is not None:  # row-parallel down_proj partial sums
+                mlp = jax.lax.psum(mlp, tp_axis)
+            x = x + mlp
         return (x, cache2), None
 
     n_layers = cfg.num_layers
@@ -231,12 +317,19 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
     if page_table is None:
         cache = kvc.advance(cache, n_new)  # paged: lengths live host-side
 
-    x = ref.rms_norm_ref(x, params.final_norm, cfg.rms_norm_eps)
     if not full_logits:
         # last *real* position only — avoids the reference's full-sequence
         # lm_head waste (Int4llamaForCausalLM.cc:48-51)
         x = jax.lax.dynamic_slice_in_dim(x, n_new - 1, 1, axis=1)
-    logits = apply_linear(params.lm_head, x).astype(jnp.float32)
+    if fused and isinstance(params.lm_head, Int4Linear) \
+            and _fusable(params.lm_head, params.lm_head.group_size):
+        logits = int4_matmul_fused(
+            x, params.lm_head.packed, params.lm_head.scales,
+            params.lm_head.group_size, norm_w=params.final_norm,
+            norm_eps=cfg.rms_norm_eps, interpret=interp).astype(jnp.float32)
+    else:
+        x = ref.rms_norm_ref(x, params.final_norm, cfg.rms_norm_eps)
+        logits = apply_linear(params.lm_head, x).astype(jnp.float32)
     if tp_axis is not None:  # column-parallel lm_head → full vocab for sampling
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     # lm_head N may be padded to a tile-friendly width (LMHEAD_PAD) — the
@@ -265,9 +358,11 @@ def init_random_params(cfg: ModelConfig, qcfg: QuantConfig, seed: int = 0,
     def lin(key, k, n):
         if qcfg.scheme in ("w4a16", "w4a8"):
             if fast:
-                p = random_int4_linear_fast(key, k, n, qcfg.group_size)
+                p = random_int4_linear_fast(key, k, n, qcfg.group_size,
+                                            scale_dtype=qcfg.scale_dtype)
             else:
-                p = random_int4_linear(key, k, n, qcfg.group_size)
+                p = random_int4_linear(key, k, n, qcfg.group_size,
+                                       scale_dtype=qcfg.scale_dtype)
             if qcfg.scheme == "w4a8":
                 from tinychatengine_tpu.ops.linear import Int4A8Linear
                 p = Int4A8Linear(packed=p.packed, scales=p.scales, bias=p.bias)

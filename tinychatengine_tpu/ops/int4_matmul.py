@@ -90,9 +90,14 @@ _parse_env_blocks("TCE_DECODE_KOUTER", DECODE_KOUTER)
 
 
 def _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
-                        group_size: int, n_kblocks: int, block_k: int):
+                        group_size: int, n_kblocks: int, block_k: int,
+                        s_kblocked: bool = False):
     """Grid (I, J, K): x [TM, TK] bf16; w [TK//2, TN] uint8 (blocked on K);
-    s [K//G, TN] (FULL K extent); o [TM, TN]; acc VMEM f32 [TM, TN]."""
+    s [K//G, TN] (FULL K extent) — or, with ``s_kblocked``, a K-blocked
+    [TK//G, TN] slice (possibly bf16) indexed STATICALLY in-kernel, the
+    layout used for half-precision scales (sublane-packed dtypes want static
+    row slices; the dynamic pl.ds path stays f32-only);
+    o [TM, TN]; acc VMEM f32 [TM, TN]."""
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -115,11 +120,15 @@ def _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
             # p >> 4 is already in [0, 15] — one fewer VPU op per byte
             codes = ((p & 0x0F) if plane == 0 else (p >> 4)
                      ).astype(jnp.bfloat16)
-            g0 = kb * (block_k // group_size) + (2 * sb + plane) * gpp
+            g0 = ((2 * sb + plane) * gpp if s_kblocked
+                  else kb * (block_k // group_size) + (2 * sb + plane) * gpp)
             x_plane = x_ref[:, (2 * sb + plane) * PLANE:
                             (2 * sb + plane + 1) * PLANE]
             for g in range(gpp):
-                d_row = s_ref[pl.ds(g0 + g, 1), :]                # [1, TN] f32
+                if s_kblocked:  # static row slice; cast covers bf16 scales
+                    d_row = s_ref[g0 + g:g0 + g + 1, :].astype(jnp.float32)
+                else:
+                    d_row = s_ref[pl.ds(g0 + g, 1), :]            # [1, TN] f32
                 x_g = x_plane[:, g * group_size:(g + 1) * group_size]
                 c_g = codes[g * group_size:(g + 1) * group_size, :]
                 dot = jnp.dot(x_g, c_g, preferred_element_type=jnp.float32)
@@ -178,11 +187,20 @@ def _int4_matmul_2d(x, packed, scales, layer_idx=None, *, group_size, block_m,
     stacked = packed.ndim == 3
     n = packed.shape[-1]
     grid = (m // block_m, n // block_n, k // block_k)
+    # Half-precision scales ride a K-blocked spec with static in-kernel row
+    # indexing (sublane-packed dtypes + dynamic pl.ds don't mix); the wrapper
+    # guarantees the sublane legality (spk % 16) before choosing bf16.
+    spk = block_k // group_size
+    s_half = jnp.dtype(scales.dtype).itemsize == 2
+    s_kblocked = s_half and spk % 16 == 0
+    assert not (s_half and not s_kblocked), (scales.dtype, block_k, group_size)
     kernel = functools.partial(
         _int4_matmul_kernel, group_size=group_size, n_kblocks=grid[2],
-        block_k=block_k)
+        block_k=block_k, s_kblocked=s_kblocked)
     flops = 2 * m * n * k
-    bytes_accessed = m * k * 2 + n * k // 2 + (n * k // group_size) * 4 + m * n * 2
+    s_bytes = jnp.dtype(scales.dtype).itemsize
+    bytes_accessed = (m * k * 2 + n * k // 2
+                      + (n * k // group_size) * s_bytes + m * n * 2)
     cost = pl.CostEstimate(flops=flops, bytes_accessed=bytes_accessed,
                            transcendentals=0)
     x_spec = pl.BlockSpec((block_m, block_k), lambda i, j, kb, *_: (i, kb),
@@ -198,6 +216,15 @@ def _int4_matmul_2d(x, packed, scales, layer_idx=None, *, group_size, block_m,
         dimension_semantics=("parallel", "parallel", "arbitrary"))
 
     if not stacked:
+        if s_kblocked:
+            flat_s_spec = pl.BlockSpec((spk, block_n),
+                                       lambda i, j, kb: (kb, j),
+                                       memory_space=pltpu.VMEM)
+        else:
+            # full K extent of scales for this N tile (few hundred KB max)
+            flat_s_spec = pl.BlockSpec((k // group_size, block_n),
+                                       lambda i, j, kb: (0, j),
+                                       memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -205,9 +232,7 @@ def _int4_matmul_2d(x, packed, scales, layer_idx=None, *, group_size, block_m,
                 x_spec,
                 pl.BlockSpec((block_k // 2, block_n), lambda i, j, kb: (kb, j),
                              memory_space=pltpu.VMEM),
-                # full K extent of scales for this N tile (few hundred KB max)
-                pl.BlockSpec((k // group_size, block_n), lambda i, j, kb: (0, j),
-                             memory_space=pltpu.VMEM),
+                flat_s_spec,
             ],
             out_specs=out_spec,
             out_shape=out_shape,
@@ -225,7 +250,14 @@ def _int4_matmul_2d(x, packed, scales, layer_idx=None, *, group_size, block_m,
     n_layers, kp = packed.shape[0], packed.shape[1]
     kpb = kp // (block_k // 2)          # k-blocks per layer
     sg = k // group_size                # scale rows per layer (full-K block)
-    if sg % 8 == 0:                     # f32 sublane-aligned: flat 2D scales
+    if s_kblocked:                      # K-blocked flat-2D rows (bf16-capable)
+        nkb = grid[2]
+        s_spec = pl.BlockSpec((spk, block_n),
+                              lambda i, j, kb, lref: (lref[0] * nkb + kb, j),
+                              memory_space=pltpu.VMEM)
+        s_arg = scales.reshape(n_layers * sg, n)
+        body = _stacked_kernel
+    elif sg % 8 == 0:                   # f32 sublane-aligned: flat 2D scales
         s_spec = pl.BlockSpec((sg, block_n),
                               lambda i, j, kb, lref: (lref[0], j),
                               memory_space=pltpu.VMEM)
@@ -251,7 +283,8 @@ def _int4_matmul_2d(x, packed, scales, layer_idx=None, *, group_size, block_m,
         scratch_shapes=scratch,
     )
     wrapped = functools.partial(
-        body, group_size=group_size, n_kblocks=grid[2], block_k=block_k)
+        body, group_size=group_size, n_kblocks=grid[2], block_k=block_k,
+        s_kblocked=s_kblocked)
     return pl.pallas_call(
         wrapped,
         grid_spec=grid_spec,
@@ -420,12 +453,289 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
     block_n = block_n or _pick_block(n, 2048, 128)
     block_k = block_k or _pick_block(k, 2048, SUPERBLOCK)
 
+    if jnp.dtype(scales.dtype).itemsize == 2 \
+            and (block_k // group_size) % 16 != 0:
+        # half scales need 16-row K-blocked specs; tiny-K shapes that can't
+        # tile that way upcast (a per-call cast, but only on small models)
+        scales = scales.astype(jnp.float32)
+    elif scales.dtype not in (jnp.float32, jnp.bfloat16):
+        scales = scales.astype(jnp.float32)
     y = _int4_matmul_2d(
-        x2.astype(jnp.bfloat16), packed, scales.astype(jnp.float32), layer_idx,
+        x2.astype(jnp.bfloat16), packed, scales, layer_idx,
         group_size=group_size, block_m=block_m, block_n=block_n,
         block_k=block_k, interpret=interpret)
     y = y[:m]
     return y.reshape(*orig_shape[:-1], n)
+
+
+# ---------------------------------------------------------------------------
+# Decode-fused variant: RMS-norm prologue and/or residual-add epilogue run
+# INSIDE the matmul kernel. At decode the non-matmul ops between Pallas calls
+# (2 norms + 2 residual adds per layer, each its own tiny XLA kernel on a
+# [1, E] row) cost ~186 us/step of pure launch/fusion overhead
+# (scripts/bisect_decode.py) — folding them into the kernels the data already
+# flows through removes those kernels entirely. The reference fights the same
+# battle by hand-fusing norm into its GEMV epilogues on CUDA
+# (kernels/cuda/gemv_cuda.cu:68-211).
+#
+# Constraint: the norm needs the WHOLE [M, K] activation row resident, so
+# this variant runs with block_k == K (single K step, x DMA'd once). Decode
+# weight blocks stay (2048, 2048)-shaped via block_n, so the streaming
+# pattern matches the tuned default. Norm weights ride as a [L, 1, K]
+# operand blocked (1, 1, K) — sublane dim 1 is legal because the block
+# spans the full array dim (same rule as the small-model scales case).
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel(layer_ref, x_ref, w_ref, s_ref, *rest, group_size: int,
+                  block_k: int, has_norm: bool, has_res: bool,
+                  has_rope: bool, qk_cols: int, head_dim: int, glu: bool,
+                  norm_eps: float, k_true: int):
+    """Single-K-step variant of _int4_matmul_kernel with optional in-kernel
+    RMS norm (prologue) and rotate-half RoPE / residual add / GLU
+    (epilogues). Grid (I, J, 1). Operand order: [norm_w][cos, sin][residual].
+
+    ``glu``: the weight columns are gate/up INTERLEAVED in 128-col groups
+    ([g0|u0|g1|u1|...]); the kernel emits silu(gate) * up — half the
+    columns — so the silu·mul elementwise op (its own XLA kernel per decode
+    layer otherwise) and the [M, 2F] intermediate never exist."""
+    i = 0
+    nw_ref = cos_ref = sin_ref = res_ref = None
+    if has_norm:
+        nw_ref = rest[i]; i += 1
+    if has_rope:
+        cos_ref, sin_ref = rest[i], rest[i + 1]; i += 2
+    if has_res:
+        res_ref = rest[i]; i += 1
+    o_ref, acc_ref = rest[i], rest[i + 1]
+
+    if has_norm:
+        # identical op order to ops.ref.rms_norm_ref: f32 mean-square, rsqrt,
+        # scale, weight multiply, round to bf16 — then the standard dot path
+        xf = x_ref[:].astype(jnp.float32)
+        rs = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
+                           + norm_eps)
+        xn = (xf * rs * nw_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    else:
+        xn = x_ref[:]
+
+    gpp = PLANE // group_size
+    n_sb = block_k // SUPERBLOCK
+    acc = jnp.zeros_like(acc_ref)
+    for sb in range(n_sb):
+        p = w_ref[sb * PLANE:(sb + 1) * PLANE, :].astype(jnp.int32)
+        for plane in range(2):
+            codes = ((p & 0x0F) if plane == 0 else (p >> 4)
+                     ).astype(jnp.bfloat16)
+            g0 = (2 * sb + plane) * gpp
+            x_plane = xn[:, (2 * sb + plane) * PLANE:
+                         (2 * sb + plane + 1) * PLANE]
+            for g in range(gpp):
+                # static row slice (single K step) — bf16 scales legal here
+                d_row = s_ref[g0 + g:g0 + g + 1, :].astype(jnp.float32)
+                x_g = x_plane[:, g * group_size:(g + 1) * group_size]
+                c_g = codes[g * group_size:(g + 1) * group_size, :]
+                dot = jnp.dot(x_g, c_g, preferred_element_type=jnp.float32)
+                xsum8 = jnp.sum(x_g.astype(jnp.float32), axis=1,
+                                keepdims=True) * ZERO_POINT
+                acc += (dot - xsum8) * d_row
+
+    if glu:
+        # de-interleave 128-col gate/up groups with static slices (no
+        # reshapes — lane-dim reshapes are a known Mosaic minefield), then
+        # the exact unfused op order: bf16 round, f32 silu * up, bf16 round
+        bn = acc.shape[1]
+        y16 = acc.astype(o_ref.dtype)
+        gate = jnp.concatenate(
+            [y16[:, c:c + 128] for c in range(0, bn, 256)], axis=1)
+        up = jnp.concatenate(
+            [y16[:, c + 128:c + 256] for c in range(0, bn, 256)], axis=1)
+        o_ref[:] = (jax.nn.silu(gate.astype(jnp.float32))
+                    * up.astype(jnp.float32)).astype(o_ref.dtype)
+        return
+
+    y = acc.astype(o_ref.dtype)
+    if has_rope:
+        # rotate-half RoPE on the leading qk_cols output columns (q|k of the
+        # fused qkv projection; v columns pass through). Matches
+        # ref.apply_rotary's op order exactly: the projection output is
+        # rounded to bf16 FIRST, then rotated in f32 with the same
+        # pre-gathered f32 cos/sin rows, then rounded once.
+        yf = y.astype(jnp.float32)
+        bn = yf.shape[1]
+        reps = bn // head_dim
+        half = head_dim // 2
+        cosb = jnp.tile(cos_ref[:].astype(jnp.float32), (1, reps))
+        sinb = jnp.tile(sin_ref[:].astype(jnp.float32), (1, reps))
+        # partner element at +-half within each head: two static lane rolls,
+        # selected by position-in-head (wrapped lanes are never selected)
+        r_left = jnp.concatenate([yf[:, half:], yf[:, :half]], axis=1)
+        r_right = jnp.concatenate([yf[:, -half:], yf[:, :-half]], axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, yf.shape, 1)
+        rotated = jnp.where(lane % head_dim < half, -r_left, r_right)
+        roped = yf * cosb + rotated * sinb
+        col0 = pl.program_id(1) * bn
+        y = jnp.where(lane + col0 < qk_cols, roped, yf).astype(o_ref.dtype)
+    if has_res:
+        # matches the unfused path exactly: the kernel output is rounded to
+        # bf16 FIRST, then added to the residual (XLA computes the add in
+        # f32 and rounds once)
+        y = (y.astype(jnp.float32) + res_ref[:].astype(jnp.float32)
+             ).astype(o_ref.dtype)
+    o_ref[:] = y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "block_m", "block_n", "norm_eps",
+                     "qk_cols", "head_dim", "glu", "interpret", "out_dtype"))
+def _int4_matmul_fused_impl(x, packed, scales, layer_idx, norm_w, rope_cos,
+                            rope_sin, residual, *, group_size, block_m,
+                            block_n, norm_eps, qk_cols=0, head_dim=128,
+                            glu=False, interpret=False,
+                            out_dtype=jnp.bfloat16):
+    m, k = x.shape
+    n_layers, kp, n = packed.shape
+    sg = k // group_size
+    assert sg % 8 == 0, (k, group_size)
+    if jnp.dtype(scales.dtype).itemsize == 2 and sg % 16 != 0:
+        scales = scales.astype(jnp.float32)  # sublane legality fallback
+    elif scales.dtype not in (jnp.float32, jnp.bfloat16):
+        scales = scales.astype(jnp.float32)
+    grid = (m // block_m, n // block_n, 1)
+    has_norm = norm_w is not None
+    has_rope = rope_cos is not None
+    has_res = residual is not None
+    assert not (has_rope and block_n % head_dim), (block_n, head_dim)
+    assert not (glu and (block_n % 256 or has_rope or has_res)), block_n
+    kernel = functools.partial(
+        _fused_kernel, group_size=group_size, block_k=k, has_norm=has_norm,
+        has_res=has_res, has_rope=has_rope, qk_cols=qk_cols,
+        head_dim=head_dim, glu=glu, norm_eps=norm_eps, k_true=k)
+
+    x_spec = pl.BlockSpec((block_m, k), lambda i, j, kb, lref: (i, 0),
+                          memory_space=pltpu.VMEM)
+    in_specs = [
+        x_spec,
+        pl.BlockSpec((k // 2, block_n), lambda i, j, kb, lref: (lref[0], j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((sg, block_n), lambda i, j, kb, lref: (lref[0], j),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x.astype(jnp.bfloat16), packed.reshape(n_layers * kp, n),
+            scales.reshape(n_layers * sg, n)]
+    if has_norm:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, k), lambda i, j, kb, lref: (lref[0], 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(norm_w.reshape(n_layers, 1, k))
+    if has_rope:
+        rspec = pl.BlockSpec((block_m, head_dim),
+                             lambda i, j, kb, lref: (i, 0),
+                             memory_space=pltpu.VMEM)
+        in_specs += [rspec, rspec]
+        args += [rope_cos.astype(jnp.float32), rope_sin.astype(jnp.float32)]
+    if has_res:
+        in_specs.append(pl.BlockSpec(
+            (block_m, block_n), lambda i, j, kb, lref: (i, j),
+            memory_space=pltpu.VMEM))
+        args.append(residual)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, block_n),
+                               lambda i, j, kb, lref: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+    )
+    flops = 2 * m * n * k
+    bytes_accessed = m * k * 2 + n * k // 2 + n * sg * 4 + m * n * 2
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), *args)
+
+
+def int4_matmul_fused(x: jax.Array, packed: jax.Array, scales: jax.Array,
+                      group_size: int = 128, *, layer_idx=None,
+                      norm_w: jax.Array | None = None,
+                      norm_eps: float = 1e-5,
+                      rope_cos: jax.Array | None = None,
+                      rope_sin: jax.Array | None = None,
+                      rope_qk_cols: int = 0, head_dim: int = 128,
+                      residual: jax.Array | None = None,
+                      block_n: int | None = None,
+                      interpret: bool = False) -> jax.Array:
+    """Decode matmul with optional fused RMS-norm prologue and RoPE /
+    residual-add epilogues:
+        y = rope(rms_norm(x, norm_w, eps) @ dequant(W))  (+ residual).
+
+    x: [..., K]; packed/scales stacked [L, K//2, N] / [L, K//G, N] with
+    ``layer_idx``, or unstacked [K//2, N] / [K//G, N] (wrapped as L=1).
+    norm_w: [L, K] (or [K] unstacked) RMSNorm weight; residual: same shape
+    as the output. rope_cos/rope_sin: [M, head_dim] pre-gathered rows for
+    each activation row; rotate-half RoPE is applied to the leading
+    ``rope_qk_cols`` output columns (the q|k block of a fused qkv
+    projection). Intended for small-M decode shapes; prefill keeps the
+    blocked streaming kernel (launch overhead amortizes at M >= 512)."""
+    orig_shape = x.shape
+    k = orig_shape[-1]
+    if packed.ndim == 2:
+        assert layer_idx is None
+        packed = packed[None]
+        scales = scales[None]
+        layer_idx = 0
+        if norm_w is not None and norm_w.ndim == 1:
+            norm_w = norm_w[None]
+    assert layer_idx is not None
+    kp, n = packed.shape[-2:]
+    assert kp == k // 2 and k % SUPERBLOCK == 0
+    assert norm_w is None or norm_w.shape[-1] == k
+
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    pad = (-m) % 16
+    res2 = None
+    if residual is not None:
+        res2 = residual.reshape(-1, n)
+        assert res2.shape[0] == m
+    cos2 = sin2 = None
+    if rope_cos is not None:
+        cos2 = rope_cos.reshape(-1, head_dim)
+        sin2 = rope_sin.reshape(-1, head_dim)
+        assert cos2.shape[0] == m and rope_qk_cols % head_dim == 0
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        if res2 is not None:
+            res2 = jnp.pad(res2, ((0, pad), (0, 0)))
+        if cos2 is not None:
+            cos2 = jnp.pad(cos2, ((0, pad), (0, 0)))
+            sin2 = jnp.pad(sin2, ((0, pad), (0, 0)))
+    block_m = _pick_block(m + pad, 256, 16)
+    if block_n is None:
+        # single-K-step kernel: the whole [K//2, block_n] weight block lives
+        # in VMEM double-buffered, so cap it at ~4 MiB (VMEM is ~16 MB/core;
+        # K=14336 down-proj would need 14 MiB at block_n=2048)
+        cap = max(128, (4 << 20) // kp // 128 * 128)
+        block_n = _pick_block(n, min(2048, cap), 128)
+    if rope_cos is not None and block_n % head_dim:
+        block_n = _pick_block(n, block_n - block_n % head_dim, head_dim)
+
+    y = _int4_matmul_fused_impl(
+        x2.astype(jnp.bfloat16), packed, scales, layer_idx, norm_w, cos2,
+        sin2, res2, group_size=group_size, block_m=block_m, block_n=block_n,
+        norm_eps=float(norm_eps), qk_cols=int(rope_qk_cols),
+        head_dim=int(head_dim), interpret=interpret)
+    return y[:m].reshape(*orig_shape[:-1], n)
 
 
 # ---------------------------------------------------------------------------
@@ -507,7 +817,8 @@ def int4_matmul_glu(gu: jax.Array, packed: jax.Array, scales: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _int4_a8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
-                    group_size: int, n_kblocks: int, block_k: int):
+                    group_size: int, n_kblocks: int, block_k: int,
+                    s_kblocked: bool = False):
     """W4A8 variant (the reference's x86/ARM headline path,
     kernels/avx/matmul_avx_int8_int4.cc:325-357): activations are quantized
     per (row, group) to int8 IN-KERNEL (absmax/127, the
@@ -531,11 +842,15 @@ def _int4_a8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
         for plane in range(2):
             codes = ((p & 0x0F) if plane == 0 else (p >> 4)
                      ).astype(jnp.int8)
-            g0 = kb * (block_k // group_size) + (2 * sb + plane) * gpp
+            g0 = ((2 * sb + plane) * gpp if s_kblocked
+                  else kb * (block_k // group_size) + (2 * sb + plane) * gpp)
             x_plane = x_ref[:, (2 * sb + plane) * PLANE:
                             (2 * sb + plane + 1) * PLANE].astype(jnp.float32)
             for g in range(gpp):
-                d_row = s_ref[pl.ds(g0 + g, 1), :]                # [1, TN]
+                if s_kblocked:
+                    d_row = s_ref[g0 + g:g0 + g + 1, :].astype(jnp.float32)
+                else:
+                    d_row = s_ref[pl.ds(g0 + g, 1), :]            # [1, TN]
                 x_g = x_plane[:, g * group_size:(g + 1) * group_size]
                 absmax = jnp.max(jnp.abs(x_g), axis=1, keepdims=True)
                 a_scale = jnp.maximum(absmax, 1e-8) / 127.0       # [M, 1]
@@ -589,6 +904,12 @@ def int4_matmul_a8(x: jax.Array, packed: jax.Array, scales: jax.Array,
     block_k = _pick_block(k, 2048, SUPERBLOCK)
 
     grid = (x2.shape[0] // block_m, n // block_n, k // block_k)
+    spk = block_k // group_size
+    if jnp.dtype(scales.dtype).itemsize == 2 and spk % 16 != 0:
+        scales = scales.astype(jnp.float32)  # tiny-K fallback (see int4_matmul)
+    elif scales.dtype not in (jnp.float32, jnp.bfloat16):
+        scales = scales.astype(jnp.float32)
+    s_kblocked = jnp.dtype(scales.dtype).itemsize == 2
     cost = pl.CostEstimate(flops=2 * m * n * k,
                            bytes_accessed=m * k + n * k // 2, transcendentals=0)
     compiler_params = pltpu.CompilerParams(
@@ -599,9 +920,18 @@ def int4_matmul_a8(x: jax.Array, packed: jax.Array, scales: jax.Array,
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((x2.shape[0], n), jnp.bfloat16)
     scratch = [pltpu.VMEM((block_m, block_n), jnp.float32)]
-    kw = dict(group_size=group_size, n_kblocks=grid[2], block_k=block_k)
+    kw = dict(group_size=group_size, n_kblocks=grid[2], block_k=block_k,
+              s_kblocked=s_kblocked)
 
     if not stacked:
+        if s_kblocked:
+            flat_s_spec = pl.BlockSpec((spk, block_n),
+                                       lambda i, j, kb: (kb, j),
+                                       memory_space=pltpu.VMEM)
+        else:
+            flat_s_spec = pl.BlockSpec((k // group_size, block_n),
+                                       lambda i, j, kb: (0, j),
+                                       memory_space=pltpu.VMEM)
         y = pl.pallas_call(
             functools.partial(_int4_a8_kernel, **kw),
             grid=grid,
@@ -609,19 +939,25 @@ def int4_matmul_a8(x: jax.Array, packed: jax.Array, scales: jax.Array,
                 x_spec,
                 pl.BlockSpec((block_k // 2, block_n), lambda i, j, kb: (kb, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((k // group_size, block_n), lambda i, j, kb: (0, j),
-                             memory_space=pltpu.VMEM),
+                flat_s_spec,
             ],
             out_specs=out_spec, out_shape=out_shape, scratch_shapes=scratch,
             cost_estimate=cost, compiler_params=compiler_params,
             interpret=interpret,
-        )(x2.astype(jnp.bfloat16), packed, scales.astype(jnp.float32))
+        )(x2.astype(jnp.bfloat16), packed, scales)
     else:
         # flattened-2D stacked addressing (see _int4_matmul_2d)
         n_layers, kp = packed.shape[0], packed.shape[1]
         kpb = kp // (block_k // 2)
         sg = k // group_size
-        if sg % 8 == 0:
+        if s_kblocked:
+            nkb = grid[2]
+            s_spec = pl.BlockSpec((spk, block_n),
+                                  lambda i, j, kb, lref: (lref[0] * nkb + kb, j),
+                                  memory_space=pltpu.VMEM)
+            s_arg = scales.reshape(n_layers * sg, n)
+            body = _a8_stacked_kernel
+        elif sg % 8 == 0:
             s_spec = pl.BlockSpec((sg, block_n),
                                   lambda i, j, kb, lref: (lref[0], j),
                                   memory_space=pltpu.VMEM)

@@ -209,18 +209,22 @@ def fuse_linears(parts, tp_degree: int = 1):
 
 
 def random_int4_linear_fast(key, k: int, n: int, group_size: int = 128,
-                            std: float = 0.02) -> Int4Linear:
+                            std: float = 0.02,
+                            scale_dtype: str = "f32") -> Int4Linear:
     """Random packed bytes + scales generated on device — for benchmarks where
     only shapes/layout matter (8B-scale init in milliseconds, no host quantize)."""
     k1, k2 = jax.random.split(key)
     packed = jax.random.randint(k1, (k // 2, n), 0, 256, jnp.int32).astype(jnp.uint8)
     scales = jax.random.uniform(k2, (k // group_size, n), jnp.float32,
                                 minval=0.5, maxval=1.5) * (std / 4.0)
+    if scale_dtype == "bf16":
+        scales = scales.astype(jnp.bfloat16)
     return Int4Linear(packed=packed, scales=scales)
 
 
 def random_int4_linear(key, k: int, n: int, group_size: int = 128,
-                       std: float = 0.02) -> Int4Linear:
+                       std: float = 0.02,
+                       scale_dtype: str = "f32") -> Int4Linear:
     """Random-initialized quantized linear (bench/tests; real checkpoints come
     from tools.quantize)."""
     import numpy as np
@@ -233,5 +237,5 @@ def random_int4_linear(key, k: int, n: int, group_size: int = 128,
     q, scales = quantize_groupwise_int4(w, group_size)
     return Int4Linear(
         packed=jnp.asarray(pack_qm_tpu(q)),
-        scales=jnp.asarray(pack_scales(scales)),
+        scales=jnp.asarray(pack_scales(scales, scale_dtype)),
     )

@@ -58,9 +58,20 @@ def unpack_qm_tpu(packed: np.ndarray) -> np.ndarray:
     return qt.T.copy()
 
 
-def pack_scales(scales: np.ndarray) -> np.ndarray:
-    """Quantizer scales ``[OC, IC//G]`` → kernel layout ``[IC//G, OC]``."""
-    return np.ascontiguousarray(scales.T)
+def pack_scales(scales: np.ndarray, dtype: str = "f32") -> np.ndarray:
+    """Quantizer scales ``[OC, IC//G]`` → kernel layout ``[IC//G, OC]``.
+
+    ``dtype``: storage precision. "bf16" mirrors the reference's
+    half-precision scale storage (quantize_methods.py QM_* emit fp16) in the
+    TPU-native half format and halves scale HBM traffic; "f32" (default)
+    keeps full precision (used where exact f32-scale parity is asserted).
+    QuantConfig.scale_dtype selects the conversion-time storage."""
+    out = np.ascontiguousarray(scales.T)
+    if dtype == "bf16":
+        import ml_dtypes
+        return out.astype(ml_dtypes.bfloat16)
+    assert dtype == "f32", dtype
+    return out
 
 
 def pad_to_superblock(w: np.ndarray) -> np.ndarray:

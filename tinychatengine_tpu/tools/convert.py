@@ -41,7 +41,7 @@ def quantize_linear(w_oc_ic: np.ndarray, qcfg: QuantConfig,
     cls = Int4A8Linear if qcfg.scheme == "w4a8" else Int4Linear
     return cls(
         packed=jnp.asarray(pack_qm_tpu(q)),
-        scales=jnp.asarray(pack_scales(scales)),
+        scales=jnp.asarray(pack_scales(scales, qcfg.scale_dtype)),
         bias=None if bias is None else jnp.asarray(bias, jnp.float32))
 
 
