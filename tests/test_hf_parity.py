@@ -223,3 +223,46 @@ def test_clip_vision_parity(tmp_path):
     ours = np.asarray(clip.encode_hidden(params, cfg, jnp.asarray(pixels)),
                       np.float32)
     _assert_close(ours, want)
+
+
+def test_llama_parity_multishard_bf16(tmp_path):
+    """Sharded bf16 safetensors (the real 8B checkpoint format: N files +
+    per-file key subsets, HF shard naming) through convert_hf_llama — covers
+    the multi-handle key map and the bf16 u16->u32 widening branch that
+    single-file f32 saves never touch."""
+    from safetensors.torch import save_file
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from tinychatengine_tpu.models import llama
+    from tinychatengine_tpu.tools.convert import convert_hf_llama
+
+    torch.manual_seed(2)
+    hf_cfg = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        attention_bias=False, tie_word_embeddings=False)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+
+    # split the bf16 state dict into 3 shards at arbitrary key boundaries
+    sd = {k: v.clone().contiguous().to(torch.bfloat16)
+          for k, v in hf.state_dict().items()}
+    keys = sorted(sd.keys())
+    n = 3
+    for i in range(n):
+        part = {k: sd[k] for k in keys[i::n]}
+        save_file(part, str(tmp_path /
+                            f"model-{i + 1:05d}-of-{n:05d}.safetensors"))
+
+    cfg = ModelConfig(
+        name="llama_parity", family="llama", num_heads=4, num_kv_heads=2,
+        num_layers=2, max_sqlen=64, embed_dim=256, hidden_dim=512,
+        vocab_size=256, rms_norm_eps=1e-5)
+    params = convert_hf_llama(str(tmp_path), cfg, QuantConfig(scheme="fp"))
+
+    ids = np.asarray([[5, 9, 11, 42, 7, 3, 100, 101]], np.int64)
+    with torch.no_grad():  # torch oracle in bf16 too (same stored weights)
+        want = hf.to(torch.bfloat16)(torch.from_numpy(ids)).logits \
+            .float().numpy()
+    ours = _logits_ours(llama.forward, params, cfg, ids.astype(np.int32))
+    _assert_close(ours, want, rtol=0.1)
