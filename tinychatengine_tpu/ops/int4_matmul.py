@@ -489,16 +489,11 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
 
 def _fused_kernel(layer_ref, x_ref, w_ref, s_ref, *rest, group_size: int,
                   block_k: int, has_norm: bool, has_res: bool,
-                  has_rope: bool, qk_cols: int, head_dim: int, glu: bool,
-                  norm_eps: float, k_true: int):
+                  has_rope: bool, qk_cols: int, head_dim: int,
+                  norm_eps: float):
     """Single-K-step variant of _int4_matmul_kernel with optional in-kernel
-    RMS norm (prologue) and rotate-half RoPE / residual add / GLU
-    (epilogues). Grid (I, J, 1). Operand order: [norm_w][cos, sin][residual].
-
-    ``glu``: the weight columns are gate/up INTERLEAVED in 128-col groups
-    ([g0|u0|g1|u1|...]); the kernel emits silu(gate) * up — half the
-    columns — so the silu·mul elementwise op (its own XLA kernel per decode
-    layer otherwise) and the [M, 2F] intermediate never exist."""
+    RMS norm (prologue) and rotate-half RoPE / residual add (epilogues).
+    Grid (I, J, 1). Operand order: [norm_w][cos, sin][residual]."""
     i = 0
     nw_ref = cos_ref = sin_ref = res_ref = None
     if has_norm:
@@ -540,19 +535,6 @@ def _fused_kernel(layer_ref, x_ref, w_ref, s_ref, *rest, group_size: int,
                                 keepdims=True) * ZERO_POINT
                 acc += (dot - xsum8) * d_row
 
-    if glu:
-        # de-interleave 128-col gate/up groups with static slices (no
-        # reshapes — lane-dim reshapes are a known Mosaic minefield), then
-        # the exact unfused op order: bf16 round, f32 silu * up, bf16 round
-        bn = acc.shape[1]
-        y16 = acc.astype(o_ref.dtype)
-        gate = jnp.concatenate(
-            [y16[:, c:c + 128] for c in range(0, bn, 256)], axis=1)
-        up = jnp.concatenate(
-            [y16[:, c + 128:c + 256] for c in range(0, bn, 256)], axis=1)
-        o_ref[:] = (jax.nn.silu(gate.astype(jnp.float32))
-                    * up.astype(jnp.float32)).astype(o_ref.dtype)
-        return
 
     y = acc.astype(o_ref.dtype)
     if has_rope:
@@ -588,11 +570,11 @@ def _fused_kernel(layer_ref, x_ref, w_ref, s_ref, *rest, group_size: int,
 @functools.partial(
     jax.jit,
     static_argnames=("group_size", "block_m", "block_n", "norm_eps",
-                     "qk_cols", "head_dim", "glu", "interpret", "out_dtype"))
+                     "qk_cols", "head_dim", "interpret", "out_dtype"))
 def _int4_matmul_fused_impl(x, packed, scales, layer_idx, norm_w, rope_cos,
                             rope_sin, residual, *, group_size, block_m,
                             block_n, norm_eps, qk_cols=0, head_dim=128,
-                            glu=False, interpret=False,
+                            interpret=False,
                             out_dtype=jnp.bfloat16):
     m, k = x.shape
     n_layers, kp, n = packed.shape
@@ -607,11 +589,10 @@ def _int4_matmul_fused_impl(x, packed, scales, layer_idx, norm_w, rope_cos,
     has_rope = rope_cos is not None
     has_res = residual is not None
     assert not (has_rope and block_n % head_dim), (block_n, head_dim)
-    assert not (glu and (block_n % 256 or has_rope or has_res)), block_n
     kernel = functools.partial(
         _fused_kernel, group_size=group_size, block_k=k, has_norm=has_norm,
         has_res=has_res, has_rope=has_rope, qk_cols=qk_cols,
-        head_dim=head_dim, glu=glu, norm_eps=norm_eps, k_true=k)
+        head_dim=head_dim, norm_eps=norm_eps)
 
     x_spec = pl.BlockSpec((block_m, k), lambda i, j, kb, lref: (i, 0),
                           memory_space=pltpu.VMEM)
