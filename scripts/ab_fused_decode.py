@@ -1,7 +1,12 @@
-"""On-chip A/B: fused decode path (norm/residual inside the int4 kernels,
-models/llama.py FUSED_DECODE) vs the unfused production path.
+"""On-chip A/B: decode-glue levers vs the r2 production path.
 
-Correctness first (one decode step logits + 64-token greedy chain), then the
+Variants (same packed int4 weights; scales cast per variant, so HBM holds
+one weight set + two small scale sets):
+  base        unfused decode, f32 scales  (the r2 production path)
+  fused       TCE_DECODE_FUSED path, f32 scales
+  fused16     fused path + bf16 stored scales
+
+Correctness first (64-token greedy chain prefix agreement vs base), then the
 CLAUDE.md timing methodology: 256-token loop-differenced decode (272 vs 16),
 variants interleaved per round, medians over >= 6 rounds, fresh prompts.
 
@@ -20,10 +25,23 @@ from tinychatengine_tpu.core.config import GenerationConfig, QuantConfig, get_mo
 from tinychatengine_tpu.generation import sampling
 from tinychatengine_tpu.generation.engine import Engine
 from tinychatengine_tpu.models import llama
+from tinychatengine_tpu.ops.linear import Int4Linear
 
 N_SHORT, N_LONG = 16, 272
 ROUNDS = 6
 PROMPT = 64
+
+
+def cast_scales(params, dtype):
+    """New param tree with Int4Linear scales cast to ``dtype`` — packed
+    buffers are SHARED (same device arrays), so the extra HBM is scales only."""
+    def one(p):
+        if isinstance(p, Int4Linear):
+            return Int4Linear(packed=p.packed,
+                              scales=p.scales.astype(dtype), bias=p.bias)
+        return p
+    return jax.tree.map(one, params,
+                        is_leaf=lambda x: isinstance(x, Int4Linear))
 
 
 def make_runner(eng, gcfg, fused: bool):
@@ -66,44 +84,48 @@ def make_runner(eng, gcfg, fused: bool):
 def main():
     assert jax.devices()[0].platform == "tpu", jax.devices()
     cfg = get_model_config("llama3_8b")
-    qcfg = QuantConfig(scheme="w4a16", group_size=128)
+    qcfg = QuantConfig(scheme="w4a16", group_size=128, scale_dtype="f32")
     print("building params...", file=sys.stderr)
     params = llama.init_random_params(cfg, qcfg, seed=0, max_pos=2048,
                                       fast=True)
     params = jax.block_until_ready(params)
-    eng = Engine(params, cfg, qcfg, batch=1, max_len=2048)
-    g = GenerationConfig(temp=0.0, n_predict=N_LONG, repeat_penalty=1.1,
-                        repeat_last_n=64)
+    p16 = cast_scales(params, jnp.bfloat16)
 
     runners = {}
-    for name, fused in (("unfused", False), ("fused", True)):
+    for name, (p, fused) in (("base", (params, False)),
+                             ("fused", (params, True)),
+                             ("fused16", (p16, True))):
+        eng = Engine(p, cfg, qcfg, batch=1, max_len=2048)
+        g = GenerationConfig(temp=0.0, n_predict=N_LONG, repeat_penalty=1.1,
+                             repeat_last_n=64)
         print(f"compiling {name}...", file=sys.stderr)
         runners[name] = make_runner(eng, g, fused)
         runners[name](0, N_SHORT)
         runners[name](0, N_LONG)
 
-    # correctness: identical greedy 64-token chains from the same prompt
-    a = runners["unfused"](42, 64)
-    b = runners["fused"](42, 64)
-    match = int((a == b).sum())
-    print(f"greedy chain agreement: {match}/64", file=sys.stderr)
-    # bf16 argmax chains may diverge on random weights; require a long
-    # common prefix (chains split only AFTER a near-tie)
-    prefix = int(np.argmax(a[0] != b[0])) if (a != b).any() else 64
+    # correctness: greedy chains from the same prompt (bf16 argmax chains may
+    # split after a near-tie on random weights; require a long common prefix)
+    chains = {name: run(42, 64) for name, run in runners.items()}
+    out = {}
+    for name in ("fused", "fused16"):
+        a, b = chains["base"], chains[name]
+        prefix = int(np.argmax(a[0] != b[0])) if (a != b).any() else 64
+        out[f"prefix_{name}"] = prefix
+        print(f"{name} greedy prefix agreement vs base: {prefix}/64",
+              file=sys.stderr)
 
-    results = {"unfused": [], "fused": []}
+    results = {n: [] for n in runners}
     for r in range(ROUNDS):
         for name, run in runners.items():
             t0 = time.perf_counter()
-            run(1000 + 10 * r + (name == "fused"), N_SHORT)
+            run(1000 + 10 * r + hash(name) % 7, N_SHORT)
             t_s = time.perf_counter() - t0
             t0 = time.perf_counter()
-            run(2000 + 10 * r + (name == "fused"), N_LONG)
+            run(2000 + 10 * r + hash(name) % 7, N_LONG)
             t_l = time.perf_counter() - t0
             results[name].append((t_l - t_s) / (N_LONG - N_SHORT))
         print(f"round {r} done", file=sys.stderr)
 
-    out = {"prefix_agreement": prefix}
     for name, ts in results.items():
         med = float(np.median(ts))
         out[name] = {"ms_per_tok": round(med * 1e3, 3),
