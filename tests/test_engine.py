@@ -104,6 +104,18 @@ def test_device_loop_matches_host_loop(engine):
     assert r_host.tokens[0] == list(toks_dev[0])
 
 
+def test_device_loop_matches_host_loop_with_penalties(engine):
+    """Penalties active (greedy_penalized: argmax-vs-window lax.cond under
+    the device scan) must stay exact vs the host loop — a tiny-vocab random
+    model repeats constantly, so both cond branches execute."""
+    g = GenerationConfig(temp=0.0, n_predict=12, repeat_penalty=1.4,
+                         frequency_penalty=0.1, repeat_last_n=8)
+    r_host = engine.generate([[1, 2, 3, 4]], g)
+    toks_dev = np.asarray(engine.generate_device([[1, 2, 3, 4]], g,
+                                                 n_tokens=12))
+    assert r_host.tokens[0] == list(toks_dev[0])
+
+
 def test_streaming_callback(engine):
     seen = []
     g = GenerationConfig(temp=0.0, n_predict=4)
