@@ -25,6 +25,7 @@ from tinychatengine_tpu.core.config import GenerationConfig, QuantConfig, get_mo
 from tinychatengine_tpu.generation import sampling
 from tinychatengine_tpu.generation.engine import Engine
 from tinychatengine_tpu.models import llama
+from tinychatengine_tpu.ops import int4_matmul as int4m
 from tinychatengine_tpu.ops.linear import Int4Linear
 
 N_SHORT, N_LONG = 16, 272
@@ -68,14 +69,14 @@ def make_runner(eng, gcfg, fused: bool):
         state = sampling.SamplerState.init(gcfg.seed, 1, gcfg.mirostat_tau)
         window = max(gcfg.repeat_last_n, 1)
         last = jnp.full((1, window), -1, jnp.int32)
-        saved = llama.FUSED_DECODE
-        llama.FUSED_DECODE = fused
+        saved = int4m.FUSED_DECODE
+        int4m.FUSED_DECODE = fused
         try:
             toks, cache = jitted(eng.params, eng.cfg, logits, cache, state,
                                  last, jnp.asarray(PROMPT, jnp.int32),
                                  n_tokens)
         finally:
-            llama.FUSED_DECODE = saved
+            int4m.FUSED_DECODE = saved
         return np.asarray(toks)
 
     return run

@@ -79,6 +79,21 @@ def main():
                                 norm_eps=1e-5)
         failures += not report("fused norm", relerr(got, want))
 
+        # 2a'. fused LayerNorm prologue + linear-bias epilogue (the
+        # OPT/GPTBigCode decode shape of the same kernel)
+        from tinychatengine_tpu.ops.ref import layer_norm_ref
+        nb = jax.random.normal(kn, (L, k), jnp.bfloat16) * 0.1
+        bvec = jax.random.normal(kr, (L, n), jnp.float32) * 0.3
+        base = oracle(layer_norm_ref(x, nw[0], nb[0], 1e-5), packed[0],
+                      s16_as32[0], G).astype(jnp.bfloat16)
+        want = (base.astype(jnp.float32)
+                + bvec[0].astype(jnp.bfloat16).astype(jnp.float32)
+                ).astype(jnp.bfloat16)
+        got = int4_matmul_fused(x, packed, scales16, G,
+                                layer_idx=jnp.int32(0), norm_w=nw,
+                                norm_b=nb, norm_eps=1e-5, bias=bvec)
+        failures += not report("fused layernorm+bias", relerr(got, want))
+
         # 2b. fused residual epilogue
         want = (oracle(x, packed[0], s16_as32[0], G).astype(jnp.bfloat16)
                 .astype(jnp.float32) + res.astype(jnp.float32)

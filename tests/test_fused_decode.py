@@ -16,6 +16,7 @@ import pytest
 from tinychatengine_tpu.core.config import ModelConfig, QuantConfig
 from tinychatengine_tpu.generation import kv_cache as kvc
 from tinychatengine_tpu.models import llama
+from tinychatengine_tpu.ops import int4_matmul as int4m
 from tinychatengine_tpu.runtime.paged import init_paged_cache, insert_prefix
 
 # smallest config satisfying the fused kernel's shape gates: every matmul K
@@ -29,8 +30,8 @@ FUSABLE = ModelConfig(
 
 @pytest.fixture
 def force_fused(monkeypatch):
-    monkeypatch.setattr(llama, "FUSED_DECODE", True)
-    monkeypatch.setattr(llama, "FUSED_FORCE", True)
+    monkeypatch.setattr(int4m, "FUSED_DECODE", True)
+    monkeypatch.setattr(int4m, "FUSED_FORCE", True)
 
 
 def _rel(got, want):
@@ -54,7 +55,7 @@ def test_fused_forward_contiguous_matches_unfused(force_fused):
     _, c0 = llama.forward(params, cfg, ids, cache(), jnp.int32(0))
     lg_f, c_f = llama.forward(params, cfg, tok, c0, jnp.int32(6))
 
-    llama.FUSED_DECODE = False
+    int4m.FUSED_DECODE = False
     _, c1 = llama.forward(params, cfg, ids, cache(), jnp.int32(0))
     lg_u, c_u = llama.forward(params, cfg, tok, c1, jnp.int32(6))
 
@@ -102,7 +103,7 @@ def test_fused_forward_paged_matches_unfused(force_fused):
     P = 16
 
     # build the paged prefix from an unfused contiguous prefill
-    llama.FUSED_DECODE = False
+    int4m.FUSED_DECODE = False
     c0 = kvc.init_cache(cfg.num_layers, 1, cfg.max_sqlen, cfg.num_kv_heads,
                         cfg.head_dim)
     _, c0 = llama.forward(params, cfg, ids, c0, jnp.int32(0))
@@ -119,7 +120,7 @@ def test_fused_forward_paged_matches_unfused(force_fused):
 
     lg_u, pc_u = llama.forward(params, cfg, tok, paged(), lengths,
                                page_table=table)
-    llama.FUSED_DECODE = True
+    int4m.FUSED_DECODE = True
     lg_f, pc_f = llama.forward(params, cfg, tok, paged(), lengths,
                                page_table=table)
     assert _rel(lg_f, lg_u) < 2e-2, _rel(lg_f, lg_u)
@@ -142,6 +143,57 @@ def test_fused_gate_ineligible_shapes_fall_back(force_fused):
     cache = kvc.init_cache(cfg.num_layers, 1, cfg.max_sqlen,
                            cfg.num_kv_heads, cfg.head_dim)
     lg, _ = llama.forward(params, cfg, tok, cache, jnp.int32(0))
-    llama.FUSED_DECODE = False
+    int4m.FUSED_DECODE = False
     lg_u, _ = llama.forward(params, cfg, tok, cache, jnp.int32(0))
     np.testing.assert_allclose(np.asarray(lg), np.asarray(lg_u))
+
+
+def test_fused_forward_gptbigcode_matches_unfused(force_fused):
+    """GPTBigCode (StarCoder) fused decode: LayerNorm prologues, c_attn/
+    c_proj/fc biases, residual epilogues, lnf+lm_head — vs the unfused path.
+    Norm weights are randomized (init's ones/zeros would mask a missing
+    weight-mul or bias-add in the kernel)."""
+    import dataclasses
+
+    from tinychatengine_tpu.models import gptbigcode
+
+    cfg = ModelConfig(
+        name="tiny_sc_fusable", family="gptbigcode", num_heads=8,
+        num_kv_heads=1, num_layers=2, max_sqlen=64, embed_dim=1024,
+        hidden_dim=1024, vocab_size=256,
+    )
+    params = gptbigcode.init_random_params(cfg, seed=4,
+                                           qcfg=QuantConfig(scheme="w4a16"))
+    key = jax.random.PRNGKey(9)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    L, E = cfg.num_layers, cfg.embed_dim
+    params = dataclasses.replace(
+        params,
+        layers=dataclasses.replace(
+            params.layers,
+            ln1_w=jax.random.normal(k1, (L, E), jnp.bfloat16) * 0.3 + 1.0,
+            ln1_b=jax.random.normal(k2, (L, E), jnp.bfloat16) * 0.2,
+            ln2_w=jax.random.normal(k3, (L, E), jnp.bfloat16) * 0.3 + 1.0,
+            ln2_b=jax.random.normal(k4, (L, E), jnp.bfloat16) * 0.2),
+        lnf_w=jax.random.normal(k5, (E,), jnp.bfloat16) * 0.3 + 1.0,
+        lnf_b=jax.random.normal(k6, (E,), jnp.bfloat16) * 0.2)
+
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 5)), jnp.int32)
+    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 1)), jnp.int32)
+
+    def cache():
+        return kvc.init_cache(cfg.num_layers, 1, cfg.max_sqlen, 1,
+                              cfg.head_dim)
+
+    _, c0 = gptbigcode.forward(params, cfg, ids, cache(), jnp.int32(0))
+    lg_f, c_f = gptbigcode.forward(params, cfg, tok, c0, jnp.int32(5))
+
+    int4m.FUSED_DECODE = False
+    _, c1 = gptbigcode.forward(params, cfg, ids, cache(), jnp.int32(0))
+    lg_u, c_u = gptbigcode.forward(params, cfg, tok, c1, jnp.int32(5))
+
+    assert _rel(lg_f, lg_u) < 2e-2, _rel(lg_f, lg_u)
+    k_f = np.asarray(c_f.k[:, :, :, 5], np.float32)
+    k_u = np.asarray(c_u.k[:, :, :, 5], np.float32)
+    assert float(np.abs(k_f - k_u).max()) < 2e-2 * (np.abs(k_u).max() + 1e-6)

@@ -354,3 +354,58 @@ def test_bf16_scales_a8_matches_f32(monkeypatch):
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(want, np.float32),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_fused_layernorm_bias_matches_composition():
+    """int4_matmul_fused(norm_w+norm_b, bias=...) == layer_norm_ref ->
+    int4_matmul -> +bias (apply_linear op order), stacked, interpret mode."""
+    import jax
+
+    from tinychatengine_tpu.ops.int4_matmul import int4_matmul_fused
+    from tinychatengine_tpu.ops.ref import layer_norm_ref
+
+    L, K, N, G = 2, 1024, 512, 128
+    key = jax.random.PRNGKey(21)
+    kw_, ks_, kx_, kn_, kb_, kc_ = jax.random.split(key, 6)
+    packed = jax.random.randint(kw_, (L, K // 2, N), 0, 256,
+                                jnp.int32).astype(jnp.uint8)
+    scales = jax.random.uniform(ks_, (L, K // G, N), jnp.float32) * 0.01
+    nw = jax.random.normal(kn_, (L, K), jnp.float32) * 0.3 + 1.0
+    nb = jax.random.normal(kb_, (L, K), jnp.float32) * 0.2
+    bias = jax.random.normal(kc_, (L, N), jnp.float32) * 0.5
+    x = jax.random.normal(kx_, (3, K), jnp.bfloat16) * 2.0
+    for li in range(L):
+        h = layer_norm_ref(x, nw[li], nb[li], 1e-5)
+        base = int4_matmul(h, packed[li], scales[li], G, interpret=True)
+        want = np.asarray(base + bias[li].astype(base.dtype), np.float32)
+        got = np.asarray(int4_matmul_fused(
+            x, packed, scales, G, layer_idx=jnp.int32(li), norm_w=nw,
+            norm_b=nb, norm_eps=1e-5, bias=bias, interpret=True), np.float32)
+        scale = np.abs(want).max() + 1e-6
+        np.testing.assert_allclose(got, want, atol=2e-2 * scale)
+
+
+def test_fused_bias_residual_order_exact():
+    """bias then residual epilogues round exactly like the unfused chain
+    (matmul -> bf16 -> +bias(bf16, one round) -> +residual(one round))."""
+    import jax
+
+    from tinychatengine_tpu.ops.int4_matmul import int4_matmul_fused
+
+    K, N, G = 1024, 256, 128
+    key = jax.random.PRNGKey(22)
+    packed = jax.random.randint(key, (K // 2, N), 0, 256,
+                                jnp.int32).astype(jnp.uint8)
+    scales = jax.random.uniform(key, (K // G, N), jnp.float32) * 0.01
+    bias = jax.random.normal(key, (N,), jnp.float32)
+    res = jax.random.normal(key, (2, N), jnp.bfloat16)
+    x = jax.random.normal(key, (2, K), jnp.bfloat16)
+    base = int4_matmul(x, packed, scales, G, interpret=True)  # bf16
+    w1 = (base.astype(jnp.float32)
+          + bias.astype(jnp.bfloat16).astype(jnp.float32)).astype(jnp.bfloat16)
+    want = (w1.astype(jnp.float32) + res.astype(jnp.float32)
+            ).astype(jnp.bfloat16)
+    got = int4_matmul_fused(x, packed, scales, G, bias=bias, residual=res,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))

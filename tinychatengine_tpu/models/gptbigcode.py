@@ -17,9 +17,26 @@ import jax.numpy as jnp
 
 from tinychatengine_tpu.core.config import ModelConfig
 from tinychatengine_tpu.generation import kv_cache as kvc
+from tinychatengine_tpu.ops import int4_matmul as int4m
 from tinychatengine_tpu.ops import ref
 from tinychatengine_tpu.ops.attention import attention_xla, flash_decode, flash_prefill
-from tinychatengine_tpu.ops.linear import DenseLinear, apply_linear, row_parallel
+from tinychatengine_tpu.ops.int4_matmul import SUPERBLOCK, int4_matmul_fused
+from tinychatengine_tpu.ops.linear import (
+    DenseLinear,
+    Int4Linear,
+    apply_linear,
+    row_parallel,
+)
+
+
+def _fusable(p, group_size: int) -> bool:
+    """Int4Linear whose K is superblock-tileable with sublane-aligned scale
+    rows (bias is fine — the fused kernel has a bias epilogue)."""
+    if not isinstance(p, Int4Linear):
+        return False
+    k = 2 * p.packed.shape[-2]
+    return (k % SUPERBLOCK == 0 and (k // group_size) % 8 == 0
+            and p.packed.shape[-1] % 128 == 0)
 
 NEG_INF = -1e30
 
@@ -78,12 +95,33 @@ def forward(params: GPTBigCodeParams, cfg: ModelConfig, input_ids: jax.Array,
         return jax.lax.dynamic_index_in_dim(stacked, layer_idx, 0,
                                             keepdims=False)
 
+    # decode fast path: LayerNorms, linear biases and residual adds fold
+    # into the int4 matmul kernels (same glue elimination as models/llama.py
+    # — see ops/int4_matmul.py int4_matmul_fused; eligibility static at
+    # trace time)
+    fused = (int4m.FUSED_DECODE and s == 1
+             and (jax.default_backend() == "tpu" or int4m.FUSED_FORCE))
+    if fused:
+        gs = (layers.c_attn.group_size
+              if isinstance(layers.c_attn, Int4Linear) else 0)
+        fused = gs > 0 and all(
+            _fusable(p, gs) for p in (layers.c_attn, layers.c_proj,
+                                      layers.fc_in, layers.fc_out))
+    interp = jax.default_backend() != "tpu"
+
     def step(carry, layer_idx):
         x, cache = carry
 
-        h = ref.layer_norm_ref(x, unstack(layers.ln1_w, layer_idx),
-                               unstack(layers.ln1_b, layer_idx))
-        qkv = apply_linear(layers.c_attn, h, layer_idx=layer_idx)
+        if fused:  # LayerNorm + c_attn bias in the qkv kernel
+            qkv = int4_matmul_fused(
+                x, layers.c_attn.packed, layers.c_attn.scales, gs,
+                layer_idx=layer_idx, norm_w=layers.ln1_w,
+                norm_b=layers.ln1_b, bias=layers.c_attn.bias,
+                interpret=interp)
+        else:
+            h = ref.layer_norm_ref(x, unstack(layers.ln1_w, layer_idx),
+                                   unstack(layers.ln1_b, layer_idx))
+            qkv = apply_linear(layers.c_attn, h, layer_idx=layer_idx)
         nq = qkv.shape[-1] - 2 * d                       # [B, S, Hq*D + 2D]
         hq = nq // d
         q = qkv[..., :nq].reshape(b, s, hq, d)
@@ -108,18 +146,40 @@ def forward(params: GPTBigCodeParams, cfg: ModelConfig, input_ids: jax.Array,
         else:
             ck, cv = kvc.read_layer(cache2, layer_idx)  # [B, 1, Smax, D]
             attn = attention_xla(q, ck, cv, positions, start + s)
-        # row-parallel: bias added once AFTER the psum (Megatron bias rule)
-        attn = row_parallel(layers.c_proj, attn.astype(x.dtype), tp_axis,
-                            layer_idx=layer_idx)
-        x = x + attn.astype(x.dtype)
+        if fused and tp_axis is None:  # c_proj bias + residual in-kernel
+            x = int4_matmul_fused(attn.astype(x.dtype),
+                                  layers.c_proj.packed, layers.c_proj.scales,
+                                  gs, layer_idx=layer_idx,
+                                  bias=layers.c_proj.bias, residual=x,
+                                  interpret=interp)
+        else:
+            # row-parallel: bias added once AFTER the psum (Megatron rule)
+            attn = row_parallel(layers.c_proj, attn.astype(x.dtype), tp_axis,
+                                layer_idx=layer_idx)
+            x = x + attn.astype(x.dtype)
 
-        h2 = ref.layer_norm_ref(x, unstack(layers.ln2_w, layer_idx),
-                                unstack(layers.ln2_b, layer_idx))
-        f = ref.gelu_ref(apply_linear(layers.fc_in, h2, layer_idx=layer_idx)
-                         .astype(jnp.float32))
-        f = row_parallel(layers.fc_out, f.astype(h2.dtype), tp_axis,
-                         layer_idx=layer_idx)
-        x = x + f.astype(x.dtype)
+        if fused:  # LayerNorm + fc_in bias in the kernel; gelu stays XLA
+            f = ref.gelu_ref(int4_matmul_fused(
+                x, layers.fc_in.packed, layers.fc_in.scales, gs,
+                layer_idx=layer_idx, norm_w=layers.ln2_w,
+                norm_b=layers.ln2_b, bias=layers.fc_in.bias,
+                interpret=interp).astype(jnp.float32))
+        else:
+            h2 = ref.layer_norm_ref(x, unstack(layers.ln2_w, layer_idx),
+                                    unstack(layers.ln2_b, layer_idx))
+            f = ref.gelu_ref(apply_linear(layers.fc_in, h2,
+                                          layer_idx=layer_idx)
+                             .astype(jnp.float32))
+        if fused and tp_axis is None:
+            x = int4_matmul_fused(f.astype(x.dtype),
+                                  layers.fc_out.packed, layers.fc_out.scales,
+                                  gs, layer_idx=layer_idx,
+                                  bias=layers.fc_out.bias, residual=x,
+                                  interpret=interp)
+        else:
+            f = row_parallel(layers.fc_out, f.astype(x.dtype), tp_axis,
+                             layer_idx=layer_idx)
+            x = x + f.astype(x.dtype)
         return (x, cache2), None
 
     (x, cache), _ = jax.lax.scan(
@@ -127,10 +187,18 @@ def forward(params: GPTBigCodeParams, cfg: ModelConfig, input_ids: jax.Array,
     n_new = jnp.asarray(s, jnp.int32) if true_len is None else true_len
     cache = kvc.advance(cache, n_new)
 
-    x = ref.layer_norm_ref(x, params.lnf_w, params.lnf_b)
     if not full_logits:
         x = jax.lax.dynamic_slice_in_dim(x, n_new - 1, 1, axis=1)
-    logits = apply_linear(params.lm_head, x).astype(jnp.float32)
+    if fused and isinstance(params.lm_head, Int4Linear) \
+            and _fusable(params.lm_head, params.lm_head.group_size):
+        logits = int4_matmul_fused(
+            x, params.lm_head.packed, params.lm_head.scales,
+            params.lm_head.group_size, norm_w=params.lnf_w,
+            norm_b=params.lnf_b, bias=params.lm_head.bias,
+            interpret=interp).astype(jnp.float32)
+    else:
+        x = ref.layer_norm_ref(x, params.lnf_w, params.lnf_b)
+        logits = apply_linear(params.lm_head, x).astype(jnp.float32)
     if tp_axis is not None:
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     return (logits if full_logits else logits[:, 0, :]), cache

@@ -21,7 +21,6 @@ TPU-first design decisions vs the reference:
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Optional
 
 import jax
@@ -46,24 +45,14 @@ from tinychatengine_tpu.ops.linear import (
 
 NEG_INF = -1e30
 
-# Decode fast path: RMS norms and residual adds fold into the int4 matmul
-# kernels (ops/int4_matmul.py int4_matmul_fused) — at decode each of those
-# [1, E] ops is otherwise its own device kernel, ~186 us/step of launch
-# overhead across 32 layers (scripts/bisect_decode.py). Env toggle for A/B;
-# "force" enables it off-TPU via interpret-mode kernels (CPU glue tests).
-# Default OFF until the on-chip Mosaic validation + A/B lands (interpret-mode
-# tests cannot prove chip lowering — CLAUDE.md); flip to "1" then.
-FUSED_DECODE = os.environ.get("TCE_DECODE_FUSED", "0") != "0"
-FUSED_FORCE = os.environ.get("TCE_DECODE_FUSED", "") == "force"
-
-
 def _fusable(p, group_size: int) -> bool:
     """The fused kernel needs an Int4Linear without bias whose K is
     superblock-tileable with f32-sublane-aligned scale rows."""
     if not isinstance(p, Int4Linear) or p.bias is not None:
         return False
     k = 2 * p.packed.shape[-2]
-    return k % SUPERBLOCK == 0 and (k // group_size) % 8 == 0
+    return (k % SUPERBLOCK == 0 and (k // group_size) % 8 == 0
+            and p.packed.shape[-1] % 128 == 0)
 
 
 def _pytree(cls):
@@ -153,9 +142,10 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
     # decode fast path eligibility (static at trace time); applies to both
     # the contiguous and the paged (serving) decode — the norm/rope/residual
     # fusions are independent of the KV layout
-    fused = (FUSED_DECODE and s == 1
+    from tinychatengine_tpu.ops import int4_matmul as int4m
+    fused = (int4m.FUSED_DECODE and s == 1
              and cfg.head_dim in (64, 128, 256)  # rope epilogue tiling
-             and (jax.default_backend() == "tpu" or FUSED_FORCE))
+             and (jax.default_backend() == "tpu" or int4m.FUSED_FORCE))
     interp = jax.default_backend() != "tpu"  # forced-on CPU tests interpret
     if fused:
         gs = (layers.wqkv.group_size if isinstance(layers.wqkv, Int4Linear)

@@ -41,6 +41,17 @@ from tinychatengine_tpu.quant.packing import PLANE, SUPERBLOCK
 
 ZERO_POINT = 8
 
+# Decode fast path master switches (read by the model forwards at trace
+# time): fold norms / RoPE / biases / residual adds into the matmul kernels
+# via int4_matmul_fused — at decode each of those [1, E] ops is otherwise
+# its own device kernel, ~186 us/step of launch overhead across 32 layers
+# (scripts/bisect_decode.py). "force" enables the path off-TPU through
+# interpret-mode kernels (CPU glue tests). Default OFF until the on-chip
+# Mosaic validation + A/B lands (interpret-mode tests cannot prove chip
+# lowering — CLAUDE.md); flip to "1" then.
+FUSED_DECODE = os.environ.get("TCE_DECODE_FUSED", "0") != "0"
+FUSED_FORCE = os.environ.get("TCE_DECODE_FUSED", "") == "force"
+
 # Per-shape decode (M < 512) blocking overrides, (K, N) → (block_n, block_k).
 # EMPTY after a 5-round end-to-end study (scripts/ab_bench_blocks.py):
 # with 256-token decode runs and interleaved configs, every candidate
@@ -488,23 +499,38 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
 
 
 def _fused_kernel(layer_ref, x_ref, w_ref, s_ref, *rest, group_size: int,
-                  block_k: int, has_norm: bool, has_res: bool,
+                  block_k: int, has_norm: bool, has_norm_b: bool,
+                  has_bias: bool, has_res: bool,
                   has_rope: bool, qk_cols: int, head_dim: int,
                   norm_eps: float):
     """Single-K-step variant of _int4_matmul_kernel with optional in-kernel
-    RMS norm (prologue) and rotate-half RoPE / residual add (epilogues).
-    Grid (I, J, 1). Operand order: [norm_w][cos, sin][residual]."""
+    norm (prologue: RMSNorm, or LayerNorm when a norm bias rides along) and
+    rotate-half RoPE / linear-bias / residual add (epilogues).
+    Grid (I, J, 1). Operand order: [norm_w][norm_b][cos, sin][bias][residual]."""
     i = 0
-    nw_ref = cos_ref = sin_ref = res_ref = None
+    nw_ref = nb_ref = cos_ref = sin_ref = bias_ref = res_ref = None
     if has_norm:
         nw_ref = rest[i]; i += 1
+    if has_norm_b:
+        nb_ref = rest[i]; i += 1
     if has_rope:
         cos_ref, sin_ref = rest[i], rest[i + 1]; i += 2
+    if has_bias:
+        bias_ref = rest[i]; i += 1
     if has_res:
         res_ref = rest[i]; i += 1
     o_ref, acc_ref = rest[i], rest[i + 1]
 
-    if has_norm:
+    if has_norm and has_norm_b:
+        # identical op order to ops.ref.layer_norm_ref (OPT/GPTBigCode):
+        # f32 mean, variance, rsqrt, weight multiply, bias add, bf16 round
+        xf = x_ref[:].astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        xn = ((xf - mu) * jax.lax.rsqrt(var + norm_eps)
+              * nw_ref[0].astype(jnp.float32)
+              + nb_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    elif has_norm:
         # identical op order to ops.ref.rms_norm_ref: f32 mean-square, rsqrt,
         # scale, weight multiply, round to bf16 — then the standard dot path
         xf = x_ref[:].astype(jnp.float32)
@@ -558,6 +584,12 @@ def _fused_kernel(layer_ref, x_ref, w_ref, s_ref, *rest, group_size: int,
         roped = yf * cosb + rotated * sinb
         col0 = pl.program_id(1) * bn
         y = jnp.where(lane + col0 < qk_cols, roped, yf).astype(o_ref.dtype)
+    if has_bias:
+        # parity with apply_linear: bias is pre-cast to the output dtype by
+        # the wrapper; the add computes in f32 and rounds once (XLA bf16-add
+        # semantics)
+        y = (y.astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+             ).astype(o_ref.dtype)
     if has_res:
         # matches the unfused path exactly: the kernel output is rounded to
         # bf16 FIRST, then added to the residual (XLA computes the add in
@@ -571,8 +603,9 @@ def _fused_kernel(layer_ref, x_ref, w_ref, s_ref, *rest, group_size: int,
     jax.jit,
     static_argnames=("group_size", "block_m", "block_n", "norm_eps",
                      "qk_cols", "head_dim", "interpret", "out_dtype"))
-def _int4_matmul_fused_impl(x, packed, scales, layer_idx, norm_w, rope_cos,
-                            rope_sin, residual, *, group_size, block_m,
+def _int4_matmul_fused_impl(x, packed, scales, layer_idx, norm_w, norm_b,
+                            rope_cos, rope_sin, bias, residual, *,
+                            group_size, block_m,
                             block_n, norm_eps, qk_cols=0, head_dim=128,
                             interpret=False,
                             out_dtype=jnp.bfloat16):
@@ -586,11 +619,15 @@ def _int4_matmul_fused_impl(x, packed, scales, layer_idx, norm_w, rope_cos,
         scales = scales.astype(jnp.float32)
     grid = (m // block_m, n // block_n, 1)
     has_norm = norm_w is not None
+    has_norm_b = norm_b is not None
     has_rope = rope_cos is not None
+    has_bias = bias is not None
     has_res = residual is not None
+    assert has_norm or not has_norm_b
     assert not (has_rope and block_n % head_dim), (block_n, head_dim)
     kernel = functools.partial(
         _fused_kernel, group_size=group_size, block_k=k, has_norm=has_norm,
+        has_norm_b=has_norm_b, has_bias=has_bias,
         has_res=has_res, has_rope=has_rope, qk_cols=qk_cols,
         head_dim=head_dim, norm_eps=norm_eps)
 
@@ -605,17 +642,26 @@ def _int4_matmul_fused_impl(x, packed, scales, layer_idx, norm_w, rope_cos,
     ]
     args = [x.astype(jnp.bfloat16), packed.reshape(n_layers * kp, n),
             scales.reshape(n_layers * sg, n)]
+    nw_spec = pl.BlockSpec((1, 1, k), lambda i, j, kb, lref: (lref[0], 0, 0),
+                           memory_space=pltpu.VMEM)
     if has_norm:
-        in_specs.append(pl.BlockSpec(
-            (1, 1, k), lambda i, j, kb, lref: (lref[0], 0, 0),
-            memory_space=pltpu.VMEM))
+        in_specs.append(nw_spec)
         args.append(norm_w.reshape(n_layers, 1, k))
+    if has_norm_b:
+        in_specs.append(nw_spec)
+        args.append(norm_b.reshape(n_layers, 1, k))
     if has_rope:
         rspec = pl.BlockSpec((block_m, head_dim),
                              lambda i, j, kb, lref: (i, 0),
                              memory_space=pltpu.VMEM)
         in_specs += [rspec, rspec]
         args += [rope_cos.astype(jnp.float32), rope_sin.astype(jnp.float32)]
+    if has_bias:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, block_n), lambda i, j, kb, lref: (lref[0], 0, j),
+            memory_space=pltpu.VMEM))
+        # pre-cast to the output dtype = apply_linear's bias.astype(y.dtype)
+        args.append(bias.reshape(n_layers, 1, n).astype(out_dtype))
     if has_res:
         in_specs.append(pl.BlockSpec(
             (block_m, block_n), lambda i, j, kb, lref: (i, j),
@@ -649,22 +695,27 @@ def _int4_matmul_fused_impl(x, packed, scales, layer_idx, norm_w, rope_cos,
 def int4_matmul_fused(x: jax.Array, packed: jax.Array, scales: jax.Array,
                       group_size: int = 128, *, layer_idx=None,
                       norm_w: jax.Array | None = None,
+                      norm_b: jax.Array | None = None,
                       norm_eps: float = 1e-5,
                       rope_cos: jax.Array | None = None,
                       rope_sin: jax.Array | None = None,
                       rope_qk_cols: int = 0, head_dim: int = 128,
+                      bias: jax.Array | None = None,
                       residual: jax.Array | None = None,
                       block_n: int | None = None,
                       interpret: bool = False) -> jax.Array:
-    """Decode matmul with optional fused RMS-norm prologue and RoPE /
+    """Decode matmul with optional fused norm prologue and RoPE / bias /
     residual-add epilogues:
-        y = rope(rms_norm(x, norm_w, eps) @ dequant(W))  (+ residual).
+        y = rope(norm(x) @ dequant(W))  (+ bias) (+ residual).
 
     x: [..., K]; packed/scales stacked [L, K//2, N] / [L, K//G, N] with
     ``layer_idx``, or unstacked [K//2, N] / [K//G, N] (wrapped as L=1).
-    norm_w: [L, K] (or [K] unstacked) RMSNorm weight; residual: same shape
-    as the output. rope_cos/rope_sin: [M, head_dim] pre-gathered rows for
-    each activation row; rotate-half RoPE is applied to the leading
+    norm_w: [L, K] (or [K] unstacked) norm weight — RMSNorm (llama), or
+    LayerNorm when ``norm_b`` rides along (OPT/GPTBigCode,
+    ops.ref.layer_norm_ref op order). bias: [L, N] / [N] linear bias
+    (apply_linear parity: cast to out dtype, one rounded add). residual:
+    same shape as the output. rope_cos/rope_sin: [M, head_dim] pre-gathered
+    rows for each activation row; rotate-half RoPE is applied to the leading
     ``rope_qk_cols`` output columns (the q|k block of a fused qkv
     projection). Intended for small-M decode shapes; prefill keeps the
     blocked streaming kernel (launch overhead amortizes at M >= 512)."""
@@ -677,6 +728,10 @@ def int4_matmul_fused(x: jax.Array, packed: jax.Array, scales: jax.Array,
         layer_idx = 0
         if norm_w is not None and norm_w.ndim == 1:
             norm_w = norm_w[None]
+        if norm_b is not None and norm_b.ndim == 1:
+            norm_b = norm_b[None]
+        if bias is not None and bias.ndim == 1:
+            bias = bias[None]
     assert layer_idx is not None
     kp, n = packed.shape[-2:]
     assert kp == k // 2 and k % SUPERBLOCK == 0
@@ -712,8 +767,9 @@ def int4_matmul_fused(x: jax.Array, packed: jax.Array, scales: jax.Array,
         block_n = _pick_block(n, block_n - block_n % head_dim, head_dim)
 
     y = _int4_matmul_fused_impl(
-        x2.astype(jnp.bfloat16), packed, scales, layer_idx, norm_w, cos2,
-        sin2, res2, group_size=group_size, block_m=block_m, block_n=block_n,
+        x2.astype(jnp.bfloat16), packed, scales, layer_idx, norm_w, norm_b,
+        cos2, sin2, bias, res2,
+        group_size=group_size, block_m=block_m, block_n=block_n,
         norm_eps=float(norm_eps), qk_cols=int(rope_qk_cols),
         head_dim=int(head_dim), interpret=interpret)
     return y[:m].reshape(*orig_shape[:-1], n)
