@@ -192,3 +192,35 @@ def test_scaling_harness_runs():
     r = run_config(params_fn, cfg, QuantConfig(scheme="fp"), 2, 4,
                    prompt_len=4, n_decode=3, trials=1)
     assert r["mesh"] == "2x4" and r["tokens_per_s"] > 0
+
+
+def test_tp_fused_decode_matches_single_device(monkeypatch):
+    """Fused decode under TP (CPU mesh, interpret kernels): qkv/gate_up run
+    the fused kernel on their LOCAL column shards (norm on replicated x,
+    rope on the local [q|k] block), while wo/down stay unfused so the psum
+    runs before the residual add. One decode step vs the 1-device run."""
+    from tinychatengine_tpu.ops import int4_matmul as int4m
+
+    cfg = TINY
+    n_model = 2
+    params = llama.init_random_params(cfg, QuantConfig(scheme="w4a16"),
+                                      seed=3)
+    params_n = llama.init_random_params(cfg, QuantConfig(scheme="w4a16"),
+                                        seed=3, tp_degree=n_model)
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9]], jnp.int32)
+    tok = jnp.asarray([[7]], jnp.int32)
+
+    # oracle: unfused single device
+    _, c1 = llama.forward(params, cfg, ids, _cache(cfg), jnp.int32(0))
+    lg_1, _ = llama.forward(params, cfg, tok, c1, jnp.int32(6))
+
+    mesh = make_mesh(n_data=1, n_model=n_model)
+    sp = shard_params(params_n, mesh)
+    tp_fwd = make_tp_forward(mesh)
+    _, cn = tp_fwd(sp, cfg, ids, shard_cache(_cache(cfg), mesh), jnp.int32(0))
+    monkeypatch.setattr(int4m, "FUSED_DECODE", True)
+    monkeypatch.setattr(int4m, "FUSED_FORCE", True)
+    lg_n, _ = tp_fwd(sp, cfg, tok, cn, jnp.int32(6))
+
+    np.testing.assert_allclose(np.asarray(lg_1), np.asarray(lg_n),
+                               rtol=2e-2, atol=2e-2)
