@@ -250,3 +250,46 @@ def test_flash_prefill_ragged_starts():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(want, np.float32),
                                rtol=0.05, atol=0.05)
+
+
+def test_flash_decode_ctx_cap_matches_uncapped():
+    """ctx_cap trims the streamed grid (and drops to 128-row blocks for
+    short caps) without changing results, for lengths at/below the cap."""
+    import jax
+
+    from tinychatengine_tpu.ops.attention import flash_decode
+
+    rng = np.random.default_rng(7)
+    L, B, H, S, D, hq = 2, 2, 2, 2048, 128, 4
+    ck = jnp.asarray(rng.standard_normal((L, B, H, S, D)), jnp.bfloat16)
+    cv = jnp.asarray(rng.standard_normal((L, B, H, S, D)), jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((B, hq, D)), jnp.bfloat16)
+    for lengths, cap in (([96, 40], 336), ([500, 512], 512),
+                         ([1, 2], 64), ([700, 300], 1024)):
+        lv = jnp.asarray(lengths, jnp.int32)
+        want = flash_decode(q, ck, cv, jnp.int32(1), lv, interpret=True)
+        got = flash_decode(q, ck, cv, jnp.int32(1), lv, ctx_cap=cap,
+                           interpret=True)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=3e-2, atol=3e-2), (lengths, cap)
+
+
+def test_flash_decode_ctx_cap_sliding_window():
+    import jax
+
+    from tinychatengine_tpu.ops.attention import flash_decode
+
+    rng = np.random.default_rng(8)
+    L, B, H, S, D, hq = 1, 1, 2, 1024, 128, 4
+    ck = jnp.asarray(rng.standard_normal((L, B, H, S, D)), jnp.bfloat16)
+    cv = jnp.asarray(rng.standard_normal((L, B, H, S, D)), jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((B, hq, D)), jnp.bfloat16)
+    lv = jnp.asarray([300], jnp.int32)
+    want = flash_decode(q, ck, cv, jnp.int32(0), lv, window=128,
+                        interpret=True)
+    got = flash_decode(q, ck, cv, jnp.int32(0), lv, window=128, ctx_cap=320,
+                       interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=3e-2, atol=3e-2)

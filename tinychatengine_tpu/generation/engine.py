@@ -230,9 +230,14 @@ class Engine:
         """
         input_ids = np.atleast_2d(np.asarray(input_ids, np.int32))
         b, n_prompt = input_ids.shape
+        n_tokens = n_tokens or gcfg.n_predict
+        # the loop's maximum context is known at trace time: trimming the
+        # flash-decode grid to it cuts the per-layer KV DMA at short
+        # contexts (ops/attention.py ctx_cap)
+        base = 0 if cache is None else int(np.asarray(cache.length).max())
+        ctx_cap = min(base + n_prompt + n_tokens, self.max_len)
         if cache is None:
             cache = self.new_cache()
-        n_tokens = n_tokens or gcfg.n_predict
         hcfg = _hashable_gcfg(gcfg)
 
         logits, cache = self.prefill(input_ids, cache)
@@ -248,21 +253,24 @@ class Engine:
 
         tokens, cache = _device_decode_loop(
             self.params, self.cfg, logits, cache, state, last,
-            jnp.asarray(n_prompt, jnp.int32), hcfg, n_tokens, self._forward)
+            jnp.asarray(n_prompt, jnp.int32), hcfg, n_tokens, self._forward,
+            ctx_cap)
         return (tokens, cache) if return_cache else tokens
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "gcfg", "n_tokens", "forward_fn"),
+                   static_argnames=("cfg", "gcfg", "n_tokens", "forward_fn",
+                                    "ctx_cap"),
                    donate_argnames=("cache",))
 def _device_decode_loop(params, cfg, logits, cache, state, last, pos, gcfg,
-                        n_tokens, forward_fn):
+                        n_tokens, forward_fn, ctx_cap=None):
     def step(carry, _):
         logits, cache, state, last, pos = carry
         tok, state = sampling.sample(logits, state, gcfg, last)
         if gcfg.repeat_last_n != 0:  # 0 = penalties disabled: never record
             last = jnp.roll(last, -1, axis=1).at[:, -1].set(tok)
-        logits, cache = forward_fn(params, cfg, tok[:, None], cache, pos)
+        logits, cache = forward_fn(params, cfg, tok[:, None], cache, pos,
+                                   ctx_cap=ctx_cap)
         return (logits, cache, state, last, pos + 1), tok
 
     # The final cache MUST be an output: a donated input buffer is only

@@ -77,7 +77,8 @@ class GPTBigCodeParams:
 def forward(params: GPTBigCodeParams, cfg: ModelConfig, input_ids: jax.Array,
             cache: kvc.KVCache, start: jax.Array,
             full_logits: bool = False, true_len: Optional[jax.Array] = None,
-            tp_axis: Optional[str] = None, input_embeds=None):
+            tp_axis: Optional[str] = None, input_embeds=None,
+            ctx_cap: Optional[int] = None):
     b, s = input_ids.shape
     d = cfg.head_dim
 
@@ -138,7 +139,8 @@ def forward(params: GPTBigCodeParams, cfg: ModelConfig, input_ids: jax.Array,
                 attn = flash_decode(
                     q[:, 0], cache2.k, cache2.v, layer_idx,
                     jnp.broadcast_to(start + 1, (b,)),
-                    cache2.k_scale, cache2.v_scale).reshape(b, 1, hq * d)
+                    cache2.k_scale, cache2.v_scale,
+                    ctx_cap=ctx_cap).reshape(b, 1, hq * d)
             else:
                 attn = flash_prefill(
                     q, cache2.k, cache2.v, layer_idx, start, start + s,

@@ -98,7 +98,8 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
             cache, start: jax.Array,
             input_embeds: Optional[jax.Array] = None,
             full_logits: bool = False, true_len: Optional[jax.Array] = None,
-            tp_axis: Optional[str] = None, page_table=None):
+            tp_axis: Optional[str] = None, page_table=None,
+            ctx_cap: Optional[int] = None):
     """One forward pass (prefill S>1 or decode S=1).
 
     input_ids: [B, S] int32; start: scalar int32 = number of cached tokens.
@@ -113,6 +114,8 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
     page_table: optional [B, max_pages] int32 — the cache is then a
     runtime.paged.PagedKVCache and S must be 1 (paged serving decode);
     ``start`` carries the per-sequence lengths.
+    ctx_cap: optional STATIC upper bound on start+s, forwarded to the flash
+    decode kernel (short-context KV-DMA trimming; see ops/attention.py).
     Returns (logits [B, V] of the LAST position — or [B, S, V] if
     full_logits — and the updated cache).
     """
@@ -257,7 +260,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
                     q[:, 0], cache2.k, cache2.v, layer_idx,
                     jnp.broadcast_to(start + 1, (b,)),
                     cache2.k_scale, cache2.v_scale,
-                    window=win).reshape(b, 1, hq * d)
+                    window=win, ctx_cap=ctx_cap).reshape(b, 1, hq * d)
             else:
                 attn = flash_prefill(
                     q, cache2.k, cache2.v, layer_idx, start, start + s,

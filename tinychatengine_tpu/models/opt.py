@@ -90,7 +90,8 @@ def _s8_requant_matmul(a_s8, b_s8, alpha, transpose_b=False):
 def forward(params: OPTParams, cfg: ModelConfig, input_ids: jax.Array,
             cache: kvc.KVCache, start: jax.Array,
             full_logits: bool = False, true_len: Optional[jax.Array] = None,
-            tp_axis: Optional[str] = None, input_embeds=None):
+            tp_axis: Optional[str] = None, input_embeds=None,
+            ctx_cap: Optional[int] = None):
     """Same contract as models.llama.forward. The int8/int4/fp path is
     selected by the parameter container types (static at trace time).
 
@@ -184,7 +185,8 @@ def forward(params: OPTParams, cfg: ModelConfig, input_ids: jax.Array,
                 attn = flash_decode(
                     q[:, 0].astype(jnp.bfloat16), cache2.k, cache2.v,
                     layer_idx, jnp.broadcast_to(start + 1, (b,)),
-                    cache2.k_scale, cache2.v_scale).reshape(b, 1, hq * d)
+                    cache2.k_scale, cache2.v_scale,
+                    ctx_cap=ctx_cap).reshape(b, 1, hq * d)
             else:
                 attn = flash_prefill(
                     q.astype(jnp.bfloat16), cache2.k, cache2.v, layer_idx,

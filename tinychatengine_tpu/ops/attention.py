@@ -132,12 +132,13 @@ def _decode_kernel(info_ref, q_ref, k_ref, v_ref, *rest, block_s: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_s", "sm_scale", "window", "interpret"))
+    static_argnames=("block_s", "sm_scale", "window", "n_blocks",
+                     "interpret"))
 def _flash_decode_impl(info, q, ck, cv, ks, vs, *, block_s, sm_scale,
-                       window, interpret):
+                       window, n_blocks=None, interpret=False):
     bq, hkv, g, d = q.shape
     smax = ck.shape[3]
-    nb = smax // block_s
+    nb = n_blocks or smax // block_s
     quantized = ks is not None
     grid = (bq, nb)
 
@@ -202,19 +203,31 @@ def _flash_decode_impl(info, q, ck, cv, ks, vs, *, block_s, sm_scale,
 def flash_decode(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
                  layer_idx, lengths, k_scale=None, v_scale=None, *,
                  sm_scale: float | None = None, block_s: int = 512,
-                 window: int | None = None,
+                 window: int | None = None, ctx_cap: int | None = None,
                  interpret: bool = False) -> jax.Array:
     """Single-step attention: q [B, Hq, D] against the stacked cache.
 
     cache_k/v: [L, B, H_kv, S_max, D] (bf16 or int8 with k/v_scale
     [L, B, H_kv, S_max]); layer_idx: traced scalar; lengths: [B] int32 valid
     KV lengths (keys at positions < lengths[b] participate).
+    ctx_cap: optional STATIC bound on every lengths[b] (the device decode
+    loop knows prompt+n_tokens at trace time). Blocks past the cap are cut
+    from the grid, and short caps drop to 128-row KV blocks: at the
+    default 512-row blocking a 96-token context still DMAs a full
+    [Hkv, 512, D] k+v pair per layer (~2 MB); capped, it fetches only the
+    128-row blocks that exist (~0.5 MB) — ~50 MB/step across 32 layers.
     Returns [B, Hq, D] in q.dtype.
     """
     b, hq, d = q.shape
     hkv, smax = cache_k.shape[2], cache_k.shape[3]
     g = hq // hkv
     block_s = min(block_s, smax)
+    n_blocks = None
+    if ctx_cap is not None and ctx_cap < smax:
+        bs = 128 if ctx_cap <= 512 else block_s  # small-DMA short-ctx mode
+        cap = min(-(-max(ctx_cap, 1) // bs) * bs, smax)
+        if cap < smax or bs != block_s:
+            block_s, n_blocks = bs, cap // bs
     assert smax % block_s == 0, (smax, block_s)
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
@@ -226,7 +239,7 @@ def flash_decode(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
     out = _flash_decode_impl(
         info, qg, cache_k, cache_v, k_scale, v_scale,
         block_s=block_s, sm_scale=float(sm_scale), window=window,
-        interpret=interpret)
+        n_blocks=n_blocks, interpret=interpret)
     return out.reshape(b, hq, d).astype(q.dtype)
 
 

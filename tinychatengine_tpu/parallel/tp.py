@@ -44,7 +44,8 @@ def make_tp_forward(mesh: Mesh, forward=llama.forward,
     tensor-parallel over mesh axis "model" and data-parallel over "data"."""
 
     def tp_forward(params, cfg, input_ids, cache, start, input_embeds=None,
-                   full_logits: bool = False, true_len=None, page_table=None):
+                   full_logits: bool = False, true_len=None, page_table=None,
+                   ctx_cap=None):
         pspecs = param_specs_fn(params)
         in_specs = (pspecs, P("data", None), _cache_specs(cache), P())
         args = (params, input_ids, cache, start)
@@ -68,7 +69,8 @@ def make_tp_forward(mesh: Mesh, forward=llama.forward,
                 kw["page_table"] = rest.pop(0)
             return forward(params, cfg, input_ids, cache, start,
                            input_embeds=embeds, full_logits=full_logits,
-                           true_len=tlen, tp_axis="model", **kw)
+                           true_len=tlen, tp_axis="model", ctx_cap=ctx_cap,
+                           **kw)
 
         out_specs = (P("data", None, None) if full_logits else P("data", None),
                      _cache_specs(cache))
