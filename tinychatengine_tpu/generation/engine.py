@@ -233,9 +233,13 @@ class Engine:
         n_tokens = n_tokens or gcfg.n_predict
         # the loop's maximum context is known at trace time: trimming the
         # flash-decode grid to it cuts the per-layer KV DMA at short
-        # contexts (ops/attention.py ctx_cap)
+        # contexts (ops/attention.py ctx_cap). Bucketed to powers of two so
+        # raw prompt lengths don't fragment the jit cache.
         base = 0 if cache is None else int(np.asarray(cache.length).max())
-        ctx_cap = min(base + n_prompt + n_tokens, self.max_len)
+        ctx_cap = 512
+        while ctx_cap < base + n_prompt + n_tokens:
+            ctx_cap *= 2
+        ctx_cap = min(ctx_cap, self.max_len)
         if cache is None:
             cache = self.new_cache()
         hcfg = _hashable_gcfg(gcfg)

@@ -190,14 +190,15 @@ class ServingEngine:
 
         self._jit_decode = jax.jit(
             functools.partial(_decode_step, forward_fn),
-            static_argnames=("cfg",), donate_argnames=("cache",))
+            static_argnames=("cfg", "ctx_cap"), donate_argnames=("cache",))
         self._jit_decode_paged = jax.jit(
             functools.partial(_decode_step_paged, forward_fn),
             static_argnames=("cfg",), donate_argnames=("cache",))
         self.tick_batch = max(int(tick_batch), 1)
         self._jit_decode_multi = jax.jit(
             functools.partial(_decode_multi, forward_fn),
-            static_argnames=("cfg", "n_ticks"), donate_argnames=("cache",))
+            static_argnames=("cfg", "n_ticks", "ctx_cap"),
+            donate_argnames=("cache",))
         self._jit_insert = _insert_slot  # jitted below (donates cache)
         # fused admission: final prefill chunk + slot/page splice + row-state
         # fold-in + first-token sample in ONE dispatch (the unfused path cost
@@ -436,10 +437,13 @@ class ServingEngine:
                 jnp.asarray(self._last), keep_mask, self._mu,
                 jnp.asarray(self._tables), n_ticks=k)
         else:
+            cap = _cap_bucket(
+                max(s_.length for s_ in self.slots) + k, self.max_len)
             seq, self.cache, self._keys, self._mu = self._jit_decode_multi(
                 self.params, self.cfg, jnp.asarray(self._next_tok),
                 self.cache, lengths, self._keys, self._row_params,
-                jnp.asarray(self._last), keep_mask, self._mu, None, n_ticks=k)
+                jnp.asarray(self._last), keep_mask, self._mu, None,
+                n_ticks=k, ctx_cap=cap)
         seq = np.asarray(seq)                               # [K, B]
         for t in range(k):
             for i, slot in enumerate(self.slots):
@@ -740,7 +744,9 @@ class ServingEngine:
                 jnp.asarray(self._tables))
         else:
             logits, self.cache = self._jit_decode(
-                self.params, self.cfg, toks, self.cache, lengths)
+                self.params, self.cfg, toks, self.cache, lengths,
+                ctx_cap=_cap_bucket(
+                    max(s_.length for s_ in self.slots) + 1, self.max_len))
         if self._per_row:
             tok, self._keys, self._mu = self._jit_sample_rows(
                 logits, self._keys, self._row_params, jnp.asarray(self._last),
@@ -880,9 +886,22 @@ def _set_param_row(full, row, idx):
     return jax.tree.map(lambda f, r: f.at[idx].set(r[0]), full, row)
 
 
-def _decode_step(forward_fn, params, cfg, tokens, cache, lengths):
+def _cap_bucket(needed: int, smax: int) -> int:
+    """Static ctx_cap bucket for the decode-tick jits: next power-of-two
+    multiple of 512 >= needed (so the per-tick recompile count is bounded by
+    log2(smax/512) while the flash kernel still skips dead KV blocks —
+    ops/attention.py ctx_cap)."""
+    cap = 512
+    while cap < needed:
+        cap *= 2
+    return min(cap, smax)
+
+
+def _decode_step(forward_fn, params, cfg, tokens, cache, lengths,
+                 ctx_cap=None):
     """One ragged decode step: tokens [B], lengths [B] → logits [B, V]."""
-    logits, cache = forward_fn(params, cfg, tokens[:, None], cache, lengths)
+    logits, cache = forward_fn(params, cfg, tokens[:, None], cache, lengths,
+                               ctx_cap=ctx_cap)
     return logits, cache
 
 
@@ -894,7 +913,8 @@ def _decode_step_paged(forward_fn, params, cfg, tokens, cache, lengths,
 
 
 def _decode_multi(forward_fn, params, cfg, tokens, cache, lengths, keys,
-                  rparams, last, keep_mask, mu, tables, *, n_ticks):
+                  rparams, last, keep_mask, mu, tables, *, n_ticks,
+                  ctx_cap=None):
     """K decode+sample ticks in ONE dispatch (lax.scan): the host-driven
     per-token scheduler costs 2-3 dispatch round-trips per tick (tunnel RTT
     ~25-30 ms makes that THE serving bottleneck; even local dispatch is
@@ -911,7 +931,7 @@ def _decode_multi(forward_fn, params, cfg, tokens, cache, lengths, keys,
         toks, cache, lengths, keys, last, mu = carry
         if tables is None:
             logits, cache = forward_fn(params, cfg, toks[:, None], cache,
-                                       lengths)
+                                       lengths, ctx_cap=ctx_cap)
         else:
             logits, cache = forward_fn(params, cfg, toks[:, None], cache,
                                        lengths, page_table=tables)
