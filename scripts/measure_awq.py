@@ -19,9 +19,13 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def main():
+    import os
+
     import jax
 
-    if jax.default_backend() != "tpu":
+    # CPU by default: the measurement is small-model and must not depend on
+    # the TPU tunnel being up (probing the backend would try to init it)
+    if os.environ.get("AWQ_ON_TPU", "") != "1":
         jax.config.update("jax_platforms", "cpu")
 
     from tinychatengine_tpu.core.config import QuantConfig, get_model_config
