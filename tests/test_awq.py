@@ -88,3 +88,42 @@ def test_awq_then_quantize_generates():
     ids = jnp.asarray([[5, 9, 11, 42]], jnp.int32)
     lg = _fwd(qparams, cfg, ids)
     assert np.isfinite(lg).all()
+
+
+def test_awq_convert_cli(tmp_path):
+    """End-to-end: HF llama -> --awq-calib conversion -> loadable quantized
+    checkpoint that generates."""
+    import torch
+    from safetensors.torch import save_file
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from tinychatengine_tpu.core.config import MODEL_REGISTRY
+    from tinychatengine_tpu.tools import convert as cv
+    from tinychatengine_tpu.tools.checkpoint import load_checkpoint
+
+    torch.manual_seed(3)
+    hf = LlamaForCausalLM(LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5,
+        attention_bias=False, tie_word_embeddings=False)).eval()
+    src = tmp_path / "hf"
+    src.mkdir()
+    sd = {k: v.clone().contiguous() for k, v in hf.state_dict().items()}
+    save_file(sd, str(src / "model.safetensors"))
+    calib = tmp_path / "calib.npy"
+    np.save(calib, np.random.default_rng(0).integers(0, 256, 2048))
+
+    cfg = ModelConfig(
+        name="awq_cli_tiny", family="llama", num_heads=4, num_kv_heads=2,
+        num_layers=2, max_sqlen=64, embed_dim=256, hidden_dim=512,
+        vocab_size=256, rms_norm_eps=1e-5)
+    MODEL_REGISTRY["awq_cli_tiny"] = cfg
+    out = tmp_path / "out"
+    cv.main(["--model", "awq_cli_tiny", "--src", str(src), "--out", str(out),
+             "--scheme", "w4a16", "--awq-calib", str(calib),
+             "--awq-windows", "4"])
+    params, qcfg = load_checkpoint(str(out), cfg)
+    assert qcfg.scheme == "w4a16"
+    lg = _fwd(params, cfg, jnp.asarray([[1, 2, 3]], jnp.int32))
+    assert np.isfinite(lg).all()

@@ -271,6 +271,24 @@ def convert_reference_llama(src: str, cfg: ModelConfig, qcfg: QuantConfig,
     )
 
 
+def _load_awq_calib(path: str, src: str, cfg, n_windows: int,
+                    window: int = 512):
+    """Calibration token windows [n, window] from a .npy id file or a text
+    file tokenized with the source checkpoint's tokenizer."""
+    p = Path(path)
+    if p.suffix == ".npy":
+        ids = np.load(p).reshape(-1).astype(np.int32)
+    else:
+        from tinychatengine_tpu.tools.checkpoint import load_tokenizer
+        tok = load_tokenizer(src, cfg)
+        ids = np.asarray(tok.encode(p.read_text(encoding="utf-8")), np.int32)
+    n = min(n_windows, max(len(ids) // window, 1))
+    usable = ids[:n * window]
+    if len(usable) < n * window:  # short file: pad by wrapping
+        usable = np.resize(ids, n * window)
+    return usable.reshape(n, window)
+
+
 def main(argv=None):
     from tinychatengine_tpu.tools.checkpoint import save_checkpoint
 
@@ -287,15 +305,40 @@ def main(argv=None):
     ap.add_argument("--vlm", action="store_true",
                     help="also convert the CLIP vision tower + mm_projector "
                          "from the same checkpoint (LLaVA/VILA)")
+    ap.add_argument("--awq-calib", default=None,
+                    help="calibration file for AWQ activation-aware scale "
+                         "search before int4 quantization (quant/awq.py): "
+                         "a .npy of token ids or a text file tokenized with "
+                         "the source tokenizer. llama family, HF source, "
+                         "w4a16/w4a8, --tp 1 only")
+    ap.add_argument("--awq-windows", type=int, default=16,
+                    help="number of 512-token calibration windows")
     args = ap.parse_args(argv)
 
     cfg = get_model_config(args.model)
     qcfg = QuantConfig(scheme=args.scheme, group_size=args.group_size)
     src = Path(args.src)
     is_ref = (src / "decoder").exists()
+    if args.awq_calib and (cfg.family != "llama" or is_ref or args.tp != 1
+                           or args.scheme not in ("w4a16", "w4a8")):
+        ap.error("--awq-calib: llama family, HF source, w4a16/w4a8, --tp 1")
     if cfg.family == "llama":
-        params = (convert_reference_llama(args.src, cfg, qcfg, args.tp)
-                  if is_ref else convert_hf_llama(args.src, cfg, qcfg, args.tp))
+        if args.awq_calib:
+            from tinychatengine_tpu.quant.awq import awq_scale_llama
+            fp_params = convert_hf_llama(
+                args.src, cfg, QuantConfig(scheme="fp"), 1)
+            calib = _load_awq_calib(args.awq_calib, args.src, cfg,
+                                    args.awq_windows)
+            scaled, info = awq_scale_llama(fp_params, cfg, calib,
+                                           args.group_size)
+            del fp_params
+            gc.collect()
+            print(f"awq alphas: { {k: v for k, v in info['alpha'].items()} }")
+            params = requantize_llama(scaled, qcfg)
+        else:
+            params = (convert_reference_llama(args.src, cfg, qcfg, args.tp)
+                      if is_ref
+                      else convert_hf_llama(args.src, cfg, qcfg, args.tp))
     elif cfg.family == "opt":
         if is_ref:
             params = convert_reference_opt(args.src, cfg,
