@@ -40,7 +40,8 @@ def _rel(got, want):
     return float(np.max(np.abs(got - want)) / (np.abs(want).max() + 1e-6))
 
 
-def test_fused_forward_contiguous_matches_unfused(force_fused):
+@pytest.mark.parametrize("quantized_kv", [False, True])
+def test_fused_forward_contiguous_matches_unfused(force_fused, quantized_kv):
     cfg, qcfg = FUSABLE, QuantConfig(scheme="w4a16")
     params = llama.init_random_params(cfg, qcfg, seed=0)
     rng = np.random.default_rng(0)
@@ -49,7 +50,8 @@ def test_fused_forward_contiguous_matches_unfused(force_fused):
 
     def cache():
         return kvc.init_cache(cfg.num_layers, 1, cfg.max_sqlen,
-                              cfg.num_kv_heads, cfg.head_dim)
+                              cfg.num_kv_heads, cfg.head_dim,
+                              quantized=quantized_kv)
 
     # prefill runs unfused either way (S > 1); decode step is the A/B
     _, c0 = llama.forward(params, cfg, ids, cache(), jnp.int32(0))
@@ -68,6 +70,11 @@ def test_fused_forward_contiguous_matches_unfused(force_fused):
     k_u = np.asarray(c_u.k[:, :, :, 6], np.float32)
     v_f = np.asarray(c_f.v[:, :, :, 6], np.float32)
     v_u = np.asarray(c_u.v[:, :, :, 6], np.float32)
+    if quantized_kv:  # int8 codes: compare dequantized values
+        k_f = k_f * np.asarray(c_f.k_scale[:, :, :, 6], np.float32)[..., None]
+        k_u = k_u * np.asarray(c_u.k_scale[:, :, :, 6], np.float32)[..., None]
+        v_f = v_f * np.asarray(c_f.v_scale[:, :, :, 6], np.float32)[..., None]
+        v_u = v_u * np.asarray(c_u.v_scale[:, :, :, 6], np.float32)[..., None]
     assert float(np.abs(k_f - k_u).max()) < 2e-2 * (np.abs(k_u).max() + 1e-6)
     assert float(np.abs(v_f - v_u).max()) < 2e-2 * (np.abs(v_u).max() + 1e-6)
 
