@@ -4,6 +4,7 @@ Variants (same packed int4 weights; scales cast per variant, so HBM holds
 one weight set + two small scale sets):
   base        unfused decode, f32 scales  (the r2 production path)
   fused       TCE_DECODE_FUSED path, f32 scales
+  base16      unfused decode + bf16 stored scales (fallback if fused fails)
   fused16     fused path + bf16 stored scales
 
 Correctness first (64-token greedy chain prefix agreement vs base), then the
@@ -95,6 +96,7 @@ def main():
     runners = {}
     for name, (p, fused) in (("base", (params, False)),
                              ("fused", (params, True)),
+                             ("base16", (p16, False)),
                              ("fused16", (p16, True))):
         eng = Engine(p, cfg, qcfg, batch=1, max_len=2048)
         g = GenerationConfig(temp=0.0, n_predict=N_LONG, repeat_penalty=1.1,
@@ -108,7 +110,7 @@ def main():
     # split after a near-tie on random weights; require a long common prefix)
     chains = {name: run(42, 64) for name, run in runners.items()}
     out = {}
-    for name in ("fused", "fused16"):
+    for name in ("fused", "base16", "fused16"):
         a, b = chains["base"], chains[name]
         prefix = int(np.argmax(a[0] != b[0])) if (a != b).any() else 64
         out[f"prefix_{name}"] = prefix

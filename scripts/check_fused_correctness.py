@@ -125,6 +125,48 @@ def main():
                                     head_dim=d)
             failures += not report("fused norm+rope", relerr(got, want))
 
+    # 3. ctx_cap flash decode (engine.py passes this UNGATED; the 128-row
+    #    KV-block mode is a block shape the chip has never lowered —
+    #    validate here before any bench relies on it; kill-switch
+    #    TCE_NO_CTXCAP if wrong)
+    from tinychatengine_tpu.ops.attention import attention_xla, flash_decode
+
+    def gerr(got, want):  # attention outputs cross zero — normalize globally
+        got = np.asarray(got, np.float32)
+        want = np.asarray(want, np.float32)
+        return float(np.max(np.abs(got - want)) / np.max(np.abs(want)))
+
+    Lc, B, HKV, SMAX, D = 2, 1, 8, 2048, 128
+    HQ = 32
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv = jax.random.split(key, 3)
+    ck = jax.random.normal(kk, (Lc, B, HKV, SMAX, D), jnp.bfloat16)
+    cv = jax.random.normal(kv, (Lc, B, HKV, SMAX, D), jnp.bfloat16)
+    qd = jax.random.normal(kq, (B, HQ, D), jnp.bfloat16)
+    for length, cap, tag in ((96, 512, "ctx_cap 128-blk"),
+                             (800, 1024, "ctx_cap grid-trim"),
+                             (96, None, "ctx_cap off")):
+        want = attention_xla(
+            qd[:, None], ck[1], cv[1],
+            jnp.full((B, 1), length - 1, jnp.int32), length
+        ).reshape(B, HQ, D)
+        got = flash_decode(qd, ck, cv, jnp.int32(1),
+                           jnp.full((B,), length, jnp.int32), ctx_cap=cap)
+        failures += not report(tag, gerr(got, want), tol=5e-2)
+    # int8 KV variant through the same capped path
+    ck8 = jnp.clip(jnp.round(ck.astype(jnp.float32) * 32), -127, 127
+                   ).astype(jnp.int8)
+    cv8 = jnp.clip(jnp.round(cv.astype(jnp.float32) * 32), -127, 127
+                   ).astype(jnp.int8)
+    ks = jnp.full((Lc, B, HKV, SMAX), 1 / 32, jnp.float32)
+    want = attention_xla(
+        qd[:, None], ck8[1].astype(jnp.float32).astype(jnp.bfloat16) / 32,
+        cv8[1].astype(jnp.float32).astype(jnp.bfloat16) / 32,
+        jnp.full((B, 1), 95, jnp.int32), 96).reshape(B, HQ, D)
+    got = flash_decode(qd, ck8, cv8, jnp.int32(1),
+                       jnp.full((B,), 96, jnp.int32), ks, ks, ctx_cap=512)
+    failures += not report("ctx_cap int8 KV", gerr(got, want), tol=5e-2)
+
     print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     sys.exit(1 if failures else 0)
 

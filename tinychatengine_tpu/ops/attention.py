@@ -30,6 +30,7 @@ The XLA fallback (attention_xla) is the correctness oracle and the CPU path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -223,6 +224,8 @@ def flash_decode(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
     g = hq // hkv
     block_s = min(block_s, smax)
     n_blocks = None
+    if os.environ.get("TCE_NO_CTXCAP"):  # emergency kill-switch: fall back
+        ctx_cap = None                   # to full-grid streaming
     if ctx_cap is not None and ctx_cap < smax:
         bs = 128 if ctx_cap <= 512 else block_s  # small-DMA short-ctx mode
         cap = min(-(-max(ctx_cap, 1) // bs) * bs, smax)
