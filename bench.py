@@ -40,7 +40,9 @@ def main():
                          repeat_last_n=64)
 
     prompt_len = 64
-    n_decode = 64
+    n_decode = 256  # >=256-token runs: the only decode-timing length that
+    # proved stable on this time-shared chip (PERF.md methodology rule;
+    # the r2 artifact's 64-token runs drifted ~2% between sessions)
     prefill_len = 2048  # one full-bucket prefill for the TTFT/prefill metric
 
     def run(seed, n_tokens, plen=prompt_len):
