@@ -1,0 +1,157 @@
+"""Deviceless Mosaic-lowering screen for the staged decode levers.
+
+The local libtpu can AOT-compile for a v5e topology WITHOUT hardware
+(jax.experimental.topologies compile-only devices). That runs the real
+Mosaic kernel compiler, so BlockSpec/layout legality errors (the class of
+failure interpret=True silently skips — CLAUDE.md) surface locally even
+while the TPU tunnel is down.
+
+LIMITS: this proves the kernels LOWER, not that they compute the right
+numbers on silicon (the zero-point-dot episode was a silent miscompile
+that lowered fine — PERF.md negative result #5). On-chip
+scripts/check_fused_correctness.py remains mandatory before flipping
+defaults. Version skew between the local libtpu and the tunnel's is
+possible but both are v5e toolchains.
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/aot_lowering_check.py
+"""
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_platforms", "cpu")
+
+from jax.experimental import topologies  # noqa: E402
+from jax.sharding import SingleDeviceSharding  # noqa: E402
+
+from tinychatengine_tpu.ops import int4_matmul as int4m  # noqa: E402
+from tinychatengine_tpu.ops.attention import flash_decode  # noqa: E402
+from tinychatengine_tpu.ops.int4_matmul import (  # noqa: E402
+    int4_matmul,
+    int4_matmul_fused,
+)
+
+G = 128
+SHAPES = [(4096, 6144), (4096, 4096), (4096, 28672), (14336, 4096)]
+
+
+def main():
+    topo = topologies.get_topology_desc("v5e:2x2", "tpu")
+    sh = SingleDeviceSharding(topo.devices[0])
+
+    def S(shape, dtype):
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=sh)
+
+    failures = 0
+
+    def check(name, fn, *args, static=(), **kwargs):
+        nonlocal failures
+        t0 = time.perf_counter()
+        try:
+            jax.jit(fn, static_argnames=static).lower(*args, **kwargs).compile()
+            print(f"  {name:42s} LOWERS  ({time.perf_counter() - t0:.1f}s)",
+                  flush=True)
+        except Exception as e:
+            failures += 1
+            msg = str(e).splitlines()[0][:150]
+            print(f"  {name:42s} FAILS   {type(e).__name__}: {msg}",
+                  flush=True)
+
+    L = 2
+    li = S((), jnp.int32)
+    for k, n in SHAPES:
+        print(f"shape ({k}->{n}):", flush=True)
+        x = S((1, k), jnp.bfloat16)
+        packed = S((L, k // 2, n), jnp.uint8)
+        for sd, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+            scales = S((L, k // G, n), sd)
+            check(f"int4_matmul stacked {tag} scales",
+                  functools.partial(int4_matmul, group_size=G),
+                  x, packed, scales, layer_idx=li)
+            check(f"fused norm+residual {tag} scales",
+                  functools.partial(int4_matmul_fused, group_size=G,
+                                    norm_eps=1e-5),
+                  x, packed, scales, layer_idx=li,
+                  norm_w=S((L, k), jnp.bfloat16),
+                  residual=S((1, n), jnp.bfloat16))
+        scales = S((L, k // G, n), jnp.float32)
+        check("fused layernorm+bias",
+              functools.partial(int4_matmul_fused, group_size=G,
+                                norm_eps=1e-5),
+              x, packed, scales, layer_idx=li,
+              norm_w=S((L, k), jnp.bfloat16), norm_b=S((L, k), jnp.bfloat16),
+              bias=S((L, n), jnp.float32))
+        if (k, n) == (4096, 6144):
+            check("fused norm+rope",
+                  functools.partial(int4_matmul_fused, group_size=G,
+                                    norm_eps=1e-5, rope_qk_cols=5120,
+                                    head_dim=128),
+                  x, packed, scales, layer_idx=li,
+                  norm_w=S((L, k), jnp.bfloat16),
+                  rope_cos=S((1, 128), jnp.float32),
+                  rope_sin=S((1, 128), jnp.float32))
+
+    # ctx_cap flash decode block modes (always-on in the engine loop)
+    print("flash_decode ctx_cap:", flush=True)
+    Lc, B, HKV, SMAX, D, HQ = 2, 1, 8, 2048, 128, 32
+    q = S((B, HQ, D), jnp.bfloat16)
+    lens = S((B,), jnp.int32)
+    for cap, tag in ((512, "128-blk"), (1024, "grid-trim"), (None, "off")):
+        ck = S((Lc, B, HKV, SMAX, D), jnp.bfloat16)
+        check(f"flash_decode bf16 KV ctx_cap={tag}",
+              functools.partial(flash_decode, ctx_cap=cap),
+              q, ck, ck, li, lens)
+    ck8 = S((Lc, B, HKV, SMAX, D), jnp.int8)
+    ks = S((Lc, B, HKV, SMAX), jnp.float32)
+    check("flash_decode int8 KV ctx_cap=128-blk",
+          functools.partial(flash_decode, ctx_cap=512),
+          q, ck8, ck8, li, lens, ks, ks)
+
+    # the whole fused decode step at the bench model size (the program
+    # bench.py will run with TCE_DECODE_FUSED=1)
+    print("full decode step (llama3_8b, fused):", flush=True)
+    from tinychatengine_tpu.core.config import QuantConfig, get_model_config
+    from tinychatengine_tpu.generation import kv_cache as kvc
+    from tinychatengine_tpu.models import llama
+
+    cfg = get_model_config("llama3_8b")
+    qcfg = QuantConfig(scheme="w4a16")
+    params = jax.eval_shape(
+        lambda: llama.init_random_params(cfg, qcfg, seed=0, max_pos=2048,
+                                         fast=True))
+    params = jax.tree.map(lambda t: S(t.shape, t.dtype), params)
+    cache = jax.eval_shape(lambda: kvc.init_cache(
+        cfg.num_layers, 1, 2048, cfg.num_kv_heads, cfg.head_dim))
+    cache = jax.tree.map(lambda t: S(t.shape, t.dtype), cache)
+    # the model's path selection reads jax.default_backend() (CPU here, so
+    # it would pick interpret-mode pallas = no Mosaic). Patch the MODULE
+    # attribute the model calls — JAX internals import their own reference
+    # and are unaffected; lowering itself targets the v5e topology devices.
+    saved = int4m.FUSED_DECODE
+    saved_backend = jax.default_backend
+    int4m.FUSED_DECODE = True
+    jax.default_backend = lambda: "tpu"
+    try:
+        check("llama3_8b fused decode step (s=1)",
+              functools.partial(llama.forward, cfg=cfg),
+              params, input_ids=S((1, 1), jnp.int32), cache=cache,
+              start=S((), jnp.int32), ctx_cap=512, static=("ctx_cap",))
+        int4m.FUSED_DECODE = False
+        check("llama3_8b UNFUSED decode step (s=1)",
+              functools.partial(llama.forward, cfg=cfg),
+              params, input_ids=S((1, 1), jnp.int32), cache=cache,
+              start=S((), jnp.int32), ctx_cap=512, static=("ctx_cap",))
+    finally:
+        int4m.FUSED_DECODE = saved
+        jax.default_backend = saved_backend
+
+    print("ALL LOWER" if failures == 0 else f"{failures} LOWERING FAILURES")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
