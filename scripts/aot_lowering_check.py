@@ -46,6 +46,9 @@ def main():
     def S(shape, dtype):
         return jax.ShapeDtypeStruct(shape, dtype, sharding=sh)
 
+    def S2(t, sharding):
+        return jax.ShapeDtypeStruct(t.shape, t.dtype, sharding=sharding)
+
     failures = 0
 
     def check(name, fn, *args, static=(), **kwargs):
@@ -147,6 +150,60 @@ def main():
               start=S((), jnp.int32), ctx_cap=512, static=("ctx_cap",))
     finally:
         int4m.FUSED_DECODE = saved
+        jax.default_backend = saved_backend
+
+    # the tensor-parallel serving step against REAL v5e compile-only devices
+    # (dryrun_multichip only exercises a virtual CPU mesh — this runs the
+    # sharded program incl. the Pallas kernels at per-shard shapes through
+    # the actual TPU compiler + Mosaic)
+    print("TP x DP step (4-way model parallel, v5e topology):", flush=True)
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from tinychatengine_tpu.core.config import ModelConfig
+    from tinychatengine_tpu.parallel.sharding import (
+        cache_spec,
+        llama_param_specs,
+        make_mesh,
+    )
+    from tinychatengine_tpu.parallel.tp import make_tp_forward
+
+    tcfg = ModelConfig(
+        name="aot_tp", family="llama", num_heads=8, num_kv_heads=4,
+        num_layers=2, max_sqlen=32, embed_dim=1024, hidden_dim=1024,
+        vocab_size=512, rms_norm_eps=1e-5)
+    mesh = make_mesh(n_data=1, n_model=4, devices=list(topo.devices))
+    # tiny config: build real (CPU) params just for shapes/dtypes
+    p_shapes = llama.init_random_params(tcfg, qcfg, seed=0, tp_degree=4)
+    specs = llama_param_specs(p_shapes)
+    tp_params = jax.tree.map(
+        lambda t, spec: None if t is None else jax.ShapeDtypeStruct(
+            t.shape, t.dtype, sharding=NamedSharding(mesh, spec)),
+        p_shapes, specs, is_leaf=lambda x: x is None)
+    c_shapes = kvc.init_cache(
+        tcfg.num_layers, 1, tcfg.max_sqlen, tcfg.num_kv_heads, tcfg.head_dim)
+    tp_cache = kvc.KVCache(
+        k=S2(c_shapes.k, NamedSharding(mesh, cache_spec())),
+        v=S2(c_shapes.v, NamedSharding(mesh, cache_spec())),
+        length=S2(c_shapes.length, NamedSharding(mesh, P())))
+    tp_forward = make_tp_forward(mesh)
+    rep = NamedSharding(mesh, P())
+    dat = NamedSharding(mesh, P("data", None))
+    jax.default_backend = lambda: "tpu"
+    try:
+        check("tp serving step (prefill s=8)",
+              functools.partial(tp_forward, cfg=tcfg),
+              tp_params,
+              input_ids=jax.ShapeDtypeStruct((1, 8), jnp.int32, sharding=dat),
+              cache=tp_cache,
+              start=jax.ShapeDtypeStruct((), jnp.int32, sharding=rep))
+        check("tp serving step (decode s=1)",
+              functools.partial(tp_forward, cfg=tcfg),
+              tp_params,
+              input_ids=jax.ShapeDtypeStruct((1, 1), jnp.int32, sharding=dat),
+              cache=tp_cache,
+              start=jax.ShapeDtypeStruct((), jnp.int32, sharding=rep))
+    finally:
         jax.default_backend = saved_backend
 
     print("ALL LOWER" if failures == 0 else f"{failures} LOWERING FAILURES")
