@@ -1,0 +1,303 @@
+"""OpenAI-compatible HTTP serving front-end (runtime/server.py).
+
+The reference has no network surface (llm/application/chat.cc is a blocking
+terminal REPL); these tests pin the REST layer's contract: wire shapes,
+SSE streaming, greedy exactness vs a solo Engine run, host-side stop-string
+cancellation, concurrent clients over continuous batching, and 400-class
+input validation.
+"""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from tinychatengine_tpu.core.config import (GenerationConfig, ModelConfig,
+                                            QuantConfig)
+from tinychatengine_tpu.generation.engine import Engine
+from tinychatengine_tpu.models import llama
+from tinychatengine_tpu.runtime.server import (InferenceServer, RequestError,
+                                               build_gcfg, render_messages)
+from tinychatengine_tpu.runtime.serving import ServingEngine
+from tinychatengine_tpu.tokenizers.byte_fallback import ByteTokenizer
+from tinychatengine_tpu.generation.chat_templates import (ChatTemplate,
+                                                          template_for)
+
+# short wraps so chat prompts fit the tiny model's 128-token context
+# (the real vicuna preamble alone exceeds it)
+TPL = ChatTemplate(first="S: {input}\nA: ", next="H: {input}\nA: ")
+
+
+def _tiny():
+    # vocab 384 >= ByteTokenizer's 258 ids (bos 256 / eos 257); pad ids
+    # decode to "" so they are harmless in text comparisons
+    cfg = ModelConfig(
+        name="tiny", family="llama", num_heads=4, num_kv_heads=2,
+        num_layers=2, max_sqlen=128, embed_dim=128, hidden_dim=256,
+        vocab_size=384, rms_norm_eps=1e-5)
+    qcfg = QuantConfig(scheme="fp")
+    params = llama.init_random_params(cfg, qcfg, seed=0)
+    return cfg, qcfg, params
+
+
+@pytest.fixture(scope="module")
+def served():
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=8, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    engine = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g)
+    server = InferenceServer(engine, ByteTokenizer(), model_name="tiny",
+                             template=TPL, request_timeout=120.0)
+    port = server.start(port=0)
+    yield server, port, (cfg, qcfg, params), g
+    server.close()
+
+
+def _post(port, path, body, timeout=120.0):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    conn.request("POST", path, json.dumps(body),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, json.loads(data)
+
+
+def _get(port, path):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30.0)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    data = json.loads(resp.read())
+    conn.close()
+    return resp.status, data
+
+
+def _sse_events(port, path, body, timeout=120.0):
+    """POST with stream=true; returns the list of decoded SSE data payloads
+    (dicts), asserting the stream terminates with [DONE]."""
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    conn.request("POST", path, json.dumps({**body, "stream": True}),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "text/event-stream"
+    raw = resp.read().decode()
+    conn.close()
+    events = []
+    saw_done = False
+    for line in raw.split("\n\n"):
+        line = line.strip()
+        if not line:
+            continue
+        assert line.startswith("data: "), line
+        payload = line[len("data: "):]
+        if payload == "[DONE]":
+            saw_done = True
+        else:
+            assert not saw_done, "payload after [DONE]"
+            events.append(json.loads(payload))
+    assert saw_done, "stream did not terminate with [DONE]"
+    return events
+
+
+def _solo_text(model, g, prompt_ids, n_predict):
+    cfg, qcfg, params = model
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=cfg.max_sqlen)
+    g = GenerationConfig(**{**g.__dict__, "n_predict": n_predict})
+    toks = eng.generate(np.asarray(prompt_ids, np.int32)[None, :], g).tokens[0]
+    return ByteTokenizer().decode(toks), list(toks)
+
+
+def test_health_and_models(served):
+    _, port, _, _ = served
+    st, h = _get(port, "/health")
+    assert st == 200 and h["status"] == "ok" and h["slots"] == 2
+    st, m = _get(port, "/v1/models")
+    assert st == 200 and m["data"][0]["id"] == "tiny"
+    st, _ = _get(port, "/nope")
+    assert st == 404
+
+
+def test_completion_matches_solo_engine(served):
+    _, port, model, g = served
+    prompt = "hello"
+    ids = ByteTokenizer().encode(prompt, bos=True)
+    want_text, want_toks = _solo_text(model, g, ids, 8)
+    st, out = _post(port, "/v1/completions", {
+        "prompt": prompt, "max_tokens": 8, "ignore_eos": True})
+    assert st == 200, out
+    assert out["object"] == "text_completion"
+    c = out["choices"][0]
+    assert c["text"] == want_text
+    assert c["finish_reason"] == "length"
+    assert out["usage"] == {"prompt_tokens": len(ids),
+                            "completion_tokens": len(want_toks),
+                            "total_tokens": len(ids) + len(want_toks)}
+
+
+def test_completion_pretokenized_prompt(served):
+    _, port, model, g = served
+    ids = [256, 104, 105]  # bos + "hi"
+    want_text, _ = _solo_text(model, g, ids, 6)
+    st, out = _post(port, "/v1/completions", {
+        "prompt": ids, "max_tokens": 6, "ignore_eos": True})
+    assert st == 200 and out["choices"][0]["text"] == want_text
+
+
+def test_chat_completion_wraps_template(served):
+    _, port, model, g = served
+    text = render_messages(TPL, [{"role": "user", "content": "hi"}])
+    ids = ByteTokenizer().encode(text, bos=True)
+    want_text, _ = _solo_text(model, g, ids, 8)
+    st, out = _post(port, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 8, "ignore_eos": True})
+    assert st == 200, out
+    assert out["object"] == "chat.completion"
+    msg = out["choices"][0]["message"]
+    assert msg["role"] == "assistant" and msg["content"] == want_text
+
+
+def test_streaming_sse_matches_nonstream(served):
+    _, port, _, _ = served
+    body = {"prompt": "stream me", "max_tokens": 8, "ignore_eos": True}
+    _, want = _post(port, "/v1/completions", body)
+    events = _sse_events(port, "/v1/completions", body)
+    assert all(e["object"] == "text_completion.chunk" for e in events)
+    text = "".join(e["choices"][0]["text"] for e in events)
+    assert text == want["choices"][0]["text"]
+    assert events[-1]["choices"][0]["finish_reason"] == "length"
+    assert all(e["choices"][0]["finish_reason"] is None for e in events[:-1])
+
+
+def test_streaming_chat_deltas(served):
+    _, port, _, _ = served
+    body = {"messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 6, "ignore_eos": True}
+    _, want = _post(port, "/v1/chat/completions", body)
+    events = _sse_events(port, "/v1/chat/completions", body)
+    assert events[0]["choices"][0]["delta"] == {"role": "assistant"}
+    text = "".join(e["choices"][0]["delta"].get("content", "")
+                   for e in events[1:])
+    assert text == want["choices"][0]["message"]["content"]
+
+
+def test_stop_string_truncates_and_frees_slot(served):
+    server, port, model, g = served
+    prompt = "stop test"
+    ids = ByteTokenizer().encode(prompt, bos=True)
+    full, _ = _solo_text(model, g, ids, 16)
+    # choose a stop string that actually occurs mid-output
+    printable = [ch for ch in full if ch.isprintable() and ch != " "]
+    if len(set(full)) < 2 or len(printable) < 1:
+        pytest.skip("random model produced no usable stop char")
+    stop = printable[len(printable) // 2]
+    head = full[:full.index(stop)]
+    st, out = _post(port, "/v1/completions", {
+        "prompt": prompt, "max_tokens": 16, "ignore_eos": True,
+        "stop": stop})
+    assert st == 200, out
+    c = out["choices"][0]
+    assert c["finish_reason"] == "stop"
+    assert c["text"] == head
+    assert stop not in c["text"]
+    # the cancel must actually free the engine slot (no zombie decode)
+    deadline = 50
+    while server.engine.n_active and deadline:
+        import time
+        time.sleep(0.1)
+        deadline -= 1
+    assert server.engine.n_active == 0
+
+
+def test_concurrent_clients_match_solo(served):
+    _, port, model, g = served
+    prompts = ["alpha", "bravo bravo", "c", "delta prompt four"]
+    want = [_solo_text(model, g, ByteTokenizer().encode(p, bos=True), 8)[0]
+            for p in prompts]
+    results = [None] * len(prompts)
+
+    def worker(i):
+        st, out = _post(port, "/v1/completions", {
+            "prompt": prompts[i], "max_tokens": 8, "ignore_eos": True})
+        results[i] = (st, out["choices"][0]["text"])
+
+    ts = [threading.Thread(target=worker, args=(i,))
+          for i in range(len(prompts))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    for i, (st, text) in enumerate(results):
+        assert st == 200 and text == want[i], (i, results[i], want[i])
+
+
+def test_per_request_sampling_params(served):
+    """Seeded sampling through the HTTP layer is reproducible, and distinct
+    seeds diverge (pins the per-row sampler wiring end-to-end)."""
+    _, port, _, _ = served
+    body = {"prompt": "sample", "max_tokens": 8, "ignore_eos": True,
+            "temperature": 1.0, "top_k": 0, "top_p": 1.0, "seed": 7}
+    _, a = _post(port, "/v1/completions", body)
+    _, b = _post(port, "/v1/completions", body)
+    assert a["choices"][0]["text"] == b["choices"][0]["text"]
+    _, c = _post(port, "/v1/completions", {**body, "seed": 8})
+    # 8 tokens of temp-1 sampling: equality with a different seed is ~0
+    assert c["choices"][0]["text"] != a["choices"][0]["text"]
+
+
+def test_bad_requests_are_400s(served):
+    _, port, _, _ = served
+    cases = [
+        ("/v1/completions", {"prompt": []}),                    # empty prompt
+        ("/v1/completions", {"prompt": "x", "n": 2}),           # n>1
+        ("/v1/completions", {"prompt": "x", "max_tokens": 0}),  # bad budget
+        ("/v1/completions", {"prompt": "x", "stop": 5}),        # bad stop
+        ("/v1/completions", {"prompt": "x", "temperature": "hot"}),
+        ("/v1/completions", {"prompt": "x" * 4096}),            # too long
+        ("/v1/completions", {"prompt": {"a": 1}}),              # bad type
+        ("/v1/chat/completions", {"messages": []}),
+        ("/v1/chat/completions", {"messages": [{"role": "tool",
+                                                "content": "x"}]}),
+        ("/v1/chat/completions", {"messages": [{"role": "system",
+                                                "content": "only sys"}]}),
+    ]
+    for path, body in cases:
+        st, out = _post(port, path, body)
+        assert st == 400, (path, body, st, out)
+        assert "error" in out
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30.0)
+    conn.request("POST", "/v1/completions", "{not json",
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
+
+
+def test_build_gcfg_returns_none_for_defaults(served):
+    server, _, _, _ = served
+    assert build_gcfg(server, {"prompt": "x", "max_tokens": 4}) is None
+    g = build_gcfg(server, {"temperature": 0.5})
+    assert g is not None and g.temp == 0.5
+    with pytest.raises(RequestError):
+        build_gcfg(server, {"temperature": -3.0})
+    with pytest.raises(RequestError):
+        build_gcfg(server, {"logit_bias": {"x": "y"}})
+
+
+def test_render_messages_multiturn():
+    tpl = template_for("tiny")
+    text = render_messages(tpl, [
+        {"role": "system", "content": "SYS"},
+        {"role": "user", "content": "u1"},
+        {"role": "assistant", "content": "a1"},
+        {"role": "user", "content": [{"type": "text", "text": "u2"}]},
+    ])
+    assert text.startswith("SYS\n\n")
+    assert tpl.first.replace("{image}", "").replace("{input}", "u1") in text
+    assert "a1\n" in text
+    assert tpl.next.replace("{image}", "").replace("{input}", "u2") in text
+    with pytest.raises(RequestError):
+        render_messages(tpl, [{"role": "assistant", "content": "no user"}])

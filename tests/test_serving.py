@@ -673,3 +673,69 @@ def test_prefix_cache_paged_and_int8_kv():
         assert r1.output_ids == want[0].output_ids, (paged, kv)
         assert r2.output_ids == want[1].output_ids, (paged, kv)
         assert srv.prefix_stats["hits"] == 1, (paged, kv)
+
+
+def test_cancel_all_lifecycle_stages():
+    """ServingEngine.cancel aborts a request at every stage — queued,
+    mid-chunked-admission, actively decoding — frees the slot for reuse,
+    and never perturbs the surviving requests' outputs."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=12, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=cfg.max_sqlen)
+    want_a = list(eng.generate(PROMPTS[0][None, :], g).tokens[0])
+    long_prompt = np.arange(10, 74, dtype=np.int32)  # 4 admission chunks
+
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g,
+                        admission_chunk=16, tick_batch=1)  # 1 token per step
+    ra = srv.submit(PROMPTS[0], n_predict=12)
+    rq = srv.submit(PROMPTS[2], n_predict=12)
+    # queued cancel (before any step): rq never ran
+    assert srv.cancel(rq) is True
+    assert rq.finished and rq.finish_reason == "cancelled"
+    assert rq.output_ids == [] and rq in srv.done
+    assert srv.cancel(rq) is False  # idempotent on finished requests
+
+    srv.step()  # admits ra
+    rb = srv.submit(long_prompt, n_predict=12)
+    srv.step()  # starts rb's chunked admission
+    assert srv._pending is not None
+    # mid-admission cancel: only prefill work lost, slot freed
+    assert srv.cancel(rb) is True
+    assert srv._pending is None and rb.finish_reason == "cancelled"
+
+    # active cancel: ra is decoding; cancel mid-stream
+    while len(ra.output_ids) < 4:
+        srv.step()
+    assert srv.cancel(ra) is True
+    assert ra.finish_reason == "cancelled"
+    assert ra.output_ids == want_a[:len(ra.output_ids)]
+    assert srv.n_active == 0
+
+    # the freed slots are fully reusable: a fresh request matches solo
+    rc = srv.submit(PROMPTS[0], n_predict=12)
+    srv.run()
+    assert rc.output_ids == want_a and rc.finish_reason == "length"
+
+
+def test_cancel_paged_frees_pages():
+    """Cancelling an active paged request returns every page to the pool
+    and points the slot's table row back at the dead page."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=10, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g, paged=True,
+                        page_size=16, tick_batch=1)
+    free0 = srv.allocator.n_free
+    ra = srv.submit(PROMPTS[0], n_predict=10)
+    rb = srv.submit(PROMPTS[1], n_predict=10)
+    for _ in range(3):
+        srv.step()
+    assert srv.cancel(ra) is True
+    assert srv.allocator.n_free > free0 - srv.allocator.pages_needed(
+        cfg.max_sqlen)
+    assert all(p == srv._dead_page
+               for p in srv._tables[[i for i, s in enumerate(srv.slots)
+                                     if s.request is None][0]])
+    srv.run()
+    assert rb.finished and srv.allocator.n_free == free0

@@ -1,0 +1,564 @@
+"""OpenAI-compatible HTTP serving front-end (stdlib-only).
+
+The reference's only user surface is an interactive terminal REPL
+(llm/application/chat.cc:125-222) — no network API, no concurrent clients,
+no streaming protocol. This module completes the serving stack the TPU
+framework builds above it (runtime/serving.py): a REST server speaking the
+OpenAI wire shapes so existing clients work unchanged:
+
+  GET  /health               liveness + engine counters
+  GET  /v1/models            model listing
+  POST /v1/completions       text completion (+ SSE streaming)
+  POST /v1/chat/completions  chat-template wrap (+ SSE streaming)
+
+Threading model: HTTP is thread-per-connection (ThreadingHTTPServer), but
+the ServingEngine is single-threaded by design (device arrays + host slot
+bookkeeping). Handler threads therefore NEVER touch the engine: they
+enqueue submit/cancel commands into an intake queue and block on a
+per-request event queue; ONE scheduler thread owns the engine — it drains
+intakes, ticks ``engine.step()`` (continuous batching: admissions
+interleave with decode), and fans tokens out through ``Request.on_token``.
+Host-side stop-STRING matching runs on the handler thread over the
+incrementally detokenized text (tokenizers/streaming.StreamDecoder) with
+prefix hold-back, and a match enqueues a cancel (ServingEngine.cancel) so
+the slot frees immediately instead of decoding to n_predict. Stop TOKENS
+ride into the engine and cut generation on-device-loop as usual.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from tinychatengine_tpu.core.config import GenerationConfig
+from tinychatengine_tpu.generation.chat_templates import ChatTemplate, template_for
+from tinychatengine_tpu.runtime.serving import ServingEngine
+from tinychatengine_tpu.tokenizers.streaming import StreamDecoder
+
+
+class RequestError(ValueError):
+    """400-class client error."""
+
+
+@dataclasses.dataclass
+class _Job:
+    """One in-flight HTTP generation, shared between its handler thread and
+    the scheduler thread. ``events`` carries ("tok", id) / ("done", reason) /
+    ("err", message); everything else is written once at submit time."""
+
+    ids: np.ndarray
+    n_predict: int
+    stop_ids: tuple
+    rcfg: GenerationConfig | None
+    events: queue.Queue = dataclasses.field(default_factory=queue.Queue)
+    req: object = None              # serving.Request, set by the scheduler
+
+
+class InferenceServer:
+    """OpenAI-shaped REST API over one continuous-batching ServingEngine."""
+
+    def __init__(self, engine: ServingEngine, tokenizer,
+                 model_name: str | None = None,
+                 template: ChatTemplate | None = None,
+                 request_timeout: float = 600.0):
+        self.engine = engine
+        self.tok = tokenizer
+        self.model_name = model_name or engine.cfg.name
+        self.template = template or template_for(self.model_name)
+        self.request_timeout = float(request_timeout)
+        self._intake: queue.Queue = queue.Queue()
+        self._jobs: dict[int, _Job] = {}        # id(Request) -> _Job
+        self._done_idx = 0                      # consumed prefix of engine.done
+        self._closing = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._httpd: ThreadingHTTPServer | None = None
+        self.port: int | None = None
+        self._counter = 0
+        self._counter_lock = threading.Lock()
+
+    # -- lifecycle -----------------------------------------------------------
+    def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
+        """Bind + serve; returns the bound port (port=0 picks a free one)."""
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._httpd.daemon_threads = True
+        self.port = self._httpd.server_address[1]
+        t_sched = threading.Thread(target=self._scheduler_loop,
+                                   name="tce-scheduler", daemon=True)
+        t_http = threading.Thread(target=self._httpd.serve_forever,
+                                  name="tce-http", daemon=True)
+        self._threads = [t_sched, t_http]
+        t_sched.start()
+        t_http.start()
+        return self.port
+
+    def close(self):
+        self._closing.set()
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        for t in self._threads:
+            t.join(timeout=10)
+
+    # -- scheduler thread (sole owner of the engine) ---------------------------
+    def _busy(self) -> bool:
+        e = self.engine
+        return bool(e.queue) or e._pending is not None or e.n_active > 0
+
+    def _scheduler_loop(self):
+        while not self._closing.is_set():
+            # drain intakes; block briefly only when the engine is idle
+            try:
+                cmd = self._intake.get(timeout=0.0 if self._busy() else 0.05)
+            except queue.Empty:
+                cmd = None
+            while cmd is not None:
+                self._apply(*cmd)
+                try:
+                    cmd = self._intake.get_nowait()
+                except queue.Empty:
+                    cmd = None
+            if not self._busy():
+                self._drain_done()  # a cancel can finish requests with no step
+                continue
+            try:
+                self.engine.step()
+            except Exception as exc:  # deliver instead of killing the thread
+                for job in list(self._jobs.values()):
+                    job.events.put(("err", f"{type(exc).__name__}: {exc}"))
+                    if job.req is not None:
+                        self.engine.cancel(job.req, reason="error")
+                self._jobs.clear()
+            self._drain_done()
+
+    def _apply(self, kind: str, job: _Job):
+        if kind == "submit":
+            try:
+                job.req = self.engine.submit(
+                    job.ids, n_predict=job.n_predict,
+                    stop_token_ids=job.stop_ids,
+                    on_token=lambda t, _r, _j=job: _j.events.put(("tok", t)),
+                    gcfg=job.rcfg)
+            except Exception as exc:
+                job.events.put(("err", f"{type(exc).__name__}: {exc}"))
+                return
+            self._jobs[id(job.req)] = job
+        elif kind == "cancel" and job.req is not None:
+            self.engine.cancel(job.req)  # completion delivered by _drain_done
+
+    def _drain_done(self):
+        done = self.engine.done
+        while self._done_idx < len(done):
+            req = done[self._done_idx]
+            self._done_idx += 1
+            job = self._jobs.pop(id(req), None)
+            if job is not None:
+                job.events.put(("done", req.finish_reason))
+
+    # -- handler-thread API ----------------------------------------------------
+    def submit(self, ids, n_predict: int, stop_ids, rcfg) -> _Job:
+        job = _Job(ids=np.asarray(ids, np.int32).reshape(-1),
+                   n_predict=n_predict, stop_ids=tuple(stop_ids), rcfg=rcfg)
+        self._intake.put(("submit", job))
+        return job
+
+    def cancel(self, job: _Job):
+        self._intake.put(("cancel", job))
+
+    def next_id(self, prefix: str) -> str:
+        with self._counter_lock:
+            self._counter += 1
+            return f"{prefix}-{int(time.time())}-{self._counter}"
+
+
+# -- OpenAI body mapping -------------------------------------------------------
+
+def _as_float(body, key, lo=None, hi=None):
+    v = body[key]
+    try:
+        v = float(v)
+    except (TypeError, ValueError):
+        raise RequestError(f"'{key}' must be a number")
+    if lo is not None and v < lo or hi is not None and v > hi:
+        raise RequestError(f"'{key}' out of range")
+    return v
+
+
+def build_gcfg(server: InferenceServer, body: dict) -> GenerationConfig | None:
+    """Map OpenAI sampling params onto GenerationConfig (reference
+    opt_params, llm/include/Generate.h:48-72). Unknown fields are ignored
+    like OpenAI does; unsupported *semantics* (n>1, best_of) are 400s.
+    Returns None when the request customizes nothing, so defaults ride the
+    engine-global sampler (works even on engines whose oversized logit_bias
+    disables the per-row path, serving.py submit())."""
+    if int(body.get("n", 1)) != 1 or int(body.get("best_of", 1)) != 1:
+        raise RequestError("only n=1 / best_of=1 is supported")
+    known = ("temperature", "top_p", "top_k", "seed", "frequency_penalty",
+             "presence_penalty", "repetition_penalty", "repeat_last_n",
+             "mirostat", "logit_bias")
+    if not any(body.get(k) is not None for k in known):
+        return None
+    g = dataclasses.replace(server.engine.gcfg)
+    if "temperature" in body:
+        g.temp = _as_float(body, "temperature", 0.0, 100.0)
+    if "top_p" in body:
+        g.top_p = _as_float(body, "top_p", 0.0, 1.0)
+    if "top_k" in body:                       # extension (llama.cpp-style)
+        g.top_k = int(body["top_k"])
+    if "seed" in body and body["seed"] is not None:
+        g.seed = int(body["seed"])
+    if "frequency_penalty" in body:
+        g.frequency_penalty = _as_float(body, "frequency_penalty", -2.0, 2.0)
+    if "presence_penalty" in body:
+        g.presence_penalty = _as_float(body, "presence_penalty", -2.0, 2.0)
+    if "repetition_penalty" in body:          # extension
+        g.repeat_penalty = _as_float(body, "repetition_penalty", 0.0, 100.0)
+    if "repeat_last_n" in body:               # extension
+        g.repeat_last_n = int(body["repeat_last_n"])
+    if "mirostat" in body:                    # extension (v1/v2)
+        g.mirostat = int(body["mirostat"])
+        if "mirostat_tau" in body:
+            g.mirostat_tau = _as_float(body, "mirostat_tau")
+        if "mirostat_eta" in body:
+            g.mirostat_eta = _as_float(body, "mirostat_eta")
+    if body.get("logit_bias"):
+        try:
+            g.logit_bias = {int(k): float(v)
+                            for k, v in body["logit_bias"].items()}
+        except (TypeError, ValueError, AttributeError):
+            raise RequestError("'logit_bias' must map token ids to floats")
+    return g
+
+
+def _stop_strings(body: dict) -> list[str]:
+    stop = body.get("stop")
+    if stop is None:
+        return []
+    if isinstance(stop, str):
+        return [stop]
+    if isinstance(stop, list) and all(isinstance(s, str) for s in stop):
+        return stop[:4]
+    raise RequestError("'stop' must be a string or list of strings")
+
+
+def render_messages(template: ChatTemplate, messages) -> str:
+    """Fold an OpenAI ``messages`` array through the family chat template
+    (first/next wraps mirror the reference REPL's prompt building,
+    llm/application/chat.cc:437-441). A client system message is emitted as
+    a plain prefix ahead of the template's own preamble; assistant turns are
+    inserted verbatim between the user wraps."""
+    parts, first = [], True
+    for m in messages:
+        if not isinstance(m, dict) or "role" not in m:
+            raise RequestError("each message needs a 'role'")
+        content = m.get("content") or ""
+        if isinstance(content, list):  # OpenAI content-part arrays
+            content = "".join(p.get("text", "") for p in content
+                              if isinstance(p, dict) and p.get("type") == "text")
+        if not isinstance(content, str):
+            raise RequestError("message 'content' must be text")
+        role = m["role"]
+        if role == "system":
+            parts.append(content + "\n\n")
+        elif role == "user":
+            wrap = template.first if first else template.next
+            first = False
+            parts.append(wrap.replace("{image}", "").replace("{input}", content))
+        elif role == "assistant":
+            parts.append(content + "\n")
+        else:
+            raise RequestError(f"unsupported role '{role}'")
+    if first:
+        raise RequestError("'messages' must contain at least one user message")
+    return "".join(parts)
+
+
+def _holdback(buf: str, stops: list[str]) -> int:
+    """Chars of ``buf`` safe to emit now: hold back the longest tail that is
+    a proper prefix of any stop string (so a stop split across tokens is
+    never streamed out)."""
+    hold = 0
+    for s in stops:
+        for k in range(min(len(s) - 1, len(buf)), 0, -1):
+            if buf.endswith(s[:k]):
+                hold = max(hold, k)
+                break
+    return len(buf) - hold
+
+
+class _Collector:
+    """Handler-side assembly of one generation: incremental detok, stop-token
+    suppression, stop-string scan + cancel, usage counting."""
+
+    def __init__(self, server: InferenceServer, job: _Job, stops: list[str],
+                 stop_id_set: frozenset):
+        self.server = server
+        self.job = job
+        self.stops = stops
+        self.stop_ids = stop_id_set
+        self.sdec = StreamDecoder(server.tok)
+        self.buf = ""            # decoded, not yet emitted
+        self.emitted = 0         # completion tokens counted
+        self.finish_reason = None
+        self.error = None
+
+    def pump(self):
+        """Yield text deltas as they become safe; sets finish_reason at the
+        end. Raises TimeoutError if the engine stalls."""
+        deadline = time.monotonic() + self.server.request_timeout
+        while True:
+            try:
+                kind, val = self.job.events.get(
+                    timeout=max(0.0, deadline - time.monotonic()))
+            except queue.Empty:
+                self.server.cancel(self.job)
+                raise TimeoutError("generation timed out")
+            if kind == "err":
+                self.error = val
+                self.finish_reason = "error"
+                return
+            if kind == "done":
+                tail = self.buf + self.sdec.flush()
+                self.buf = ""
+                cut, reason = self._scan(tail)
+                if cut is not None:
+                    yield cut
+                self.finish_reason = reason or (
+                    "stop" if val in ("stop", "cancelled") else val or "stop")
+                return
+            self.emitted += 1
+            if int(val) in self.stop_ids:
+                continue  # never decode the stop token into output text
+            self.buf += self.sdec.feed(int(val))
+            cut, reason = self._scan(None)
+            if reason:  # stop string hit: emit the head, cancel the rest
+                if cut:
+                    yield cut
+                self.finish_reason = reason
+                self.server.cancel(self.job)
+                self._drain_to_done()
+                return
+            safe = _holdback(self.buf, self.stops)
+            if safe > 0:
+                out, self.buf = self.buf[:safe], self.buf[safe:]
+                yield out
+
+    def _scan(self, final_tail):
+        """final_tail=None: scan self.buf for a stop match (returns head
+        before the match). Otherwise scan the flushed tail the same way."""
+        text = self.buf if final_tail is None else final_tail
+        idx = min((i for i in (text.find(s) for s in self.stops) if i >= 0),
+                  default=-1)
+        if idx >= 0:
+            head = text[:idx]
+            if final_tail is None:
+                self.buf = ""
+            return head, "stop"
+        if final_tail is not None:
+            return text, None
+        return None, None
+
+    def _drain_to_done(self):
+        """After a cancel, consume events until the completion arrives so the
+        scheduler-side job map is cleaned up deterministically."""
+        deadline = time.monotonic() + 30.0
+        while time.monotonic() < deadline:
+            try:
+                kind, _ = self.job.events.get(timeout=0.5)
+            except queue.Empty:
+                continue
+            if kind in ("done", "err"):
+                return
+
+
+# -- HTTP plumbing ---------------------------------------------------------------
+
+def _make_handler(server: InferenceServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        srv = server
+
+        # quiet by default (BaseHTTPRequestHandler logs every request)
+        def log_message(self, fmt, *args):
+            pass
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _error(self, code: int, message: str, etype="invalid_request_error"):
+            self._json(code, {"error": {"message": message, "type": etype}})
+
+        def do_GET(self):
+            if self.path == "/health":
+                e = self.srv.engine
+                self._json(200, {
+                    "status": "ok", "model": self.srv.model_name,
+                    "slots": e.n_slots, "active": e.n_active,
+                    "queued": len(e.queue)})
+            elif self.path == "/v1/models":
+                self._json(200, {"object": "list", "data": [{
+                    "id": self.srv.model_name, "object": "model",
+                    "owned_by": "tinychatengine-tpu"}]})
+            else:
+                self._error(404, f"unknown path {self.path}")
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(body, dict):
+                    raise RequestError("body must be a JSON object")
+                if self.path == "/v1/completions":
+                    self._completion(body, chat=False)
+                elif self.path == "/v1/chat/completions":
+                    self._completion(body, chat=True)
+                else:
+                    self._error(404, f"unknown path {self.path}")
+            except RequestError as exc:
+                self._error(400, str(exc))
+            except json.JSONDecodeError:
+                self._error(400, "invalid JSON body")
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away; cancellation handled in _completion
+            except TimeoutError as exc:
+                self._error(504, str(exc), etype="timeout")
+            except Exception as exc:  # pragma: no cover - last-resort 500
+                try:
+                    self._error(500, f"{type(exc).__name__}: {exc}",
+                                etype="server_error")
+                except Exception:
+                    pass
+
+        # -- the one generation endpoint (completions + chat variants) --------
+        def _completion(self, body: dict, chat: bool):
+            srv = self.srv
+            tok = srv.tok
+            if chat:
+                messages = body.get("messages")
+                if not isinstance(messages, list) or not messages:
+                    raise RequestError("'messages' must be a non-empty list")
+                prompt_text = render_messages(srv.template, messages)
+                ids = tok.encode(prompt_text, bos=True)
+            else:
+                prompt = body.get("prompt", "")
+                if isinstance(prompt, list) and all(
+                        isinstance(t, int) for t in prompt):
+                    ids = list(prompt)           # pre-tokenized prompt
+                elif isinstance(prompt, str):
+                    ids = tok.encode(prompt, bos=True)
+                else:
+                    raise RequestError(
+                        "'prompt' must be a string or list of token ids")
+            if not ids:
+                raise RequestError("empty prompt")
+            max_len = srv.engine.max_len
+            if len(ids) >= max_len - 2:
+                raise RequestError(
+                    f"prompt of {len(ids)} tokens exceeds context {max_len}")
+
+            gcfg = build_gcfg(srv, body)
+            n_predict = int(body.get("max_tokens",
+                                     body.get("max_completion_tokens",
+                                              srv.engine.gcfg.n_predict)))
+            if n_predict < 1:
+                raise RequestError("'max_tokens' must be >= 1")
+            stops = _stop_strings(body)
+            stop_ids = {int(t) for t in body.get("stop_token_ids", ())}
+            eos = getattr(tok, "eos_id", None)
+            if eos is not None and not body.get("ignore_eos"):
+                stop_ids.add(int(eos))
+            for name in srv.template.stop_token_names:
+                tid = getattr(tok, "special", {}).get(name) \
+                    if hasattr(tok, "special") else None
+                if tid is not None:
+                    stop_ids.add(int(tid))
+
+            job = srv.submit(ids, n_predict, sorted(stop_ids), gcfg)
+            coll = _Collector(srv, job, stops, frozenset(stop_ids))
+            oid = srv.next_id("chatcmpl" if chat else "cmpl")
+            created = int(time.time())
+            obj = ("chat.completion" if chat else "text_completion")
+
+            if body.get("stream"):
+                self._stream(coll, job, oid, created, obj, chat)
+                return
+            text = ""
+            for piece in coll.pump():
+                text += piece
+            if coll.error is not None:
+                self._error(500, coll.error, etype="server_error")
+                return
+            choice = {"index": 0, "finish_reason": coll.finish_reason}
+            if chat:
+                choice["message"] = {"role": "assistant", "content": text}
+            else:
+                choice["text"] = text
+            self._json(200, {
+                "id": oid, "object": obj, "created": created,
+                "model": srv.model_name, "choices": [choice],
+                "usage": {"prompt_tokens": len(ids),
+                          "completion_tokens": coll.emitted,
+                          "total_tokens": len(ids) + coll.emitted}})
+
+        def _stream(self, coll: _Collector, job: _Job, oid: str,
+                    created: int, obj: str, chat: bool):
+            srv = self.srv
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+
+            def chunk(**choice):
+                payload = {"id": oid, "object": obj + ".chunk", "created":
+                           created, "model": srv.model_name,
+                           "choices": [{"index": 0, "finish_reason": None,
+                                        **choice}]}
+                self.wfile.write(b"data: " + json.dumps(payload).encode()
+                                 + b"\n\n")
+                self.wfile.flush()
+
+            try:
+                if chat:
+                    chunk(delta={"role": "assistant"})
+                try:
+                    for piece in coll.pump():
+                        if chat:
+                            chunk(delta={"content": piece})
+                        else:
+                            chunk(text=piece)
+                except TimeoutError as exc:  # headers already sent: SSE error
+                    coll.error = str(exc)
+                if coll.error is not None:
+                    self.wfile.write(
+                        b"data: " + json.dumps({"error": {
+                            "message": coll.error,
+                            "type": "server_error"}}).encode() + b"\n\n")
+                else:
+                    final = {"delta": {}} if chat else {"text": ""}
+                    payload = {"id": oid, "object": obj + ".chunk",
+                               "created": created, "model": srv.model_name,
+                               "choices": [{"index": 0,
+                                            "finish_reason":
+                                                coll.finish_reason, **final}]}
+                    self.wfile.write(b"data: " + json.dumps(payload).encode()
+                                     + b"\n\n")
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                srv.cancel(job)  # client disconnected mid-stream
+            finally:
+                self.close_connection = True
+
+    return Handler

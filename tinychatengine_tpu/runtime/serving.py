@@ -48,7 +48,9 @@ from tinychatengine_tpu.generation.engine import Engine, _bucket, _hashable_gcfg
 from tinychatengine_tpu.models import llama
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # identity equality: the generated __eq__
+# would compare the ndarray prompt field ("truth value ambiguous" inside
+# deque.remove) and two distinct requests with equal fields must not alias
 class Request:
     """One generation request."""
 
@@ -286,6 +288,52 @@ class ServingEngine:
     @property
     def n_active(self) -> int:
         return sum(1 for s in self.slots if s.active)
+
+    def cancel(self, req: Request, reason: str = "cancelled") -> bool:
+        """Abort a request at any lifecycle stage (queued, mid-admission,
+        actively decoding). Returns True if it was live and is now finished,
+        False if it had already finished. The reference has no cancellation
+        (its REPL blocks on one generation, llm/application/chat.cc); a
+        network serving surface needs it for client disconnects and
+        host-side stop-string matches (runtime/server.py)."""
+        if req.finished:
+            return False
+        done = False
+        try:  # still queued (or requeued by preemption)
+            self.queue.remove(req)
+            done = True
+        except ValueError:
+            pass
+        if not done and self._pending is not None \
+                and self.slots[self._pending[0]].request is req:
+            # in-flight chunked admission: drop it (only prefill work lost)
+            slot_idx = self._pending[0]
+            self._pending = None
+            slot = self.slots[slot_idx]
+            slot.request = None
+            slot.admitting = False
+            if self.paged:
+                self.allocator.free(self._slot_pages[slot_idx])
+                self._slot_pages[slot_idx] = []
+            done = True
+        if not done:
+            for i, slot in enumerate(self.slots):
+                if slot.request is req:  # active: free the slot mid-stream
+                    slot.request = None
+                    slot.length = 0
+                    if self.paged:
+                        self.allocator.free(self._slot_pages[i])
+                        self._slot_pages[i] = []
+                        self._tables[i] = self._dead_page
+                    done = True
+                    break
+        if not done:
+            return False
+        req.finished = True
+        req.finish_reason = reason
+        req.done_t = time.perf_counter()
+        self.done.append(req)
+        return True
 
     # -- scheduler core --------------------------------------------------------
     def step(self):
