@@ -7,6 +7,8 @@ n_predicts, and sampling configs (greedy / hot / top-k), arriving up-front.
 Reports aggregate generated tokens/s and per-request TTFT stats.
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_serving.py
+       ... bench_serving.py --http   # same load through the REST layer
+                                     # (24 concurrent OpenAI-API clients)
 """
 
 import json
@@ -114,5 +116,99 @@ def main():
     }))
 
 
+def main_http():
+    """The same 24-request mixed workload as main(), but submitted as 24
+    concurrent HTTP clients against the OpenAI-compatible server
+    (runtime/server.py) with pre-tokenized prompts — measures the REST
+    layer's overhead (thread handoff + per-token detok + JSON) on top of the
+    continuous-batching engine."""
+    import http.client
+    import threading
+
+    from tinychatengine_tpu.core.config import (GenerationConfig, QuantConfig,
+                                                get_model_config)
+    from tinychatengine_tpu.models import llama
+    from tinychatengine_tpu.runtime.server import InferenceServer
+    from tinychatengine_tpu.runtime.serving import ServingEngine
+    from tinychatengine_tpu.tokenizers.byte_fallback import ByteTokenizer
+
+    cfg = get_model_config("llama3_8b")
+    qcfg = QuantConfig(scheme="w4a16", group_size=128)
+    print("building params...", file=sys.stderr)
+    params = llama.init_random_params(cfg, qcfg, seed=0, max_pos=2048,
+                                      fast=True)
+    gcfg = GenerationConfig(temp=0.0, n_predict=128, repeat_penalty=1.1,
+                            repeat_last_n=64, seed=0)
+    srv = ServingEngine(params, cfg, qcfg, slots=8, max_len=2048, gcfg=gcfg,
+                        admission_chunk=512, tick_batch=16)
+    # ByteTokenizer is a stand-in detokenizer (random weights → ids >= 256
+    # decode to ""); prompts go in PRE-TOKENIZED so vocab ids are exercised
+    server = InferenceServer(srv, ByteTokenizer(), model_name="llama3_8b",
+                             request_timeout=3600.0)
+    port = server.start(port=0)
+
+    variants = [
+        {},
+        {"temperature": 1.0, "top_p": 0.9, "seed": 11},
+        {"temperature": 0.7, "top_k": 40, "seed": 12,
+         "repetition_penalty": 1.0, "repeat_last_n": 1},
+    ]
+
+    def run_batch(tag):
+        rng = np.random.default_rng(0)
+        bodies = []
+        for i in range(24):
+            plen = int(rng.integers(32, 320))
+            ids = rng.integers(100, cfg.vocab_size - 100, plen)
+            bodies.append({"prompt": [int(t) for t in ids],
+                           "max_tokens": 128, "ignore_eos": True,
+                           **variants[i % len(variants)]})
+        usages = [None] * len(bodies)
+
+        def client(i):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=3600)
+            conn.request("POST", "/v1/completions", json.dumps(bodies[i]),
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            out = json.loads(resp.read())
+            conn.close()
+            assert resp.status == 200, (tag, i, out)
+            usages[i] = out["usage"]["completion_tokens"]
+
+        errors = []
+
+        def guarded(i):
+            try:
+                client(i)
+            except Exception as exc:
+                errors.append((i, repr(exc)))
+
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=guarded, args=(i,))
+                   for i in range(len(bodies))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        assert not errors, errors[:3]
+        return sum(usages), wall
+
+    print("warmup (compiles all shapes)...", file=sys.stderr)
+    t0 = time.perf_counter()
+    run_batch("warmup")
+    print(f"  warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    total, wall = run_batch("timed")
+    print(json.dumps({
+        "metric": "llama3_8b_w4a16_serving_http_tokens_per_s",
+        "value": round(total / wall, 1),
+        "unit": "tokens/s",
+        "requests": 24, "slots": 8,
+        "total_tokens": total, "wall_s": round(wall, 2),
+    }))
+    server.close()
+
+
 if __name__ == "__main__":
-    main()
+    main_http() if "--http" in sys.argv else main()
