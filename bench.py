@@ -19,7 +19,32 @@ import time
 import numpy as np
 
 
+def _probe_device(timeout_s: float = 420.0) -> str | None:
+    """Backend init over the tunnel can hang indefinitely when the TPU side
+    is down; probe it in a killable subprocess so the bench fails fast with
+    an honest JSON line instead of hanging the driver."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode == 0:
+            return None
+        return f"device probe failed: {(r.stderr or '').strip()[-200:]}"
+    except subprocess.TimeoutExpired:
+        return f"device probe timed out after {timeout_s:.0f}s (tunnel down?)"
+
+
 def main():
+    err = _probe_device()
+    if err is not None:
+        print(json.dumps({
+            "metric": "llama3_8b_w4a16_decode_tokens_per_s_per_chip",
+            "value": None, "unit": "tokens/s", "vs_baseline": None,
+            "error": err}))
+        sys.exit(2)
+
     import jax
     import jax.numpy as jnp
 

@@ -301,3 +301,63 @@ def test_render_messages_multiturn():
     assert tpl.next.replace("{image}", "").replace("{input}", "u2") in text
     with pytest.raises(RequestError):
         render_messages(tpl, [{"role": "assistant", "content": "no user"}])
+
+
+def test_client_disconnect_mid_stream_cancels(served):
+    """Closing the socket mid-SSE must propagate BrokenPipe → engine cancel:
+    the slot frees without decoding to max_tokens (client-disconnect is the
+    whole reason ServingEngine.cancel exists)."""
+    import socket
+    import time as _time
+    server, port, _, _ = served
+    body = json.dumps({"prompt": "disconnect me", "max_tokens": 96,
+                       "ignore_eos": True, "stream": True})
+    s = socket.create_connection(("127.0.0.1", port), timeout=60)
+    s.sendall((f"POST /v1/completions HTTP/1.1\r\nHost: x\r\n"
+               f"Content-Type: application/json\r\n"
+               f"Content-Length: {len(body)}\r\n\r\n{body}").encode())
+    # read until the first token chunk arrives, then vanish
+    buf = b""
+    while b"text_completion.chunk" not in buf:
+        chunk = s.recv(4096)
+        assert chunk, "server closed early"
+        buf += chunk
+    s.close()
+    deadline = _time.monotonic() + 60
+    while _time.monotonic() < deadline:
+        if server.engine.n_active == 0 and not server.engine.queue \
+                and server.engine._pending is None:
+            break
+        _time.sleep(0.2)
+    assert server.engine.n_active == 0, "slot not freed after disconnect"
+    req = server.engine.done[-1]
+    assert req.finish_reason == "cancelled"
+    assert len(req.output_ids) < 96, "request ran to completion anyway"
+
+
+def test_metrics_endpoint(served):
+    """Prometheus exposition: counters advance with completed requests and
+    parse as floats."""
+    server, port, _, _ = served
+    before = dict(server.stats["requests_total"])
+    _post(port, "/v1/completions", {"prompt": "metrics", "max_tokens": 4,
+                                    "ignore_eos": True})
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/metrics")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type").startswith("text/plain")
+    text = resp.read().decode()
+    conn.close()
+    metrics = {}
+    for line in text.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        name, val = line.rsplit(" ", 1)
+        metrics[name] = float(val)  # every sample must parse
+    assert metrics["tce_slots"] == 2
+    assert metrics["tce_generation_tokens_total"] >= 4
+    assert metrics['tce_requests_total{reason="length"}'] >= \
+        before.get("length", 0) + 1
+    assert metrics["tce_ttft_seconds_count"] >= 1
+    assert metrics["tce_ttft_seconds_sum"] > 0

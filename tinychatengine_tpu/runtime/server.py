@@ -81,6 +81,15 @@ class InferenceServer:
         self.port: int | None = None
         self._counter = 0
         self._counter_lock = threading.Lock()
+        # serving metrics, written only by the scheduler thread (handler
+        # threads read plain ints/dicts — GIL-atomic enough for counters)
+        self.stats = {
+            "requests_total": {},        # finish_reason -> count
+            "tokens_generated_total": 0,
+            "prompt_tokens_total": 0,
+            "ttft_seconds_sum": 0.0,
+            "ttft_seconds_count": 0,
+        }
 
     # -- lifecycle -----------------------------------------------------------
     def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
@@ -157,6 +166,15 @@ class InferenceServer:
         while self._done_idx < len(done):
             req = done[self._done_idx]
             self._done_idx += 1
+            reason = req.finish_reason or "stop"
+            self.stats["requests_total"][reason] = \
+                self.stats["requests_total"].get(reason, 0) + 1
+            self.stats["tokens_generated_total"] += len(req.output_ids)
+            self.stats["prompt_tokens_total"] += len(req.prompt_ids)
+            if req.first_token_t and req.submit_t:
+                self.stats["ttft_seconds_sum"] += \
+                    req.first_token_t - req.submit_t
+                self.stats["ttft_seconds_count"] += 1
             job = self._jobs.pop(id(req), None)
             if job is not None:
                 job.events.put(("done", req.finish_reason))
@@ -377,6 +395,58 @@ class _Collector:
                 return
 
 
+def _render_metrics(server: InferenceServer) -> str:
+    """Prometheus text exposition (counters from the scheduler thread,
+    gauges read live off the engine). The reference's observability is a
+    per-turn profiler printout (llm/include/profiler.h:38-47); a network
+    server needs scrapeable metrics instead."""
+    e = server.engine
+    s = server.stats
+    lines = [
+        "# HELP tce_requests_total Finished requests by finish reason.",
+        "# TYPE tce_requests_total counter",
+        *(f'tce_requests_total{{reason="{r}"}} {n}'
+          for r, n in sorted(s["requests_total"].items())),
+        "# HELP tce_generation_tokens_total Tokens generated.",
+        "# TYPE tce_generation_tokens_total counter",
+        f"tce_generation_tokens_total {s['tokens_generated_total']}",
+        "# HELP tce_prompt_tokens_total Prompt tokens processed.",
+        "# TYPE tce_prompt_tokens_total counter",
+        f"tce_prompt_tokens_total {s['prompt_tokens_total']}",
+        "# HELP tce_ttft_seconds Time to first token.",
+        "# TYPE tce_ttft_seconds summary",
+        f"tce_ttft_seconds_sum {s['ttft_seconds_sum']:.6f}",
+        f"tce_ttft_seconds_count {s['ttft_seconds_count']}",
+        "# HELP tce_active_slots Slots currently decoding.",
+        "# TYPE tce_active_slots gauge",
+        f"tce_active_slots {e.n_active}",
+        "# HELP tce_slots Total continuous-batching slots.",
+        "# TYPE tce_slots gauge",
+        f"tce_slots {e.n_slots}",
+        "# HELP tce_queued_requests Requests waiting for a slot.",
+        "# TYPE tce_queued_requests gauge",
+        f"tce_queued_requests {len(e.queue)}",
+    ]
+    if getattr(e, "_pfx_entries", 0):
+        lines += [
+            "# HELP tce_prefix_cache_hits_total KV prefix-cache hits.",
+            "# TYPE tce_prefix_cache_hits_total counter",
+            f"tce_prefix_cache_hits_total {e.prefix_stats['hits']}",
+            "# HELP tce_prefix_cache_hit_tokens_total Prompt tokens served "
+            "from the KV prefix cache.",
+            "# TYPE tce_prefix_cache_hit_tokens_total counter",
+            f"tce_prefix_cache_hit_tokens_total {e.prefix_stats['hit_tokens']}",
+        ]
+    if getattr(e, "speculative", False):
+        lines += [
+            "# HELP tce_speculative_tokens_total Tokens accepted from "
+            "speculative (prompt-lookup) verification ticks.",
+            "# TYPE tce_speculative_tokens_total counter",
+            f"tce_speculative_tokens_total {e._spec_stats['tokens']}",
+        ]
+    return "\n".join(lines) + "\n"
+
+
 # -- HTTP plumbing ---------------------------------------------------------------
 
 def _make_handler(server: InferenceServer):
@@ -410,6 +480,14 @@ def _make_handler(server: InferenceServer):
                 self._json(200, {"object": "list", "data": [{
                     "id": self.srv.model_name, "object": "model",
                     "owned_by": "tinychatengine-tpu"}]})
+            elif self.path == "/metrics":
+                body = _render_metrics(self.srv).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._error(404, f"unknown path {self.path}")
 
