@@ -34,6 +34,7 @@ from tinychatengine_tpu.ops.attention import (
     flash_decode,
     flash_decode_paged,
     flash_prefill,
+    ring_attention,
 )
 from tinychatengine_tpu.ops.int4_matmul import SUPERBLOCK, int4_matmul_fused
 from tinychatengine_tpu.ops.linear import (
@@ -98,8 +99,8 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
             cache, start: jax.Array,
             input_embeds: Optional[jax.Array] = None,
             full_logits: bool = False, true_len: Optional[jax.Array] = None,
-            tp_axis: Optional[str] = None, page_table=None,
-            ctx_cap: Optional[int] = None):
+            tp_axis: Optional[str] = None, sp_axis: Optional[str] = None,
+            page_table=None, ctx_cap: Optional[int] = None):
     """One forward pass (prefill S>1 or decode S=1).
 
     input_ids: [B, S] int32; start: scalar int32 = number of cached tokens.
@@ -116,6 +117,11 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
     ``start`` carries the per-sequence lengths.
     ctx_cap: optional STATIC upper bound on start+s, forwarded to the flash
     decode kernel (short-context KV-DMA trimming; see ops/attention.py).
+    sp_axis: sequence-parallel FRESH prefill (parallel/sp.py): input_ids is
+    this shard's S/n slice, ``start`` must be scalar 0, attention runs as a
+    ring over the mesh axis, ``true_len`` (when given) is the GLOBAL prompt
+    length, and the returned last-position logits are psum-replicated from
+    the shard that owns position true_len-1.
     Returns (logits [B, V] of the LAST position — or [B, S, V] if
     full_logits — and the updated cache).
     """
@@ -130,6 +136,8 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
     start_col = start[:, None] if start.ndim == 1 else start[None, None]
     positions = start_col + jnp.arange(s, dtype=jnp.int32)[None, :]
     positions = jnp.broadcast_to(positions, (b, s))
+    if sp_axis is not None:  # this shard's slice of the global sequence
+        positions = positions + jax.lax.axis_index(sp_axis) * s
 
     # RoPE cos/sin are position-dependent but layer-INdependent: gather them
     # once here instead of 32 times inside the scan (the reference re-reads
@@ -252,7 +260,13 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
 
         use_flash = jax.default_backend() == "tpu" and d % 128 == 0
         win = cfg.sliding_window
-        if use_flash:
+        if sp_axis is not None:
+            # sequence-parallel prefill: attention is a ring over the mesh
+            # axis on the freshly projected local q/k/v (the cache holds
+            # nothing prior — fresh prefill only); masking is positional so
+            # right-padded buckets behave like the dense oracle
+            attn = ring_attention(q, k, v, positions, sp_axis, window=win)
+        elif use_flash:
             # Pallas flash kernels stream the raw stacked cache (int8 codes
             # dequantized in-kernel); O(context) HBM traffic, no transposes.
             if s == 1:
@@ -307,13 +321,25 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
     (x, cache), _ = jax.lax.scan(
         step, (x, cache), jnp.arange(n_layers, dtype=jnp.int32))
     n_new = jnp.asarray(s, jnp.int32) if true_len is None else true_len
+    if sp_axis is not None and true_len is None:
+        n_new = n_new * jax.lax.psum(1, sp_axis)  # global prompt length
+
     if page_table is None:
         cache = kvc.advance(cache, n_new)  # paged: lengths live host-side
 
+    sp_owner = None
     if not full_logits:
         # last *real* position only — avoids the reference's full-sequence
         # lm_head waste (Int4llamaForCausalLM.cc:48-51)
-        x = jax.lax.dynamic_slice_in_dim(x, n_new - 1, 1, axis=1)
+        if sp_axis is not None:
+            # the global last token lives on shard (n_new-1)//s_loc; every
+            # shard computes a 1-token lm_head on its candidate, the owner's
+            # row is selected by the psum below
+            sp_owner = (n_new - 1) // s
+            local_ix = jnp.clip(n_new - 1 - sp_owner * s, 0, s - 1)
+            x = jax.lax.dynamic_slice_in_dim(x, local_ix, 1, axis=1)
+        else:
+            x = jax.lax.dynamic_slice_in_dim(x, n_new - 1, 1, axis=1)
     if fused and isinstance(params.lm_head, Int4Linear) \
             and _fusable(params.lm_head, params.lm_head.group_size):
         logits = int4_matmul_fused(
@@ -328,6 +354,9 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
     # lm_head N may be padded to a tile-friendly width (LMHEAD_PAD) — the
     # pad columns are dead weight rows sliced off here, never sampled
     logits = logits[..., :cfg.vocab_size]
+    if sp_owner is not None:  # replicate the owner shard's last-token logits
+        mine = sp_owner == jax.lax.axis_index(sp_axis)
+        logits = jax.lax.psum(jnp.where(mine, logits, 0.0), sp_axis)
     return (logits if full_logits else logits[:, 0, :]), cache
 
 

@@ -760,3 +760,76 @@ def attention_xla(q, cache_k, cache_v, positions, kv_valid_len,
                      preferred_element_type=jnp.float32)
     return (out.astype(q.dtype)
             .reshape(b, hq, s, d).transpose(0, 2, 1, 3).reshape(b, s, hq * d))
+
+
+# ---------------------------------------------------------------------------
+# ring attention: sequence-parallel prefill over a mesh axis
+# ---------------------------------------------------------------------------
+
+def ring_attention(q, k, v, q_positions, axis_name: str,
+                   window: int | None = None):
+    """Exact causal GQA attention with SEQUENCE-sharded Q/K/V (Ring
+    Attention, Liu et al. 2023 — the TPU-native long-context prefill the
+    single-device reference has no counterpart for, SURVEY §2.8).
+
+    Each device holds one S/n slice of the freshly projected q/k/v. The KV
+    slice (plus its absolute positions) rotates around the ring via
+    ``lax.ppermute`` while an online-softmax accumulator (same recurrence as
+    the Pallas ``_flash_update``) folds in one chunk-pair per hop; after n
+    hops every query has seen every key once. Per chip: compute and KV
+    residency scale 1/n, and the n-1 ICI hops of [B, S/n, H_kv, D] overlap
+    with the chunk einsums (XLA schedules ppermute async).
+
+    Masking is positional (kv_pos <= q_pos, optional sliding window), so
+    right-padded prompt buckets work unchanged — pad queries produce garbage
+    rows that sit beyond ``true_len`` downstream, exactly like the dense
+    oracle (attention_xla) semantics.
+
+    q: [B, S_loc, Hq, D]; k/v: [B, S_loc, H_kv, D] (this shard's slice);
+    q_positions: [B, S_loc] absolute positions of the local tokens (queries
+    AND keys — Q and KV share the sequence sharding). Returns [B, S_loc,
+    Hq*D] in q.dtype.
+    """
+    n = jax.lax.psum(1, axis_name)                     # static mesh-axis size
+    b, s_loc, hq, d = q.shape
+    hkv = k.shape[2]
+    g = hq // hkv
+    scale = 1.0 / (d ** 0.5)
+    qh = (q.transpose(0, 2, 1, 3).reshape(b, hkv, g, s_loc, d)
+          .astype(jnp.bfloat16))
+
+    m = jnp.full((b, hkv, g, s_loc), NEG_INF, jnp.float32)
+    l = jnp.zeros((b, hkv, g, s_loc), jnp.float32)
+    acc = jnp.zeros((b, hkv, g, s_loc, d), jnp.float32)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    k_t, v_t, pos_t = k, v, jnp.asarray(q_positions, jnp.int32)
+
+    for t in range(n):
+        kh = k_t.transpose(0, 2, 1, 3).astype(jnp.bfloat16)  # [B, Hkv, T, D]
+        vh = v_t.transpose(0, 2, 1, 3)
+        s = jnp.einsum("bhgsd,bhtd->bhgst", qh, kh,
+                       preferred_element_type=jnp.float32) * scale
+        allowed = pos_t[:, None, :] <= q_positions[:, :, None]  # [B, Sq, T]
+        if window is not None:
+            allowed &= pos_t[:, None, :] > q_positions[:, :, None] - window
+        s = jnp.where(allowed[:, None, None, :, :], s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        # chunks can be FULLY masked (keys from a later shard): zero their
+        # exp terms explicitly rather than trusting exp(NEG_INF - NEG_INF)
+        corr = jnp.where(m <= NEG_INF / 2, 0.0, jnp.exp(m - m_new))
+        p = jnp.where(allowed[:, None, None, :, :],
+                      jnp.exp(s - m_new[..., None]), 0.0)
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = (acc * corr[..., None]
+               + jnp.einsum("bhgst,bhtd->bhgsd", p.astype(vh.dtype), vh,
+                            preferred_element_type=jnp.float32))
+        m = m_new
+        if t < n - 1:  # rotate: receive the left neighbour's KV chunk
+            k_t = jax.lax.ppermute(k_t, axis_name, perm)
+            v_t = jax.lax.ppermute(v_t, axis_name, perm)
+            pos_t = jax.lax.ppermute(pos_t, axis_name, perm)
+
+    out = acc / jnp.maximum(l[..., None], 1e-20)
+    return (out.astype(q.dtype).reshape(b, hq, s_loc, d)
+            .transpose(0, 2, 1, 3).reshape(b, s_loc, hq * d))
