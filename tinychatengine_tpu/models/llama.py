@@ -100,7 +100,8 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
             input_embeds: Optional[jax.Array] = None,
             full_logits: bool = False, true_len: Optional[jax.Array] = None,
             tp_axis: Optional[str] = None, sp_axis: Optional[str] = None,
-            page_table=None, ctx_cap: Optional[int] = None):
+            page_table=None, ctx_cap: Optional[int] = None,
+            return_hidden: bool = False):
     """One forward pass (prefill S>1 or decode S=1).
 
     input_ids: [B, S] int32; start: scalar int32 = number of cached tokens.
@@ -117,6 +118,10 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
     ``start`` carries the per-sequence lengths.
     ctx_cap: optional STATIC upper bound on start+s, forwarded to the flash
     decode kernel (short-context KV-DMA trimming; see ops/attention.py).
+    return_hidden: return the full pre-final-norm hidden states [B, S, E]
+    instead of logits — a pipeline stage's output (parallel/pp.py runs each
+    stage as a forward over its local layer stack with input_embeds in and
+    hidden out; only the last stage computes the head).
     sp_axis: sequence-parallel FRESH prefill (parallel/sp.py): input_ids is
     this shard's S/n slice, ``start`` must be scalar 0, attention runs as a
     ring over the mesh axis, ``true_len`` (when given) is the GLOBAL prompt
@@ -326,6 +331,9 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
 
     if page_table is None:
         cache = kvc.advance(cache, n_new)  # paged: lengths live host-side
+
+    if return_hidden:
+        return x, cache
 
     sp_owner = None
     if not full_logits:

@@ -1,0 +1,181 @@
+"""Pipeline parallelism: the stacked layer axis sharded over a "pipe" mesh.
+
+The third leg of the scale-out story (parallel/tp.py shards columns/heads,
+parallel/sp.py shards the sequence): PP shards the LAYER-stacked parameter
+pytree — leaf axis 0, the same [L, ...] stacking the lax.scan decoder
+iterates — so each chip holds L/n layers and 1/n of the KV cache. That is
+the right split when the model exceeds one chip's HBM but the interconnect
+between stages is thin (multi-host DCN), where Megatron TP's per-layer
+psums would stall: PP moves ONE [Bm, S, E] activation per stage boundary
+per microbatch and nothing else.
+
+Schedule: GPipe-style microbatching expressed SPMD-safely as a lax.scan
+over M + n - 1 ticks. Every tick, every stage runs its local layer stack
+(the reused ``llama.forward`` with ``input_embeds`` in / ``return_hidden``
+out — fused kernels, flash attention, windows all come along for free) on
+the microbatch it currently holds, then the activations rotate one hop via
+``ppermute``. Bubble ticks compute on garbage and are masked at the KV
+commit and logits collection points — the standard SPMD pipeline trick:
+uniform compute, validity masks instead of control flow. Pipeline
+efficiency is M / (M + n - 1); pick M >= n.
+
+The reference has no distribution of any kind (SURVEY §2.8); cites kept to
+its layer stacks for parity bookkeeping only
+(llm/src/nn_modules/non_cuda/Int4llamaDecoder.cc — the L-layer loop PP
+splits).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tinychatengine_tpu.generation.kv_cache import KVCache
+from tinychatengine_tpu.models import llama
+from tinychatengine_tpu.ops import ref
+from tinychatengine_tpu.ops.linear import apply_linear
+
+
+def make_pp_mesh(n_pipe: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert n_pipe <= len(devices), (n_pipe, len(devices))
+    return Mesh(np.asarray(devices[:n_pipe]), ("pipe",))
+
+
+def _stacked_spec(leaf):
+    return P("pipe", *((None,) * (leaf.ndim - 1)))
+
+
+def llama_pp_param_specs(params: llama.LlamaParams) -> llama.LlamaParams:
+    """Layer-stacked leaves sharded on axis 0 (the layer axis) over "pipe";
+    embed / final norm / lm_head / rope replicated (only stage 0 reads the
+    embedding and only stage n-1 applies the head — replication buys the
+    uniform SPMD program; shard them over pipe stages if HBM gets tight)."""
+    layer_specs = jax.tree.map(_stacked_spec, params.layers)
+    repl = lambda leaf: P(*((None,) * leaf.ndim))
+    return llama.LlamaParams(
+        embed=P(None, None), layers=layer_specs,
+        final_norm=P(None), lm_head=jax.tree.map(repl, params.lm_head),
+        rope_cos=P(None, None), rope_sin=P(None, None),
+    )
+
+
+def _pp_cache_specs(cache: KVCache) -> KVCache:
+    cs = P("pipe", None, None, None, None)      # [L, B, H_kv, S, D]
+    ss = P("pipe", None, None, None)
+    return KVCache(
+        k=cs, v=cs, length=P(),
+        k_scale=None if cache.k_scale is None else ss,
+        v_scale=None if cache.v_scale is None else ss)
+
+
+def shard_pp(params, cache, mesh: Mesh):
+    ps = llama_pp_param_specs(params)
+    put = lambda x, s: None if x is None else jax.device_put(
+        x, NamedSharding(mesh, s))
+    return (jax.tree.map(put, params, ps, is_leaf=lambda x: x is None),
+            jax.tree.map(put, cache, _pp_cache_specs(cache),
+                         is_leaf=lambda x: x is None))
+
+
+def make_pp_forward(mesh: Mesh, n_micro: int, forward=llama.forward):
+    """Returns pp_forward(params, cfg, input_ids, cache, start) ->
+    (last-position logits [B, V], cache) running the stacked layers
+    pipeline-parallel over mesh axis "pipe" with n_micro microbatches cut
+    from the batch. Works for prefill (S>1) and decode (S=1); ``start`` is
+    the uniform scalar offset (engine semantics)."""
+    n_pipe = mesh.shape["pipe"]
+    perm = [(i, (i + 1) % n_pipe) for i in range(n_pipe)]
+
+    def pp_forward(params, cfg, input_ids, cache, start):
+        b, s = input_ids.shape
+        m = n_micro
+        assert b % m == 0, (b, m)
+        assert cfg.num_layers % n_pipe == 0, (cfg.num_layers, n_pipe)
+        bm = b // m
+        cfg_local = dataclasses.replace(
+            cfg, num_layers=cfg.num_layers // n_pipe)
+        start_ = jnp.asarray(start, jnp.int32)
+
+        def local(params, input_ids, cache, start):
+            stage = jax.lax.axis_index("pipe")
+            e = params.embed.shape[1]
+            embeds = params.embed[input_ids].astype(jnp.bfloat16)  # [B, S, E]
+
+            def slice_mb(arr, mb, axis):
+                return jax.lax.dynamic_slice_in_dim(arr, mb * bm, bm, axis)
+
+            def commit_mb(full, new, old, valid, mb, axis):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    full, jnp.where(valid, new, old), mb * bm, axis)
+
+            def tick(carry, t):
+                x_carry, k_all, v_all, ks_all, vs_all, acc = carry
+                mb_in = jnp.clip(t, 0, m - 1)            # stage 0's intake
+                x_in = jax.lax.dynamic_slice(
+                    embeds, (mb_in * bm, 0, 0), (bm, s, e))
+                x = jnp.where(stage == 0, x_in, x_carry)
+
+                mb_my = t - stage                        # microbatch I hold
+                valid = jnp.logical_and(mb_my >= 0, mb_my < m)
+                mb_c = jnp.clip(mb_my, 0, m - 1)
+                k_old = slice_mb(k_all, mb_c, 1)
+                v_old = slice_mb(v_all, mb_c, 1)
+                cache_mb = KVCache(
+                    k=k_old, v=v_old, length=jnp.zeros((), jnp.int32),
+                    k_scale=None if ks_all is None else slice_mb(ks_all, mb_c, 1),
+                    v_scale=None if vs_all is None else slice_mb(vs_all, mb_c, 1))
+                ids_mb = slice_mb(input_ids, mb_in, 0)   # shape donor only
+                hidden, cache_mb = forward(
+                    params, cfg_local, ids_mb, cache_mb, start,
+                    input_embeds=x, return_hidden=True)
+
+                k_all = commit_mb(k_all, cache_mb.k, k_old, valid, mb_c, 1)
+                v_all = commit_mb(v_all, cache_mb.v, v_old, valid, mb_c, 1)
+                if ks_all is not None:
+                    ks_all = commit_mb(ks_all, cache_mb.k_scale,
+                                       slice_mb(ks_all, mb_c, 1), valid, mb_c, 1)
+                    vs_all = commit_mb(vs_all, cache_mb.v_scale,
+                                       slice_mb(vs_all, mb_c, 1), valid, mb_c, 1)
+
+                # last stage: head on the final position, collect by exit tick
+                h = ref.rms_norm_ref(hidden[:, s - 1:s], params.final_norm,
+                                     cfg.rms_norm_eps)
+                logits_mb = apply_linear(params.lm_head, h).astype(
+                    jnp.float32)[:, 0, :cfg.vocab_size]
+                mb_out = t - (n_pipe - 1)
+                valid_out = jnp.logical_and(
+                    jnp.logical_and(mb_out >= 0, mb_out < m),
+                    stage == n_pipe - 1)
+                mb_oc = jnp.clip(mb_out, 0, m - 1)
+                old = jax.lax.dynamic_slice_in_dim(acc, mb_oc * bm, bm, 0)
+                acc = jax.lax.dynamic_update_slice_in_dim(
+                    acc, jnp.where(valid_out, logits_mb, old), mb_oc * bm, 0)
+
+                x_next = jax.lax.ppermute(hidden, "pipe", perm)
+                return (x_next, k_all, v_all, ks_all, vs_all, acc), None
+
+            acc0 = jnp.zeros((b, cfg.vocab_size), jnp.float32)
+            x0 = jnp.zeros((bm, s, e), jnp.bfloat16)
+            carry = (x0, cache.k, cache.v, cache.k_scale, cache.v_scale, acc0)
+            (x_, k_all, v_all, ks_all, vs_all, acc), _ = jax.lax.scan(
+                tick, carry, jnp.arange(m + n_pipe - 1, dtype=jnp.int32))
+            logits = jax.lax.psum(acc, "pipe")   # nonzero on stage n-1 only
+            out_cache = KVCache(k=k_all, v=v_all,
+                                length=cache.length + jnp.asarray(s, jnp.int32),
+                                k_scale=ks_all, v_scale=vs_all)
+            return logits, out_cache
+
+        in_specs = (llama_pp_param_specs(params), P(None, None),
+                    _pp_cache_specs(cache), P())
+        out_specs = (P(None, None), _pp_cache_specs(cache))
+        f = shard_map(local, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_vma=False)
+        return f(params, input_ids, cache, start_)
+
+    return pp_forward
