@@ -361,3 +361,48 @@ def test_metrics_endpoint(served):
         before.get("length", 0) + 1
     assert metrics["tce_ttft_seconds_count"] >= 1
     assert metrics["tce_ttft_seconds_sum"] > 0
+
+
+def test_completions_logprobs(served):
+    """OpenAI completions logprobs shape: tokens/token_logprobs/top_logprobs/
+    text_offset, aligned, raw-model log-probs <= 0, greedy chosen == top-1."""
+    server, port, _, _ = served
+    status, body = _post(port, "/v1/completions", {
+        "prompt": "ab", "max_tokens": 4, "ignore_eos": True, "logprobs": 2})
+    assert status == 200
+    lp = body["choices"][0]["logprobs"]
+    n = len(lp["tokens"])
+    assert n == len(lp["token_logprobs"]) == len(lp["top_logprobs"]) \
+        == len(lp["text_offset"]) == 4
+    assert lp["text_offset"][0] == 0
+    assert all(isinstance(v, float) and v <= 1e-6
+               for v in lp["token_logprobs"])
+    for chosen_lp, top in zip(lp["token_logprobs"], lp["top_logprobs"]):
+        # <= k: distinct ids can decode to the same string (byte fallback)
+        assert 1 <= len(top) <= 2
+        assert abs(max(top.values()) - chosen_lp) < 1e-5  # greedy == argmax
+
+
+def test_chat_logprobs_and_stream_rejection(served):
+    server, port, _, _ = served
+    status, body = _post(port, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "hey"}],
+        "max_tokens": 3, "ignore_eos": True,
+        "logprobs": True, "top_logprobs": 2})
+    assert status == 200
+    content = body["choices"][0]["logprobs"]["content"]
+    assert len(content) == 3
+    for entry in content:
+        assert set(entry) == {"token", "logprob", "bytes", "top_logprobs"}
+        assert len(entry["top_logprobs"]) == 2
+        assert entry["logprob"] <= 1e-6
+        assert isinstance(entry["bytes"], list)
+
+    status, body = _post(port, "/v1/completions", {
+        "prompt": "x", "max_tokens": 2, "stream": True, "logprobs": 1})
+    assert status == 400
+    assert "stream" in body["error"]["message"]
+
+    status, body = _post(port, "/v1/completions", {
+        "prompt": "x", "max_tokens": 2, "logprobs": 99})
+    assert status == 400

@@ -739,3 +739,79 @@ def test_cancel_paged_frees_pages():
                                      if s.request is None][0]])
     srv.run()
     assert rb.finished and srv.allocator.n_free == free0
+
+
+def _lse(x):
+    m = np.max(x)
+    return m + np.log(np.sum(np.exp(x - m)))
+
+
+def test_logprobs_match_forward_oracle():
+    """OpenAI-style logprobs: the engine's per-token chosen-logprob and
+    top-k records must equal log_softmax of the raw forward chain — across
+    the fused admission (first token) and the burst decode path — and a
+    mixed batch must leave the non-requesting row untouched."""
+    import jax
+
+    from tinychatengine_tpu.generation import kv_cache as kvc
+    from tinychatengine_tpu.models import llama as llm
+
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=8, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g, logprobs_k=4)
+    r1 = srv.submit(PROMPTS[0], n_predict=8, logprobs=3)
+    r2 = srv.submit(PROMPTS[1], n_predict=8)
+    srv.run()
+
+    assert r2.output_logprobs == [] and r2.output_top_logprobs == []
+    assert len(r1.output_ids) == 8
+    assert len(r1.output_logprobs) == 8
+    assert all(len(t) == 3 for t in r1.output_top_logprobs)
+
+    # raw-forward oracle over the emitted chain (admission token included)
+    fwd = jax.jit(llm.forward, static_argnames=("cfg",))
+    cache = kvc.init_cache(cfg.num_layers, 1, cfg.max_sqlen,
+                           cfg.num_kv_heads, cfg.head_dim)
+    logits, cache = fwd(params, cfg, jnp.asarray(PROMPTS[0][None]), cache,
+                        jnp.int32(0))
+    pos = len(PROMPTS[0])
+    for tok_id, lp, top in zip(r1.output_ids, r1.output_logprobs,
+                               r1.output_top_logprobs):
+        lg = np.asarray(logits, np.float32)[0]
+        assert abs((lg[tok_id] - _lse(lg)) - lp) < 1e-3
+        # greedy: the chosen token IS the top-1 alternative
+        assert top[0][0] == tok_id
+        assert abs(top[0][1] - lp) < 1e-5
+        # top list is descending and log-probs are <= 0
+        lps = [l for _, l in top]
+        assert lps == sorted(lps, reverse=True)
+        assert all(l <= 1e-6 for l in lps)
+        logits, cache = fwd(params, cfg, jnp.asarray([[tok_id]]), cache,
+                            jnp.int32(pos))
+        pos += 1
+
+    # logprobs must not perturb the tokens themselves (vs a plain solo run)
+    solo = ServingEngine(params, cfg, qcfg, slots=1, gcfg=g)
+    s1 = solo.submit(PROMPTS[0], n_predict=8)
+    solo.run()
+    assert r1.output_ids == s1.output_ids
+
+
+def test_logprobs_paged_and_validation():
+    """Paged engine serves logprobs through its decode-multi variant;
+    submit() rejects k beyond the engine's compiled top-k width."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=6, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g, paged=True,
+                        page_size=16, n_pages=32, logprobs_k=2)
+    with pytest.raises(ValueError):
+        srv.submit(PROMPTS[0], logprobs=3)
+    r = srv.submit(PROMPTS[0], n_predict=6, logprobs=2)
+    r0 = srv.submit(PROMPTS[1], n_predict=6, logprobs=0)  # chosen-only
+    srv.run()
+    assert len(r.output_logprobs) == len(r.output_ids) == 6
+    assert all(len(t) == 2 for t in r.output_top_logprobs)
+    assert len(r0.output_logprobs) == 6
+    assert all(t == [] for t in r0.output_top_logprobs)

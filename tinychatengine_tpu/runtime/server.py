@@ -56,6 +56,7 @@ class _Job:
     n_predict: int
     stop_ids: tuple
     rcfg: GenerationConfig | None
+    logprobs: int | None = None     # None=off, 0=chosen only, k=top-k
     events: queue.Queue = dataclasses.field(default_factory=queue.Queue)
     req: object = None              # serving.Request, set by the scheduler
 
@@ -153,7 +154,7 @@ class InferenceServer:
                     job.ids, n_predict=job.n_predict,
                     stop_token_ids=job.stop_ids,
                     on_token=lambda t, _r, _j=job: _j.events.put(("tok", t)),
-                    gcfg=job.rcfg)
+                    gcfg=job.rcfg, logprobs=job.logprobs)
             except Exception as exc:
                 job.events.put(("err", f"{type(exc).__name__}: {exc}"))
                 return
@@ -180,9 +181,11 @@ class InferenceServer:
                 job.events.put(("done", req.finish_reason))
 
     # -- handler-thread API ----------------------------------------------------
-    def submit(self, ids, n_predict: int, stop_ids, rcfg) -> _Job:
+    def submit(self, ids, n_predict: int, stop_ids, rcfg,
+               logprobs: int | None = None) -> _Job:
         job = _Job(ids=np.asarray(ids, np.int32).reshape(-1),
-                   n_predict=n_predict, stop_ids=tuple(stop_ids), rcfg=rcfg)
+                   n_predict=n_predict, stop_ids=tuple(stop_ids), rcfg=rcfg,
+                   logprobs=logprobs)
         self._intake.put(("submit", job))
         return job
 
@@ -196,6 +199,63 @@ class InferenceServer:
 
 
 # -- OpenAI body mapping -------------------------------------------------------
+
+def _parse_logprobs(srv, body: dict, chat: bool):
+    """OpenAI logprobs params → engine request value (None=off, 0=chosen
+    token only, k=also top-k alternatives). Completions: ``logprobs: int``;
+    chat: ``logprobs: true`` + ``top_logprobs: int``."""
+    if chat:
+        if not body.get("logprobs"):
+            return None
+        k = int(body.get("top_logprobs", 0) or 0)
+    else:
+        if body.get("logprobs") is None:
+            return None
+        k = int(body["logprobs"])
+    cap = srv.engine.logprobs_k
+    if not 0 <= k <= cap:
+        raise RequestError(
+            f"logprobs/top_logprobs must be in [0, {cap}]; got {k}")
+    return k
+
+
+def _format_logprobs(tok, req, n: int, k: int, chat: bool) -> dict:
+    """Engine per-token records → the OpenAI response shapes. ``n`` trims to
+    the tokens that made it into the response text (a stop-string match
+    cancels the request mid-flight; later tokens never reached the client).
+    Logprobs are of the RAW model distribution (serving._token_logprobs)."""
+    ids = req.output_ids[:n]
+    lps = req.output_logprobs[:n]
+    tops = req.output_top_logprobs[:n]
+    pieces = [tok.decode([t]) for t in ids]
+    if chat:
+        content = []
+        for s, lp, top in zip(pieces, lps, tops):
+            content.append({
+                "token": s, "logprob": lp,
+                "bytes": list(s.encode("utf-8")),
+                "top_logprobs": [
+                    {"token": (ts := tok.decode([i])), "logprob": l,
+                     "bytes": list(ts.encode("utf-8"))}
+                    for i, l in top],
+            })
+        return {"content": content}
+    offs, off = [], 0
+    for s in pieces:
+        offs.append(off)
+        off += len(s)
+    def top_dict(top):
+        d = {}
+        for i, l in top:  # descending; on a decode collision keep the best
+            d.setdefault(tok.decode([i]), l)
+        return d
+
+    return {
+        "tokens": pieces,
+        "token_logprobs": lps,
+        "top_logprobs": [top_dict(t) for t in tops] if k else None,
+        "text_offset": offs,
+    }
 
 def _as_float(body, key, lo=None, hi=None):
     v = body[key]
@@ -562,7 +622,13 @@ def _make_handler(server: InferenceServer):
                 if tid is not None:
                     stop_ids.add(int(tid))
 
-            job = srv.submit(ids, n_predict, sorted(stop_ids), gcfg)
+            lp_req = _parse_logprobs(srv, body, chat)
+            if lp_req is not None and body.get("stream"):
+                raise RequestError(
+                    "logprobs with stream=true is not supported")
+
+            job = srv.submit(ids, n_predict, sorted(stop_ids), gcfg,
+                             logprobs=lp_req)
             coll = _Collector(srv, job, stops, frozenset(stop_ids))
             oid = srv.next_id("chatcmpl" if chat else "cmpl")
             created = int(time.time())
@@ -582,6 +648,9 @@ def _make_handler(server: InferenceServer):
                 choice["message"] = {"role": "assistant", "content": text}
             else:
                 choice["text"] = text
+            if lp_req is not None and job.req is not None:
+                choice["logprobs"] = _format_logprobs(
+                    tok, job.req, coll.emitted, lp_req, chat)
             self._json(200, {
                 "id": oid, "object": obj, "created": created,
                 "model": srv.model_name, "choices": [choice],

@@ -60,8 +60,12 @@ class Request:
     on_token: Optional[Callable[[int, "Request"], None]] = None
     request_id: int = 0
     gcfg: Optional[GenerationConfig] = None   # per-request sampling params
+    logprobs: Optional[int] = None  # None=off; 0=chosen only; k<=engine k
     # filled by the engine:
     output_ids: list = dataclasses.field(default_factory=list)
+    output_logprobs: list = dataclasses.field(default_factory=list)  # [f32]
+    output_top_logprobs: list = dataclasses.field(default_factory=list)
+    # ^ per emitted token: list of (token_id, logprob), length = .logprobs
     finished: bool = False
     finish_reason: Optional[str] = None       # "stop" | "length"
     submit_t: float = 0.0
@@ -93,7 +97,7 @@ class ServingEngine:
                  speculative: bool = False, spec_K: int = 7,
                  prefix_cache_entries: int = 0,
                  prefix_cache_len: Optional[int] = None,
-                 prefix_min: int = 64):
+                 prefix_min: int = 64, logprobs_k: int = 8):
         """paged=True swaps the slot-reserved cache (slots x max_len) for a
         page pool (runtime/paged.py): sequences borrow pages as they grow, so
         capacity is ~total resident tokens instead of worst-case per slot.
@@ -199,8 +203,13 @@ class ServingEngine:
         self.tick_batch = max(int(tick_batch), 1)
         self._jit_decode_multi = jax.jit(
             functools.partial(_decode_multi, forward_fn),
-            static_argnames=("cfg", "n_ticks", "ctx_cap"),
+            static_argnames=("cfg", "n_ticks", "ctx_cap", "lp_k"),
             donate_argnames=("cache",))
+        # OpenAI-style logprobs: one top-k width per engine (requests clamp
+        # to it) so the logprobs-variant executables stay one per bucket
+        self.logprobs_k = int(logprobs_k)
+        self._jit_token_lp = jax.jit(_token_logprobs,
+                                     static_argnames=("lp_k",))
         self._jit_insert = _insert_slot  # jitted below (donates cache)
         # fused admission: final prefill chunk + slot/page splice + row-state
         # fold-in + first-token sample in ONE dispatch (the unfused path cost
@@ -208,11 +217,11 @@ class ServingEngine:
         # that dominated serving aggregate throughput)
         self._jit_admit = jax.jit(
             functools.partial(_admit_fused, forward_fn),
-            static_argnames=("cfg", "insert_bucket"),
+            static_argnames=("cfg", "insert_bucket", "lp_k"),
             donate_argnames=("cache", "scratch"))
         self._jit_admit_paged = jax.jit(
             functools.partial(_admit_fused_paged, forward_fn),
-            static_argnames=("cfg", "insert_bucket"),
+            static_argnames=("cfg", "insert_bucket", "lp_k"),
             donate_argnames=("cache", "scratch"))
 
         # prefix cache: a KVCache whose batch axis is the entry pool
@@ -256,10 +265,15 @@ class ServingEngine:
     # -- public API ----------------------------------------------------------
     def submit(self, prompt_ids, n_predict: Optional[int] = None,
                stop_token_ids=(), on_token=None,
-               gcfg: Optional[GenerationConfig] = None) -> Request:
+               gcfg: Optional[GenerationConfig] = None,
+               logprobs: Optional[int] = None) -> Request:
         """gcfg: per-request sampling parameters (temp/top_k/top_p/tfs_z/
         typical_p/penalties/mirostat/seed) — served by ONE compiled
-        row-sampler, no recompile per distinct config."""
+        row-sampler, no recompile per distinct config.
+        logprobs: return the chosen token's raw-model logprob per emitted
+        token, plus the top-``logprobs`` alternatives when > 0 (OpenAI API
+        semantics). Served by logprobs-variant executables selected per
+        dispatch — batches with no logprobs request pay nothing."""
         if gcfg is not None:
             if not self._per_row:
                 raise ValueError(
@@ -269,11 +283,16 @@ class ServingEngine:
                 raise ValueError(
                     f"per-request logit_bias supports at most "
                     f"{sampling.RowParams.MAX_BIAS} entries")
+        if logprobs is not None and not 0 <= int(logprobs) <= self.logprobs_k:
+            raise ValueError(
+                f"logprobs must be in [0, {self.logprobs_k}] "
+                f"(engine logprobs_k); got {logprobs}")
         req = Request(
             prompt_ids=np.asarray(prompt_ids, np.int32).reshape(-1),
             n_predict=n_predict or (gcfg or self.gcfg).n_predict,
             stop_token_ids=tuple(int(t) for t in stop_token_ids),
             on_token=on_token, request_id=next(self._ids), gcfg=gcfg,
+            logprobs=None if logprobs is None else int(logprobs),
             submit_t=time.perf_counter())
         self.queue.append(req)
         return req
@@ -387,6 +406,8 @@ class ServingEngine:
             s = self.slots[i]
             if not self._row_greedy[i]:
                 return False
+            if s.request.logprobs is not None:
+                return False  # verify ticks don't ship per-token logprobs
             if s.length + self.spec_K + 1 >= self.max_len:
                 return False
             if self._h[i] + self.spec_K + 1 > self.hist_len:
@@ -478,12 +499,13 @@ class ServingEngine:
             np.arange(window)[None, :] >= (window - self._row_window[:, None]))
         lengths = jnp.asarray([s.length for s in self.slots], jnp.int32)
         active0 = [s.active for s in self.slots]
+        lp_k = self.logprobs_k if self._want_lp() else None
         if self.paged:
             seq, self.page_cache, self._keys, self._mu = self._jit_decode_multi(
                 self.params, self.cfg, jnp.asarray(self._next_tok),
                 self.page_cache, lengths, self._keys, self._row_params,
                 jnp.asarray(self._last), keep_mask, self._mu,
-                jnp.asarray(self._tables), n_ticks=k)
+                jnp.asarray(self._tables), n_ticks=k, lp_k=lp_k)
         else:
             cap = _cap_bucket(
                 max(s_.length for s_ in self.slots) + k, self.max_len)
@@ -491,7 +513,11 @@ class ServingEngine:
                 self.params, self.cfg, jnp.asarray(self._next_tok),
                 self.cache, lengths, self._keys, self._row_params,
                 jnp.asarray(self._last), keep_mask, self._mu, None,
-                n_ticks=k, ctx_cap=cap)
+                n_ticks=k, ctx_cap=cap, lp_k=lp_k)
+        lps = tops = None
+        if lp_k is not None:
+            seq, lps, top_i, top_lp = (np.asarray(a) for a in seq)
+            tops = _zip_tops(top_i, top_lp)                 # [K][B][(id, lp)]
         seq = np.asarray(seq)                               # [K, B]
         for t in range(k):
             for i, slot in enumerate(self.slots):
@@ -499,7 +525,9 @@ class ServingEngine:
                 # stopped mid-burst discards its overshoot tokens
                 if active0[i] and slot.active:
                     slot.length += 1
-                    self._emit(i, int(seq[t, i]))
+                    self._emit(i, int(seq[t, i]),
+                               lp=None if lps is None else lps[t, i],
+                               top=None if tops is None else tops[t][i])
 
     def _cancel_admission(self):
         """Abort the in-flight chunked admission: requeue its request (front
@@ -698,26 +726,33 @@ class ServingEngine:
                 n_pg, insert_bucket)
             self._tables[slot_idx] = self._dead_page
             self._tables[slot_idx, :n_pg] = pages
+        lp_k = self.logprobs_k if req.logprobs is not None else None
+        if self.paged:
             (tok, self.page_cache, self._scratch, self._keys,
-             self._row_params, self._mu) = self._jit_admit_paged(
+             self._row_params, self._mu, lp) = self._jit_admit_paged(
                 self.params, self.cfg, jnp.asarray(ids), self._scratch,
                 self.page_cache, jnp.asarray(pages, jnp.int32),
                 jnp.asarray(done, jnp.int32), jnp.asarray(take, jnp.int32),
                 self._keys, self._row_params, self._mu, row_key, rp_row,
                 last_row, mu0, jnp.int32(slot_idx),
-                insert_bucket=n_pg * p)
+                insert_bucket=n_pg * p, lp_k=lp_k)
         else:
             (tok, self.cache, self._scratch, self._keys,
-             self._row_params, self._mu) = self._jit_admit(
+             self._row_params, self._mu, lp) = self._jit_admit(
                 self.params, self.cfg, jnp.asarray(ids), self._scratch,
                 self.cache, jnp.asarray(done, jnp.int32),
                 jnp.asarray(take, jnp.int32), self._keys, self._row_params,
                 self._mu, row_key, rp_row, last_row, mu0,
-                jnp.int32(slot_idx), insert_bucket=insert_bucket)
+                jnp.int32(slot_idx), insert_bucket=insert_bucket, lp_k=lp_k)
         req.first_token_t = time.perf_counter()
         if self._pfx_entries:
             self._maybe_store_prefix(req)
-        self._emit(slot_idx, int(np.asarray(tok)))
+        lp1 = top1 = None
+        if lp is not None:
+            lp1 = float(np.asarray(lp[0])[0])
+            top1 = _zip_tops(np.asarray(lp[1])[None],
+                             np.asarray(lp[2])[None])[0][0]
+        self._emit(slot_idx, int(np.asarray(tok)), lp=lp1, top=top1)
 
     def _finish_admission(self, slot_idx: int, req: Request, logits):
         """Unfused finalization (engine-global sampler path only)."""
@@ -754,7 +789,14 @@ class ServingEngine:
         req.first_token_t = time.perf_counter()
         if self._pfx_entries:
             self._maybe_store_prefix(req)
-        self._emit(slot_idx, t)
+        lp1 = top1 = None
+        if req.logprobs is not None:
+            lp, ti, tl = self._jit_token_lp(logits, tok,
+                                            lp_k=self.logprobs_k)
+            lp1 = float(np.asarray(lp)[0])
+            top1 = _zip_tops(np.asarray(ti)[None],
+                             np.asarray(tl)[None])[0][0]
+        self._emit(slot_idx, t, lp=lp1, top=top1)
 
     def _decode_once(self):
         if self.paged:
@@ -803,10 +845,25 @@ class ServingEngine:
             tok, self._state = self._prefill_engine._jit_sample(
                 logits, self._state, jnp.asarray(self._last), self._hcfg)
         tok_host = np.asarray(tok)
+        lps = tops = None
+        if self._want_lp():  # slow path: one extra dispatch is acceptable
+            lp, ti, tl = self._jit_token_lp(logits, tok,
+                                            lp_k=self.logprobs_k)
+            lps = np.asarray(lp)
+            tops = _zip_tops(np.asarray(ti)[None], np.asarray(tl)[None])[0]
         for i, slot in enumerate(self.slots):
             if slot.active:
                 slot.length += 1
-                self._emit(i, int(tok_host[i]))
+                self._emit(i, int(tok_host[i]),
+                           lp=None if lps is None else lps[i],
+                           top=None if tops is None else tops[i])
+
+    def _want_lp(self) -> bool:
+        """Any active slot wants logprobs → this dispatch uses the
+        logprobs-variant executable (whole-batch arrays; per-slot storage
+        filters in _emit)."""
+        return any(s.active and s.request.logprobs is not None
+                   for s in self.slots)
 
     def _mask_row_window(self, slot_idx: int):
         """Per-request repeat_last_n: blank history older than the row's
@@ -817,11 +874,18 @@ class ServingEngine:
         if w < full:
             self._last[slot_idx, :full - w] = -1
 
-    def _emit(self, slot_idx: int, token: int):
-        """Record a sampled token for a slot; finish/free on stop or length."""
+    def _emit(self, slot_idx: int, token: int, lp=None, top=None):
+        """Record a sampled token for a slot; finish/free on stop or length.
+        lp/top: chosen-token logprob and [(id, logprob)] top-k alternatives
+        from the logprobs-variant executables (only stored when the request
+        asked; the whole-batch arrays carry rows for every slot)."""
         slot = self.slots[slot_idx]
         req = slot.request
         req.output_ids.append(token)
+        if req.logprobs is not None and lp is not None:
+            req.output_logprobs.append(float(lp))
+            req.output_top_logprobs.append(
+                [] if not req.logprobs else top[:req.logprobs])
         if self.speculative and not self._in_spec:
             self._hist_dirty[slot_idx] = True  # device history went stale
         if req.on_token is not None:
@@ -903,7 +967,7 @@ def _fold_row_and_sample(logits, slot_idx, keys, rparams, mu, row_key,
 
 def _admit_fused(forward_fn, params, cfg, ids, scratch, cache, start,
                  true_len, keys, rparams, mu, row_key, rp_row, last_row,
-                 mu0, slot_idx, *, insert_bucket):
+                 mu0, slot_idx, *, insert_bucket, lp_k=None):
     """Final-chunk admission in ONE dispatch: prefill + slot splice + row
     fold-in + first-token sample. Numerically identical to the unfused
     sequence (same forward, same splice, same sample_rows call)."""
@@ -912,19 +976,23 @@ def _admit_fused(forward_fn, params, cfg, ids, scratch, cache, start,
     cache = _insert_body(cache, scratch, slot_idx, insert_bucket)
     tok, keys, rparams, mu = _fold_row_and_sample(
         logits, slot_idx, keys, rparams, mu, row_key, rp_row, last_row, mu0)
-    return tok, cache, scratch, keys, rparams, mu
+    lp = None if lp_k is None else _token_logprobs(
+        logits, tok.reshape(1), lp_k=lp_k)
+    return tok, cache, scratch, keys, rparams, mu, lp
 
 
 def _admit_fused_paged(forward_fn, params, cfg, ids, scratch, cache,
                        page_ids, start, true_len, keys, rparams, mu,
                        row_key, rp_row, last_row, mu0, slot_idx, *,
-                       insert_bucket):
+                       insert_bucket, lp_k=None):
     logits, scratch = forward_fn(params, cfg, ids, scratch, start,
                                  true_len=true_len)
     cache = _insert_pages_body(cache, scratch, page_ids, insert_bucket)
     tok, keys, rparams, mu = _fold_row_and_sample(
         logits, slot_idx, keys, rparams, mu, row_key, rp_row, last_row, mu0)
-    return tok, cache, scratch, keys, rparams, mu
+    lp = None if lp_k is None else _token_logprobs(
+        logits, tok.reshape(1), lp_k=lp_k)
+    return tok, cache, scratch, keys, rparams, mu, lp
 
 
 @jax.jit
@@ -932,6 +1000,13 @@ def _set_param_row(full, row, idx):
     """Write a 1-row RowParams into row ``idx`` of the resident [slots]
     arrays — one dispatch per admission instead of a full rebuild."""
     return jax.tree.map(lambda f, r: f.at[idx].set(r[0]), full, row)
+
+
+def _zip_tops(top_i, top_lp):
+    """[K, B, k] id/logprob arrays → [K][B] lists of (id, logprob) pairs."""
+    return [[list(zip(ti.tolist(), tl.tolist()))
+             for ti, tl in zip(top_i[t], top_lp[t])]
+            for t in range(top_i.shape[0])]
 
 
 def _cap_bucket(needed: int, smax: int) -> int:
@@ -960,9 +1035,25 @@ def _decode_step_paged(forward_fn, params, cfg, tokens, cache, lengths,
     return logits, cache
 
 
+def _token_logprobs(logits, tok, *, lp_k: int):
+    """Chosen-token logprob [B] (+ exact top-k ids/logprobs [B, k] when
+    lp_k > 0) from the RAW model logits — the pre-sampling distribution, so
+    a greedy and a sampled request over the same prefix report the same
+    numbers. Costs one logsumexp (+ one lax.top_k) over [B, V]: ~0.1% of a
+    decode step, but only the logprobs-variant executables pay it."""
+    lg = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(lg, axis=-1)
+    lp = jnp.take_along_axis(lg, tok[:, None], 1)[:, 0] - lse
+    if lp_k > 0:
+        top_v, top_i = jax.lax.top_k(lg, lp_k)
+        return lp, top_i.astype(jnp.int32), top_v - lse[:, None]
+    b = logits.shape[0]
+    return lp, jnp.zeros((b, 0), jnp.int32), jnp.zeros((b, 0), jnp.float32)
+
+
 def _decode_multi(forward_fn, params, cfg, tokens, cache, lengths, keys,
                   rparams, last, keep_mask, mu, tables, *, n_ticks,
-                  ctx_cap=None):
+                  ctx_cap=None, lp_k=None):
     """K decode+sample ticks in ONE dispatch (lax.scan): the host-driven
     per-token scheduler costs 2-3 dispatch round-trips per tick (tunnel RTT
     ~25-30 ms makes that THE serving bottleneck; even local dispatch is
@@ -987,7 +1078,9 @@ def _decode_multi(forward_fn, params, cfg, tokens, cache, lengths, keys,
         last = jnp.where(keep_mask,
                          jnp.concatenate([last[:, 1:], tok[:, None]], axis=1),
                          -1)
-        return (tok, cache, lengths + 1, keys, last, mu), tok
+        ys = tok if lp_k is None else (
+            tok, *_token_logprobs(logits, tok, lp_k=lp_k))
+        return (tok, cache, lengths + 1, keys, last, mu), ys
 
     (tokens, cache, lengths, keys, last, mu), seq = jax.lax.scan(
         tick, (tokens, cache, lengths, keys, last, mu), None, length=n_ticks)
