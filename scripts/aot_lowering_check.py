@@ -206,6 +206,76 @@ def main():
     finally:
         jax.default_backend = saved_backend
 
+    # sequence-parallel ring prefill (SP x TP) and pipeline-parallel forward
+    # against the same real v5e topology: pure-XLA collectives (ppermute in
+    # lax.scan, owner psums) — no Mosaic risk, but sharded-program lowering
+    # bugs (layout/reshard choices) only show up in the TPU compiler
+    print("SP x TP ring prefill (2 seq x 2 model, v5e topology):", flush=True)
+    from tinychatengine_tpu.parallel.sp import (
+        _sp_cache_specs,
+        make_sp_mesh,
+        make_sp_prefill,
+    )
+
+    sp_mesh = make_sp_mesh(2, 2, devices=list(topo.devices))
+    sp_shapes = llama.init_random_params(tcfg, qcfg, seed=0, tp_degree=2)
+    sp_params = jax.tree.map(
+        lambda t, spec: None if t is None else jax.ShapeDtypeStruct(
+            t.shape, t.dtype, sharding=NamedSharding(sp_mesh, spec)),
+        sp_shapes, llama_param_specs(sp_shapes), is_leaf=lambda x: x is None)
+    spc = kvc.init_cache(tcfg.num_layers, 1, 16, tcfg.num_kv_heads,
+                         tcfg.head_dim)
+    sp_cache = jax.tree.map(
+        lambda t, spec: None if t is None else jax.ShapeDtypeStruct(
+            t.shape, t.dtype, sharding=NamedSharding(sp_mesh, spec)),
+        spc, _sp_cache_specs(spc), is_leaf=lambda x: x is None)
+    jax.default_backend = lambda: "tpu"
+    try:
+        check("sp x tp ring prefill (s=16)",
+              functools.partial(make_sp_prefill(sp_mesh), cfg=tcfg),
+              sp_params,
+              input_ids=jax.ShapeDtypeStruct(
+                  (1, 16), jnp.int32,
+                  sharding=NamedSharding(sp_mesh, P(None, "seq"))),
+              cache=sp_cache)
+    finally:
+        jax.default_backend = saved_backend
+
+    print("PP forward (2 pipe stages, v5e topology):", flush=True)
+    from tinychatengine_tpu.parallel.pp import (
+        _pp_cache_specs,
+        llama_pp_param_specs,
+        make_pp_forward,
+        make_pp_mesh,
+    )
+
+    pp_mesh = make_pp_mesh(2, devices=list(topo.devices))
+    pp_shapes = llama.init_random_params(tcfg, qcfg, seed=0)
+    pp_params = jax.tree.map(
+        lambda t, spec: None if t is None else jax.ShapeDtypeStruct(
+            t.shape, t.dtype, sharding=NamedSharding(pp_mesh, spec)),
+        pp_shapes, llama_pp_param_specs(pp_shapes),
+        is_leaf=lambda x: x is None)
+    ppc = kvc.init_cache(tcfg.num_layers, 2, tcfg.max_sqlen,
+                         tcfg.num_kv_heads, tcfg.head_dim)
+    pp_cache = jax.tree.map(
+        lambda t, spec: None if t is None else jax.ShapeDtypeStruct(
+            t.shape, t.dtype, sharding=NamedSharding(pp_mesh, spec)),
+        ppc, _pp_cache_specs(ppc), is_leaf=lambda x: x is None)
+    pp_rep = NamedSharding(pp_mesh, P())
+    jax.default_backend = lambda: "tpu"
+    try:
+        check("pp forward (prefill s=8, 2 microbatches)",
+              functools.partial(make_pp_forward(pp_mesh, 2), cfg=tcfg),
+              pp_params,
+              input_ids=jax.ShapeDtypeStruct(
+                  (2, 8), jnp.int32, sharding=NamedSharding(
+                      pp_mesh, P(None, None))),
+              cache=pp_cache,
+              start=jax.ShapeDtypeStruct((), jnp.int32, sharding=pp_rep))
+    finally:
+        jax.default_backend = saved_backend
+
     print("ALL LOWER" if failures == 0 else f"{failures} LOWERING FAILURES")
     sys.exit(1 if failures else 0)
 
