@@ -406,3 +406,27 @@ def test_chat_logprobs_and_stream_rejection(served):
     status, body = _post(port, "/v1/completions", {
         "prompt": "x", "max_tokens": 2, "logprobs": 99})
     assert status == 400
+
+
+def test_embeddings_endpoint(served):
+    """Mean-pooled normalized embeddings: unit norm, deterministic, distinct
+    inputs differ, batch of strings handled, usage counted."""
+    server, port, _, _ = served
+    status, body = _post(port, "/v1/embeddings",
+                         {"input": ["hello world", "completely different"]})
+    assert status == 200
+    data = body["data"]
+    assert [d["index"] for d in data] == [0, 1]
+    e0, e1 = (np.asarray(d["embedding"], np.float32) for d in data)
+    assert abs(float(np.linalg.norm(e0)) - 1.0) < 1e-3
+    assert abs(float(np.linalg.norm(e1)) - 1.0) < 1e-3
+    assert float(np.abs(e0 - e1).max()) > 1e-4  # different inputs differ
+    assert body["usage"]["prompt_tokens"] > 0
+
+    status2, body2 = _post(port, "/v1/embeddings", {"input": "hello world"})
+    assert status2 == 200
+    e0b = np.asarray(body2["data"][0]["embedding"], np.float32)
+    assert float(np.abs(e0 - e0b).max()) < 1e-5  # deterministic
+
+    status3, body3 = _post(port, "/v1/embeddings", {"input": []})
+    assert status3 == 400

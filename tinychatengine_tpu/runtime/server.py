@@ -8,8 +8,10 @@ OpenAI wire shapes so existing clients work unchanged:
 
   GET  /health               liveness + engine counters
   GET  /v1/models            model listing
-  POST /v1/completions       text completion (+ SSE streaming)
-  POST /v1/chat/completions  chat-template wrap (+ SSE streaming)
+  GET  /metrics              Prometheus exposition
+  POST /v1/completions       text completion (+ SSE streaming, logprobs)
+  POST /v1/chat/completions  chat-template wrap (+ SSE streaming, logprobs)
+  POST /v1/embeddings        mean-pooled L2-normalized decoder embeddings
 
 Threading model: HTTP is thread-per-connection (ThreadingHTTPServer), but
 the ServingEngine is single-threaded by design (device arrays + host slot
@@ -91,6 +93,7 @@ class InferenceServer:
             "ttft_seconds_sum": 0.0,
             "ttft_seconds_count": 0,
         }
+        self._embed_jit = None           # built lazily on first /v1/embeddings
 
     # -- lifecycle -----------------------------------------------------------
     def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
@@ -199,6 +202,52 @@ class InferenceServer:
 
 
 # -- OpenAI body mapping -------------------------------------------------------
+
+def _embed_texts(srv, id_rows: list) -> list:
+    """Mean-pooled, L2-normalized last-layer hidden states (the standard
+    decoder-as-embedder recipe; llama.cpp's /embedding analog — no reference
+    counterpart). One bucketed batch-1 forward per input, computed directly
+    on the handler thread: JAX dispatch is thread-safe and this touches
+    none of the engine's donated buffers."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from tinychatengine_tpu.generation import kv_cache as kvc
+    from tinychatengine_tpu.generation.engine import _bucket
+
+    e = srv.engine
+    fwd = srv._embed_jit
+    if fwd is None:
+        fwd = srv._embed_jit = jax.jit(
+            functools.partial(_embed_step, e._forward),
+            static_argnames=("cfg",))
+    out = []
+    for ids in id_rows:
+        bucket = min(_bucket(len(ids)), e.max_len)
+        row = np.zeros((1, bucket), np.int32)
+        row[0, :len(ids)] = ids
+        cache = kvc.init_cache(e.cfg.num_layers, 1, bucket,
+                               e.cfg.num_kv_heads, e.cfg.head_dim)
+        emb = fwd(e.params, e.cfg, jnp.asarray(row), cache,
+                  jnp.asarray(len(ids), jnp.int32))
+        out.append(np.asarray(emb)[0].tolist())
+    return out
+
+
+def _embed_step(forward_fn, params, cfg, ids, cache, true_len):
+    import jax.numpy as jnp
+
+    hidden, _ = forward_fn(params, cfg, ids, cache, jnp.int32(0),
+                           true_len=true_len, return_hidden=True)
+    mask = (jnp.arange(ids.shape[1])[None, :, None]
+            < true_len).astype(jnp.float32)
+    pooled = (hidden.astype(jnp.float32) * mask).sum(axis=1) \
+        / jnp.maximum(true_len.astype(jnp.float32), 1.0)
+    norm = jnp.sqrt(jnp.sum(pooled * pooled, axis=-1, keepdims=True))
+    return pooled / jnp.maximum(norm, 1e-9)
+
 
 def _parse_logprobs(srv, body: dict, chat: bool):
     """OpenAI logprobs params → engine request value (None=off, 0=chosen
@@ -529,6 +578,45 @@ def _make_handler(server: InferenceServer):
         def _error(self, code: int, message: str, etype="invalid_request_error"):
             self._json(code, {"error": {"message": message, "type": etype}})
 
+        def _embeddings(self, body: dict):
+            srv = self.srv
+            tok = srv.tok
+            raw = body.get("input")
+            if isinstance(raw, str):
+                items = [raw]
+            elif isinstance(raw, list) and raw and all(
+                    isinstance(t, int) for t in raw):
+                items = [list(raw)]          # one pre-tokenized input
+            elif isinstance(raw, list) and raw and all(
+                    isinstance(t, str) for t in raw):
+                items = list(raw)
+            else:
+                raise RequestError("'input' must be a string, a list of "
+                                   "strings, or a list of token ids")
+            id_rows, total = [], 0
+            for it in items:
+                ids = it if isinstance(it, list) else tok.encode(it, bos=True)
+                if not ids:
+                    raise RequestError("empty input")
+                if len(ids) > srv.engine.max_len:
+                    raise RequestError(
+                        f"input of {len(ids)} tokens exceeds context "
+                        f"{srv.engine.max_len}")
+                id_rows.append(ids)
+                total += len(ids)
+            try:
+                embs = _embed_texts(srv, id_rows)
+            except TypeError as exc:  # family forward without return_hidden
+                self._error(
+                    501, f"embeddings unsupported for this model: {exc}",
+                    etype="server_error")
+                return
+            self._json(200, {
+                "object": "list", "model": srv.model_name,
+                "data": [{"object": "embedding", "index": i, "embedding": e}
+                         for i, e in enumerate(embs)],
+                "usage": {"prompt_tokens": total, "total_tokens": total}})
+
         def do_GET(self):
             if self.path == "/health":
                 e = self.srv.engine
@@ -561,6 +649,8 @@ def _make_handler(server: InferenceServer):
                     self._completion(body, chat=False)
                 elif self.path == "/v1/chat/completions":
                     self._completion(body, chat=True)
+                elif self.path == "/v1/embeddings":
+                    self._embeddings(body)
                 else:
                     self._error(404, f"unknown path {self.path}")
             except RequestError as exc:
