@@ -430,3 +430,29 @@ def test_embeddings_endpoint(served):
 
     status3, body3 = _post(port, "/v1/embeddings", {"input": []})
     assert status3 == 400
+
+
+def test_logprobs_align_with_stop_truncated_text(served):
+    """A stop-string cut truncates the response text mid-stream; the
+    logprobs arrays must describe exactly the returned text (no suppressed
+    tokens, no text_offset past the end)."""
+    server, port, model, g = served
+    prompt = "stop lp"
+    ids = ByteTokenizer().encode(prompt, bos=True)
+    full, _ = _solo_text(model, g, ids, 16)
+    printable = [ch for ch in full if ch.isprintable() and ch != " "]
+    if len(set(full)) < 2 or len(printable) < 1:
+        pytest.skip("random model produced no usable stop char")
+    stop = printable[len(printable) // 2]
+    st, out = _post(port, "/v1/completions", {
+        "prompt": prompt, "max_tokens": 16, "ignore_eos": True,
+        "stop": stop, "logprobs": 1})
+    assert st == 200, out
+    c = out["choices"][0]
+    assert c["finish_reason"] == "stop"
+    lp = c["logprobs"]
+    assert "".join(lp["tokens"]) == c["text"]
+    assert len(lp["tokens"]) == len(lp["token_logprobs"]) \
+        == len(lp["text_offset"])
+    for off, piece in zip(lp["text_offset"], lp["tokens"]):
+        assert c["text"][off:off + len(piece)] == piece

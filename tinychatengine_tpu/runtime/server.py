@@ -253,14 +253,17 @@ def _parse_logprobs(srv, body: dict, chat: bool):
     """OpenAI logprobs params → engine request value (None=off, 0=chosen
     token only, k=also top-k alternatives). Completions: ``logprobs: int``;
     chat: ``logprobs: true`` + ``top_logprobs: int``."""
-    if chat:
-        if not body.get("logprobs"):
-            return None
-        k = int(body.get("top_logprobs", 0) or 0)
-    else:
-        if body.get("logprobs") is None:
-            return None
-        k = int(body["logprobs"])
+    try:
+        if chat:
+            if not body.get("logprobs"):
+                return None
+            k = int(body.get("top_logprobs", 0) or 0)
+        else:
+            if body.get("logprobs") is None:
+                return None
+            k = int(body["logprobs"])
+    except (TypeError, ValueError) as exc:
+        raise RequestError(f"logprobs/top_logprobs must be an integer: {exc}")
     cap = srv.engine.logprobs_k
     if not 0 <= k <= cap:
         raise RequestError(
@@ -268,15 +271,28 @@ def _parse_logprobs(srv, body: dict, chat: bool):
     return k
 
 
-def _format_logprobs(tok, req, n: int, k: int, chat: bool) -> dict:
+def _format_logprobs(tok, req, n: int, k: int, chat: bool,
+                     text: str) -> dict:
     """Engine per-token records → the OpenAI response shapes. ``n`` trims to
-    the tokens that made it into the response text (a stop-string match
-    cancels the request mid-flight; later tokens never reached the client).
+    the tokens counted into the response; tokens whose text was SUPPRESSED
+    (engine stop tokens, a stop-string match cut) are then dropped by
+    aligning decoded pieces against the returned ``text`` — tokens and
+    text_offset always describe exactly the text the client got.
     Logprobs are of the RAW model distribution (serving._token_logprobs)."""
     ids = req.output_ids[:n]
     lps = req.output_logprobs[:n]
     tops = req.output_top_logprobs[:n]
     pieces = [tok.decode([t]) for t in ids]
+    # drop the suppressed tail by LENGTH (robust to tokenizers whose
+    # singleton decode differs cosmetically from the streamed decode): a
+    # stop cut always truncates at the end, so trim trailing tokens until
+    # the pieces fit inside the returned text — offsets never point past it
+    total = sum(len(s) for s in pieces)
+    keep = len(pieces)
+    while keep and total > len(text):
+        keep -= 1
+        total -= len(pieces[keep])
+    ids, lps, tops, pieces = (x[:keep] for x in (ids, lps, tops, pieces))
     if chat:
         content = []
         for s, lp, top in zip(pieces, lps, tops):
@@ -515,7 +531,9 @@ def _render_metrics(server: InferenceServer) -> str:
         "# HELP tce_requests_total Finished requests by finish reason.",
         "# TYPE tce_requests_total counter",
         *(f'tce_requests_total{{reason="{r}"}} {n}'
-          for r, n in sorted(s["requests_total"].items())),
+          # snapshot: the scheduler thread may insert a new finish_reason
+          # key mid-iteration (dict(...) copies atomically under the GIL)
+          for r, n in sorted(dict(s["requests_total"]).items())),
         "# HELP tce_generation_tokens_total Tokens generated.",
         "# TYPE tce_generation_tokens_total counter",
         f"tce_generation_tokens_total {s['tokens_generated_total']}",
@@ -607,6 +625,8 @@ def _make_handler(server: InferenceServer):
             try:
                 embs = _embed_texts(srv, id_rows)
             except TypeError as exc:  # family forward without return_hidden
+                if "return_hidden" not in str(exc):
+                    raise  # a genuine bug, not a capability gap — surface it
                 self._error(
                     501, f"embeddings unsupported for this model: {exc}",
                     etype="server_error")
@@ -740,7 +760,7 @@ def _make_handler(server: InferenceServer):
                 choice["text"] = text
             if lp_req is not None and job.req is not None:
                 choice["logprobs"] = _format_logprobs(
-                    tok, job.req, coll.emitted, lp_req, chat)
+                    tok, job.req, coll.emitted, lp_req, chat, text)
             self._json(200, {
                 "id": oid, "object": obj, "created": created,
                 "model": srv.model_name, "choices": [choice],

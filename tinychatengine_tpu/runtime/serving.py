@@ -718,6 +718,7 @@ class ServingEngine:
         ids[0, :take] = req.prompt_ids[done:done + take]
         last_row = jnp.asarray(self._last[slot_idx][None])
         insert_bucket = min(_bucket(n), self.max_len)
+        lp_k = self.logprobs_k if req.logprobs is not None else None
         if self.paged:
             p = self.allocator.page_size
             pages = self._slot_pages[slot_idx]   # reserved at admission start
@@ -726,8 +727,6 @@ class ServingEngine:
                 n_pg, insert_bucket)
             self._tables[slot_idx] = self._dead_page
             self._tables[slot_idx, :n_pg] = pages
-        lp_k = self.logprobs_k if req.logprobs is not None else None
-        if self.paged:
             (tok, self.page_cache, self._scratch, self._keys,
              self._row_params, self._mu, lp) = self._jit_admit_paged(
                 self.params, self.cfg, jnp.asarray(ids), self._scratch,

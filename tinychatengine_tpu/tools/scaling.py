@@ -85,23 +85,27 @@ def run_sp_config(params_fn, cfg, qcfg, n_seq: int, n_model: int,
         return kvc.init_cache(cfg.num_layers, 1, prompt_len,
                               cfg.num_kv_heads, cfg.head_dim)
 
+    # cache allocated/resharded OUTSIDE the timed region (its device_put is
+    # several dispatches on the real chip and would bias the SP side); the
+    # prefill overwrites it fully each run (fresh start=0), and varying ids
+    # defeat the tunnel's identical-args execution cache
     if n_seq * n_model > 1:
         mesh = make_sp_mesh(n_seq, n_model)
         params = shard_params(params, mesh)
         fwd = jax.jit(make_sp_prefill(mesh), static_argnames=("cfg",))
-        cache_fn = lambda: shard_sp_cache(new_cache(), mesh)
+        cache = shard_sp_cache(new_cache(), mesh)
     else:
         fwd = jax.jit(llama.forward, static_argnames=("cfg",))
-        cache_fn = new_cache
+        cache = new_cache()
     rng = np.random.default_rng(0)
 
     def run(seed):
         ids = jnp.asarray(rng.integers(10, cfg.vocab_size - 10,
                                        (1, prompt_len)), jnp.int32)
         if n_seq * n_model > 1:
-            logits, _ = fwd(params, cfg, ids, cache_fn())
+            logits, _ = fwd(params, cfg, ids, cache)
         else:
-            logits, _ = fwd(params, cfg, ids, cache_fn(), jnp.int32(0))
+            logits, _ = fwd(params, cfg, ids, cache, jnp.int32(0))
         return np.asarray(logits)  # fetch forces execution (CLAUDE.md)
 
     run(0)  # compile
@@ -231,8 +235,13 @@ def main(argv=None):
                                   f"{n_data} stages do not divide "
                                   f"{cfg.num_layers} layers"}))
                 continue
-            r = run_pp_config(params_fn, cfg, qcfg, n_data,
-                              args.n_micro or max(n_data, 2),
+            n_micro = args.n_micro or max(n_data, 2)
+            if 8 % n_micro:  # run_pp_config batch=8
+                print(json.dumps({"mesh": f"{n_data}pipe", "skipped":
+                                  f"{n_micro} microbatches do not divide "
+                                  f"the batch of 8"}))
+                continue
+            r = run_pp_config(params_fn, cfg, qcfg, n_data, n_micro,
                               n_decode=args.n_decode)
             if base is None:
                 base = r["tokens_per_s"]
