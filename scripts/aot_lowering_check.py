@@ -241,7 +241,7 @@ def main():
     finally:
         jax.default_backend = saved_backend
 
-    print("PP forward (2 pipe stages, v5e topology):", flush=True)
+    print("PP x TP forward (2 pipe x 2 model, v5e topology):", flush=True)
     from tinychatengine_tpu.parallel.pp import (
         _pp_cache_specs,
         llama_pp_param_specs,
@@ -249,23 +249,23 @@ def main():
         make_pp_mesh,
     )
 
-    pp_mesh = make_pp_mesh(2, devices=list(topo.devices))
-    pp_shapes = llama.init_random_params(tcfg, qcfg, seed=0)
+    pp_mesh = make_pp_mesh(2, 2, devices=list(topo.devices))
+    pp_shapes = llama.init_random_params(tcfg, qcfg, seed=0, tp_degree=2)
     pp_params = jax.tree.map(
         lambda t, spec: None if t is None else jax.ShapeDtypeStruct(
             t.shape, t.dtype, sharding=NamedSharding(pp_mesh, spec)),
-        pp_shapes, llama_pp_param_specs(pp_shapes),
+        pp_shapes, llama_pp_param_specs(pp_shapes, tp=True),
         is_leaf=lambda x: x is None)
     ppc = kvc.init_cache(tcfg.num_layers, 2, tcfg.max_sqlen,
                          tcfg.num_kv_heads, tcfg.head_dim)
     pp_cache = jax.tree.map(
         lambda t, spec: None if t is None else jax.ShapeDtypeStruct(
             t.shape, t.dtype, sharding=NamedSharding(pp_mesh, spec)),
-        ppc, _pp_cache_specs(ppc), is_leaf=lambda x: x is None)
+        ppc, _pp_cache_specs(ppc, tp=True), is_leaf=lambda x: x is None)
     pp_rep = NamedSharding(pp_mesh, P())
     jax.default_backend = lambda: "tpu"
     try:
-        check("pp forward (prefill s=8, 2 microbatches)",
+        check("pp x tp forward (prefill s=8, 2 microbatches)",
               functools.partial(make_pp_forward(pp_mesh, 2), cfg=tcfg),
               pp_params,
               input_ids=jax.ShapeDtypeStruct(

@@ -136,3 +136,55 @@ def test_pp_collective_structure():
                       "all_to_all")}
     assert got == {"all_reduce": 1, "all_gather": 0,
                    "collective_permute": 1, "all_to_all": 0}, got
+
+
+@pytest.mark.parametrize("scheme", ["fp", "w4a16"])
+def test_pp_tp_matches_single_device(scheme):
+    """2 pipe x 2 model: Megatron TP inside each stage (psums on "model")
+    composed with the pipeline hop — prefill + one greedy decode step equal
+    the single-device run."""
+    cfg = TINY
+    b, s = 4, 8
+    params = llama.init_random_params(cfg, QuantConfig(scheme=scheme), seed=0)
+    params_n = llama.init_random_params(cfg, QuantConfig(scheme=scheme),
+                                        seed=0, tp_degree=2)
+    ids = jnp.asarray(
+        np.random.default_rng(3).integers(0, cfg.vocab_size, (b, s)),
+        jnp.int32)
+
+    fwd1 = jax.jit(llama.forward, static_argnames=("cfg",))
+    logits_1, cache_1 = fwd1(params, cfg, ids, _cache(cfg, b), jnp.int32(0))
+
+    mesh = make_pp_mesh(2, 2)
+    sp, sc = shard_pp(params_n, _cache(cfg, b), mesh)
+    fwdn = jax.jit(make_pp_forward(mesh, 2), static_argnames=("cfg",))
+    logits_n, cache_n = fwdn(sp, cfg, ids, sc, jnp.int32(0))
+
+    np.testing.assert_allclose(np.asarray(logits_1), np.asarray(logits_n),
+                               rtol=2e-2, atol=2e-2)
+    tok = jnp.argmax(logits_1, -1).astype(jnp.int32)
+    assert (np.asarray(tok) == np.argmax(np.asarray(logits_n), -1)).all()
+    logits_1d, _ = fwd1(params, cfg, tok[:, None], cache_1, jnp.int32(s))
+    logits_nd, _ = fwdn(sp, cfg, tok[:, None], cache_n, jnp.int32(s))
+    np.testing.assert_allclose(np.asarray(logits_1d), np.asarray(logits_nd),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_pp_tp_collective_structure():
+    """PP x TP budget: per tick 1 activation ppermute + (in the layer scan)
+    2 Megatron psums + 1 lm_head all-gather, plus the final logits psum."""
+    import re
+
+    cfg = TINY
+    params = llama.init_random_params(cfg, QuantConfig(scheme="fp"), seed=0,
+                                      tp_degree=2)
+    mesh = make_pp_mesh(2, 2)
+    sp, sc = shard_pp(params, _cache(cfg, 4), mesh)
+    ids = jnp.zeros((4, 8), jnp.int32)
+    txt = jax.jit(make_pp_forward(mesh, 2), static_argnames=("cfg",)).lower(
+        sp, cfg, ids, sc, jnp.int32(0)).as_text()
+    got = {op: len(re.findall(r"stablehlo\." + op + r"\b", txt))
+           for op in ("all_reduce", "all_gather", "collective_permute",
+                      "all_to_all")}
+    assert got == {"all_reduce": 3, "all_gather": 1,
+                   "collective_permute": 1, "all_to_all": 0}, got

@@ -19,6 +19,11 @@ commit and logits collection points — the standard SPMD pipeline trick:
 uniform compute, validity masks instead of control flow. Pipeline
 efficiency is M / (M + n - 1); pick M >= n.
 
+Composes with Megatron TP on a ("pipe", "model") mesh: each stage's layers
+column/row-shard over "model" (the same specs as parallel/tp.py), psums ride
+ICI within a stage while the pipeline hop crosses the stage boundary — the
+canonical topology when stages span hosts.
+
 The reference has no distribution of any kind (SURVEY §2.8); cites kept to
 its layer stacks for parity bookkeeping only
 (llm/src/nn_modules/non_cuda/Int4llamaDecoder.cc — the L-layer loop PP
@@ -39,35 +44,47 @@ from tinychatengine_tpu.generation.kv_cache import KVCache
 from tinychatengine_tpu.models import llama
 from tinychatengine_tpu.ops import ref
 from tinychatengine_tpu.ops.linear import apply_linear
+from tinychatengine_tpu.parallel.sharding import llama_param_specs
 
 
-def make_pp_mesh(n_pipe: int, devices=None) -> Mesh:
+def make_pp_mesh(n_pipe: int, n_model: int = 1, devices=None) -> Mesh:
+    """("pipe", "model") mesh: layer stages over pipe, Megatron TP within
+    each stage over model — stages usually span hosts (DCN), TP rides ICI."""
     devices = devices if devices is not None else jax.devices()
-    assert n_pipe <= len(devices), (n_pipe, len(devices))
-    return Mesh(np.asarray(devices[:n_pipe]), ("pipe",))
+    assert n_pipe * n_model <= len(devices), (n_pipe, n_model, len(devices))
+    dev = np.asarray(devices[: n_pipe * n_model]).reshape(n_pipe, n_model)
+    return Mesh(dev, ("pipe", "model"))
 
 
-def _stacked_spec(leaf):
-    return P("pipe", *((None,) * (leaf.ndim - 1)))
+def llama_pp_param_specs(params: llama.LlamaParams,
+                         tp: bool = False) -> llama.LlamaParams:
+    """Layer-stacked leaves sharded on axis 0 (the layer axis) over "pipe" —
+    composed with the Megatron column/row TP specs on the trailing dims when
+    ``tp`` (the [L, K, N] leaves become P("pipe", k_shard, n_shard)). Embed /
+    final norm / rope replicated; lm_head follows the TP column split (only
+    stage n-1 applies it — replication over pipe buys the uniform SPMD
+    program; shard it over pipe stages too if HBM gets tight)."""
+    tp_specs = llama_param_specs(params)  # "model"-axis col/row specs
 
+    def stage(leaf, tp_spec):
+        trailing = tuple(tp_spec)[1:] if tp else (None,) * (leaf.ndim - 1)
+        return P("pipe", *trailing)
 
-def llama_pp_param_specs(params: llama.LlamaParams) -> llama.LlamaParams:
-    """Layer-stacked leaves sharded on axis 0 (the layer axis) over "pipe";
-    embed / final norm / lm_head / rope replicated (only stage 0 reads the
-    embedding and only stage n-1 applies the head — replication buys the
-    uniform SPMD program; shard them over pipe stages if HBM gets tight)."""
-    layer_specs = jax.tree.map(_stacked_spec, params.layers)
+    layer_specs = jax.tree.map(stage, params.layers, tp_specs.layers)
     repl = lambda leaf: P(*((None,) * leaf.ndim))
     return llama.LlamaParams(
         embed=P(None, None), layers=layer_specs,
-        final_norm=P(None), lm_head=jax.tree.map(repl, params.lm_head),
+        final_norm=P(None),
+        lm_head=(tp_specs.lm_head if tp
+                 else jax.tree.map(repl, params.lm_head)),
         rope_cos=P(None, None), rope_sin=P(None, None),
     )
 
 
-def _pp_cache_specs(cache: KVCache) -> KVCache:
-    cs = P("pipe", None, None, None, None)      # [L, B, H_kv, S, D]
-    ss = P("pipe", None, None, None)
+def _pp_cache_specs(cache: KVCache, tp: bool = False) -> KVCache:
+    h = "model" if tp else None
+    cs = P("pipe", None, h, None, None)         # [L, B, H_kv, S, D]
+    ss = P("pipe", None, h, None)
     return KVCache(
         k=cs, v=cs, length=P(),
         k_scale=None if cache.k_scale is None else ss,
@@ -75,11 +92,12 @@ def _pp_cache_specs(cache: KVCache) -> KVCache:
 
 
 def shard_pp(params, cache, mesh: Mesh):
-    ps = llama_pp_param_specs(params)
+    tp = mesh.shape.get("model", 1) > 1
+    ps = llama_pp_param_specs(params, tp=tp)
     put = lambda x, s: None if x is None else jax.device_put(
         x, NamedSharding(mesh, s))
     return (jax.tree.map(put, params, ps, is_leaf=lambda x: x is None),
-            jax.tree.map(put, cache, _pp_cache_specs(cache),
+            jax.tree.map(put, cache, _pp_cache_specs(cache, tp=tp),
                          is_leaf=lambda x: x is None))
 
 
@@ -90,6 +108,8 @@ def make_pp_forward(mesh: Mesh, n_micro: int, forward=llama.forward):
     from the batch. Works for prefill (S>1) and decode (S=1); ``start`` is
     the uniform scalar offset (engine semantics)."""
     n_pipe = mesh.shape["pipe"]
+    tp = mesh.shape.get("model", 1) > 1
+    tp_axis = "model" if tp else None
     perm = [(i, (i + 1) % n_pipe) for i in range(n_pipe)]
 
     def pp_forward(params, cfg, input_ids, cache, start):
@@ -133,7 +153,7 @@ def make_pp_forward(mesh: Mesh, n_micro: int, forward=llama.forward):
                 ids_mb = slice_mb(input_ids, mb_in, 0)   # shape donor only
                 hidden, cache_mb = forward(
                     params, cfg_local, ids_mb, cache_mb, start,
-                    input_embeds=x, return_hidden=True)
+                    input_embeds=x, return_hidden=True, tp_axis=tp_axis)
 
                 k_all = commit_mb(k_all, cache_mb.k, k_old, valid, mb_c, 1)
                 v_all = commit_mb(v_all, cache_mb.v, v_old, valid, mb_c, 1)
@@ -147,7 +167,11 @@ def make_pp_forward(mesh: Mesh, n_micro: int, forward=llama.forward):
                 h = ref.rms_norm_ref(hidden[:, s - 1:s], params.final_norm,
                                      cfg.rms_norm_eps)
                 logits_mb = apply_linear(params.lm_head, h).astype(
-                    jnp.float32)[:, 0, :cfg.vocab_size]
+                    jnp.float32)
+                if tp:  # column-parallel lm_head → full vocab
+                    logits_mb = jax.lax.all_gather(logits_mb, "model",
+                                                   axis=-1, tiled=True)
+                logits_mb = logits_mb[:, 0, :cfg.vocab_size]
                 mb_out = t - (n_pipe - 1)
                 valid_out = jnp.logical_and(
                     jnp.logical_and(mb_out >= 0, mb_out < m),
@@ -171,9 +195,9 @@ def make_pp_forward(mesh: Mesh, n_micro: int, forward=llama.forward):
                                 k_scale=ks_all, v_scale=vs_all)
             return logits, out_cache
 
-        in_specs = (llama_pp_param_specs(params), P(None, None),
-                    _pp_cache_specs(cache), P())
-        out_specs = (P(None, None), _pp_cache_specs(cache))
+        in_specs = (llama_pp_param_specs(params, tp=tp), P(None, None),
+                    _pp_cache_specs(cache, tp=tp), P())
+        out_specs = (P(None, None), _pp_cache_specs(cache, tp=tp))
         f = shard_map(local, mesh=mesh, in_specs=in_specs,
                       out_specs=out_specs, check_vma=False)
         return f(params, input_ids, cache, start_)
