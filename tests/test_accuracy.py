@@ -161,3 +161,68 @@ def test_w8a8_ppl_within_budget(trained_opt, opt_eval_ids):
     ppl = perplexity(opt.forward, qp, cfg, opt_eval_ids, WINDOW, STRIDE)
     assert ppl < fp_ppl * 1.01, (
         f"w8a8 ppl {ppl:.4f} vs fp {fp_ppl:.4f}: Δ exceeds 1%")
+
+
+def test_golden_transcript_through_sp_and_pp(trained):
+    """REAL trained weights through the multi-chip paths: the committed
+    golden greedy generation reproduces token-exactly via (a) the
+    sequence-parallel ring prefill + decode-cache splice and (b) the
+    pipeline-parallel forward — not just the random-weight equality tests."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinychatengine_tpu.generation import kv_cache as kvc
+    from tinychatengine_tpu.parallel.pp import (
+        make_pp_forward, make_pp_mesh, shard_pp)
+    from tinychatengine_tpu.parallel.sp import (
+        make_sp_mesh, make_sp_prefill, shard_sp_cache, sp_cache_into)
+    from tinychatengine_tpu.parallel.sharding import shard_params
+
+    if not GOLDEN.exists():
+        pytest.skip("golden file not generated yet (scripts/make_golden.py)")
+    cfg, params = trained
+    gold = json.loads(GOLDEN.read_text())
+    n_check = 16
+    want = gold["token_ids"][:n_check]
+    ids = np.asarray(ByteTokenizer().encode(gold["prompt"]), np.int32)
+    n = len(ids)
+    fwd = jax.jit(llama.forward, static_argnames=("cfg",))
+
+    # (a) SP: right-padded 4-shard prompt bucket, true_len = real length
+    mesh = make_sp_mesh(4)
+    bucket = -(-n // 4) * 4
+    row = np.zeros((1, bucket), np.int32)
+    row[0, :n] = ids
+    spp = shard_params(params, mesh)
+    sc = shard_sp_cache(kvc.init_cache(cfg.num_layers, 1, bucket,
+                                       cfg.num_kv_heads, cfg.head_dim), mesh)
+    logits, filled = jax.jit(make_sp_prefill(mesh), static_argnames=("cfg",))(
+        spp, cfg, jnp.asarray(row), sc, true_len=jnp.int32(n))
+    cache = jax.jit(sp_cache_into)(
+        kvc.init_cache(cfg.num_layers, 1, cfg.max_sqlen, cfg.num_kv_heads,
+                       cfg.head_dim), filled)
+    got, pos = [], n
+    for _ in range(n_check):
+        t = int(np.argmax(np.asarray(logits)[0]))
+        got.append(t)
+        logits, cache = fwd(params, cfg, jnp.asarray([[t]]), cache,
+                            jnp.int32(pos))
+        pos += 1
+    assert got == want, f"SP chain diverged: {got} vs {want}"
+
+    # (b) PP: 4 stages (one layer each), single microbatch
+    mesh_pp = make_pp_mesh(4)
+    pars_pp, cache_pp = shard_pp(
+        params, kvc.init_cache(cfg.num_layers, 1, cfg.max_sqlen,
+                               cfg.num_kv_heads, cfg.head_dim), mesh_pp)
+    fwdp = jax.jit(make_pp_forward(mesh_pp, 1), static_argnames=("cfg",))
+    logits, cache_pp = fwdp(pars_pp, cfg, jnp.asarray(ids[None]), cache_pp,
+                            jnp.int32(0))
+    got, pos = [], n
+    for _ in range(n_check):
+        t = int(np.argmax(np.asarray(logits)[0]))
+        got.append(t)
+        logits, cache_pp = fwdp(pars_pp, cfg, jnp.asarray([[t]]), cache_pp,
+                                jnp.int32(pos))
+        pos += 1
+    assert got == want, f"PP chain diverged: {got} vs {want}"
