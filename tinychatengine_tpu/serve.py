@@ -79,7 +79,23 @@ def main(argv=None):
                     help="KV prefix-cache entries (0 = off)")
     ap.add_argument("--speculative", action="store_true",
                     help="prompt-lookup speculative decoding in tick bursts")
+    ap.add_argument("--compilation-cache", default="~/.cache/tce_tpu/xla",
+                    metavar="DIR", help="persistent XLA compilation cache "
+                    "(server restarts skip the 20-240s cold compiles; "
+                    "'' disables)")
     args = ap.parse_args(argv)
+
+    if args.compilation_cache:
+        import os
+
+        import jax
+        try:
+            path = os.path.expanduser(args.compilation_cache)
+            os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        except Exception as exc:  # cache is an optimization, never fatal
+            print(f"compilation cache disabled: {exc}")
 
     kw = dict(paged=args.paged, max_len=args.max_len,
               speculative=args.speculative,
