@@ -132,18 +132,22 @@ def main_http():
     from tinychatengine_tpu.runtime.serving import ServingEngine
     from tinychatengine_tpu.tokenizers.byte_fallback import ByteTokenizer
 
-    cfg = get_model_config("llama3_8b")
-    qcfg = QuantConfig(scheme="w4a16", group_size=128)
+    tiny = "--tiny" in sys.argv  # CPU smoke: the whole REST + engine path
+    name = "bytellama_5m" if tiny else "llama3_8b"
+    cfg = get_model_config(name)
+    qcfg = QuantConfig(scheme="fp" if tiny else "w4a16", group_size=128)
     print("building params...", file=sys.stderr)
-    params = llama.init_random_params(cfg, qcfg, seed=0, max_pos=2048,
-                                      fast=True)
-    gcfg = GenerationConfig(temp=0.0, n_predict=128, repeat_penalty=1.1,
+    max_len = min(2048, cfg.max_sqlen)
+    params = llama.init_random_params(cfg, qcfg, seed=0, max_pos=max_len,
+                                      fast=not tiny)
+    n_pred = 16 if tiny else 128
+    gcfg = GenerationConfig(temp=0.0, n_predict=n_pred, repeat_penalty=1.1,
                             repeat_last_n=64, seed=0)
-    srv = ServingEngine(params, cfg, qcfg, slots=8, max_len=2048, gcfg=gcfg,
-                        admission_chunk=512, tick_batch=16)
+    srv = ServingEngine(params, cfg, qcfg, slots=8, max_len=max_len,
+                        gcfg=gcfg, admission_chunk=512, tick_batch=16)
     # ByteTokenizer is a stand-in detokenizer (random weights → ids >= 256
     # decode to ""); prompts go in PRE-TOKENIZED so vocab ids are exercised
-    server = InferenceServer(srv, ByteTokenizer(), model_name="llama3_8b",
+    server = InferenceServer(srv, ByteTokenizer(), model_name=name,
                              request_timeout=3600.0)
     port = server.start(port=0)
 
@@ -158,10 +162,10 @@ def main_http():
         rng = np.random.default_rng(0)
         bodies = []
         for i in range(24):
-            plen = int(rng.integers(32, 320))
+            plen = int(rng.integers(16, 96 if tiny else 320))
             ids = rng.integers(100, cfg.vocab_size - 100, plen)
             bodies.append({"prompt": [int(t) for t in ids],
-                           "max_tokens": 128, "ignore_eos": True,
+                           "max_tokens": n_pred, "ignore_eos": True,
                            **variants[i % len(variants)]})
         usages = [None] * len(bodies)
 
@@ -201,7 +205,7 @@ def main_http():
 
     total, wall = run_batch("timed")
     print(json.dumps({
-        "metric": "llama3_8b_w4a16_serving_http_tokens_per_s",
+        "metric": name + "_serving_http_tokens_per_s",
         "value": round(total / wall, 1),
         "unit": "tokens/s",
         "requests": 24, "slots": 8,
