@@ -141,3 +141,28 @@ def test_w8a8_path_is_int8_on_wire():
     logits, cache = opt.forward(params, TINY, ids, _cache(True), jnp.int32(0))
     assert cache.k.dtype == jnp.int8  # int8 KV cache
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_return_hidden_matches_logits_path():
+    """return_hidden yields the pre-final-LN states: applying final LN +
+    lm_head reproduces forward's full logits (embeddings endpoint contract,
+    same as models.llama)."""
+    from tinychatengine_tpu.ops import ref
+    from tinychatengine_tpu.ops.linear import apply_linear
+
+    params = opt.init_random_params(TINY, seed=3)
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 300, (1, 6)),
+                      jnp.int32)
+    fwd = jax.jit(opt.forward, static_argnames=("cfg", "full_logits",
+                                                "return_hidden"))
+    want, _ = fwd(params, TINY, ids, _cache(False), jnp.int32(0),
+                  full_logits=True)
+    hidden, cache = fwd(params, TINY, ids, _cache(False), jnp.int32(0),
+                        return_hidden=True)
+    assert hidden.shape == (1, 6, TINY.embed_dim)
+    assert int(cache.length) == 6
+    x = ref.layer_norm_ref(hidden, params.final_ln_w, params.final_ln_b)
+    got = apply_linear(params.lm_head, x.astype(jnp.bfloat16)).astype(
+        jnp.float32)[..., :TINY.vocab_size]
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                               rtol=2e-2, atol=2e-2)

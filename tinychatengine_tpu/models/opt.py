@@ -91,7 +91,7 @@ def forward(params: OPTParams, cfg: ModelConfig, input_ids: jax.Array,
             cache: kvc.KVCache, start: jax.Array,
             full_logits: bool = False, true_len: Optional[jax.Array] = None,
             tp_axis: Optional[str] = None, input_embeds=None,
-            ctx_cap: Optional[int] = None):
+            ctx_cap: Optional[int] = None, return_hidden: bool = False):
     """Same contract as models.llama.forward. The int8/int4/fp path is
     selected by the parameter container types (static at trace time).
 
@@ -233,6 +233,9 @@ def forward(params: OPTParams, cfg: ModelConfig, input_ids: jax.Array,
         step, (x, cache), jnp.arange(cfg.num_layers, dtype=jnp.int32))
     n_new = jnp.asarray(s, jnp.int32) if true_len is None else true_len
     cache = kvc.advance(cache, n_new)
+
+    if return_hidden:  # pre-final-LN hidden states (same contract as
+        return x, cache  # llama.forward — embeddings / pipeline stages)
 
     x = ref.layer_norm_ref(x, params.final_ln_w, params.final_ln_b)
     if not full_logits:
