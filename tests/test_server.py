@@ -252,7 +252,7 @@ def test_bad_requests_are_400s(served):
     _, port, _, _ = served
     cases = [
         ("/v1/completions", {"prompt": []}),                    # empty prompt
-        ("/v1/completions", {"prompt": "x", "n": 2}),           # n>1
+        ("/v1/completions", {"prompt": "x", "n": 0}),           # bad n
         ("/v1/completions", {"prompt": "x", "max_tokens": 0}),  # bad budget
         ("/v1/completions", {"prompt": "x", "stop": 5}),        # bad stop
         ("/v1/completions", {"prompt": "x", "temperature": "hot"}),
@@ -456,3 +456,35 @@ def test_logprobs_align_with_stop_truncated_text(served):
         == len(lp["text_offset"])
     for off, piece in zip(lp["text_offset"], lp["tokens"]):
         assert c["text"][off:off + len(piece)] == piece
+
+
+def test_n_choices(served):
+    """n>1: choices indexed 0..n-1, run concurrently through the batch;
+    greedy choices are identical; sampled choices with an explicit seed
+    differ (seed offset per choice); usage sums completion tokens."""
+    server, port, _, _ = served
+    st, out = _post(port, "/v1/completions", {
+        "prompt": "multi", "max_tokens": 6, "ignore_eos": True, "n": 2})
+    assert st == 200, out
+    assert [c["index"] for c in out["choices"]] == [0, 1]
+    assert out["choices"][0]["text"] == out["choices"][1]["text"]  # greedy
+    assert out["usage"]["completion_tokens"] == 12
+
+    st, out = _post(port, "/v1/completions", {
+        "prompt": "multi", "max_tokens": 8, "ignore_eos": True, "n": 3,
+        "temperature": 1.2, "seed": 7, "top_k": 0,
+        "repetition_penalty": 1.0, "repeat_last_n": 1})
+    assert st == 200, out
+    texts = [c["text"] for c in out["choices"]]
+    assert len(texts) == 3
+    assert len(set(texts)) >= 2, f"seeded choices all identical: {texts!r}"
+
+    st, out = _post(port, "/v1/completions", {
+        "prompt": "x", "max_tokens": 2, "n": 2, "stream": True})
+    assert st == 400
+    st, out = _post(port, "/v1/completions", {
+        "prompt": "x", "max_tokens": 2, "n": 0})
+    assert st == 400
+    st, out = _post(port, "/v1/completions", {
+        "prompt": "x", "max_tokens": 2, "best_of": 3})
+    assert st == 400

@@ -336,12 +336,13 @@ def _as_float(body, key, lo=None, hi=None):
 def build_gcfg(server: InferenceServer, body: dict) -> GenerationConfig | None:
     """Map OpenAI sampling params onto GenerationConfig (reference
     opt_params, llm/include/Generate.h:48-72). Unknown fields are ignored
-    like OpenAI does; unsupported *semantics* (n>1, best_of) are 400s.
-    Returns None when the request customizes nothing, so defaults ride the
-    engine-global sampler (works even on engines whose oversized logit_bias
-    disables the per-row path, serving.py submit())."""
-    if int(body.get("n", 1)) != 1 or int(body.get("best_of", 1)) != 1:
-        raise RequestError("only n=1 / best_of=1 is supported")
+    like OpenAI does; unsupported *semantics* (best_of sampling-and-rank)
+    are 400s; n>1 is handled by _completion (one engine request per
+    choice). Returns None when the request customizes nothing, so defaults
+    ride the engine-global sampler (works even on engines whose oversized
+    logit_bias disables the per-row path, serving.py submit())."""
+    if int(body.get("best_of", 1) or 1) not in (1, int(body.get("n", 1) or 1)):
+        raise RequestError("best_of must equal n (no sample-and-rank)")
     known = ("temperature", "top_p", "top_k", "seed", "frequency_penalty",
              "presence_penalty", "repetition_penalty", "repeat_last_n",
              "mirostat", "logit_bias")
@@ -736,37 +737,58 @@ def _make_handler(server: InferenceServer):
             if lp_req is not None and body.get("stream"):
                 raise RequestError(
                     "logprobs with stream=true is not supported")
+            try:
+                raw_n = body.get("n")
+                n_choices = 1 if raw_n is None else int(raw_n)
+            except (TypeError, ValueError):
+                raise RequestError("'n' must be an integer")
+            if not 1 <= n_choices <= max(8, srv.engine.n_slots):
+                raise RequestError(
+                    f"'n' must be in [1, {max(8, srv.engine.n_slots)}]")
+            if n_choices > 1 and body.get("stream"):
+                raise RequestError("n > 1 with stream=true is not supported")
 
-            job = srv.submit(ids, n_predict, sorted(stop_ids), gcfg,
-                             logprobs=lp_req)
-            coll = _Collector(srv, job, stops, frozenset(stop_ids))
+            def rcfg_for(i):
+                # choice 0 keeps the user's exact seed (reproducibility);
+                # later choices offset it. Without an explicit seed, each
+                # engine request already gets a unique request_id-derived key
+                if i == 0 or gcfg is None or gcfg.seed < 0:
+                    return gcfg
+                return dataclasses.replace(gcfg, seed=gcfg.seed + i)
+
+            jobs = [srv.submit(ids, n_predict, sorted(stop_ids), rcfg_for(i),
+                               logprobs=lp_req) for i in range(n_choices)]
+            colls = [_Collector(srv, j, stops, frozenset(stop_ids))
+                     for j in jobs]
             oid = srv.next_id("chatcmpl" if chat else "cmpl")
             created = int(time.time())
             obj = ("chat.completion" if chat else "text_completion")
 
             if body.get("stream"):
-                self._stream(coll, job, oid, created, obj, chat)
+                self._stream(colls[0], jobs[0], oid, created, obj, chat)
                 return
-            text = ""
-            for piece in coll.pump():
-                text += piece
-            if coll.error is not None:
-                self._error(500, coll.error, etype="server_error")
-                return
-            choice = {"index": 0, "finish_reason": coll.finish_reason}
-            if chat:
-                choice["message"] = {"role": "assistant", "content": text}
-            else:
-                choice["text"] = text
-            if lp_req is not None and job.req is not None:
-                choice["logprobs"] = _format_logprobs(
-                    tok, job.req, coll.emitted, lp_req, chat, text)
+            choices, completion_tokens = [], 0
+            for i, (job, coll) in enumerate(zip(jobs, colls)):
+                text = "".join(coll.pump())
+                if coll.error is not None:
+                    self._error(500, coll.error, etype="server_error")
+                    return
+                choice = {"index": i, "finish_reason": coll.finish_reason}
+                if chat:
+                    choice["message"] = {"role": "assistant", "content": text}
+                else:
+                    choice["text"] = text
+                if lp_req is not None and job.req is not None:
+                    choice["logprobs"] = _format_logprobs(
+                        tok, job.req, coll.emitted, lp_req, chat, text)
+                choices.append(choice)
+                completion_tokens += coll.emitted
             self._json(200, {
                 "id": oid, "object": obj, "created": created,
-                "model": srv.model_name, "choices": [choice],
+                "model": srv.model_name, "choices": choices,
                 "usage": {"prompt_tokens": len(ids),
-                          "completion_tokens": coll.emitted,
-                          "total_tokens": len(ids) + coll.emitted}})
+                          "completion_tokens": completion_tokens,
+                          "total_tokens": len(ids) + completion_tokens}})
 
         def _stream(self, coll: _Collector, job: _Job, oid: str,
                     created: int, obj: str, chat: bool):
