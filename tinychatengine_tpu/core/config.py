@@ -153,9 +153,11 @@ class QuantConfig:
     # llm/tools/quantize_methods.py); bf16 is the TPU-native half format and
     # halves scale HBM traffic (~6% of decode weight bytes at group_size=128).
     # Scales are COMPUTED in f32 (numerics.py) and rounded once at pack time.
-    # Default f32 until the bf16 in-kernel scale path passes on-chip Mosaic
-    # validation (interpret mode skips lowering legality — CLAUDE.md).
-    scale_dtype: str = "f32"  # "bf16" | "f32"
+    # Default bf16: validated on-chip r3 (scripts/check_fused_correctness.py
+    # ALL OK; scripts/ab_fused_decode.py 153.1 vs 149.2 tok/s over f32 —
+    # loading a saved checkpoint keeps its stored dtype, so existing
+    # f32-scale checkpoints are unaffected).
+    scale_dtype: str = "bf16"  # "bf16" | "f32"
 
     def __post_init__(self):
         assert self.scheme in ("fp", "w4a16", "w4a8", "w8a8"), self.scheme
