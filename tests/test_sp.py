@@ -192,6 +192,43 @@ def test_sp_full_logits():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_ring_attention_16k_blocked():
+    """VERDICT r3 #3: the flash-blocked ring must handle 16k+ prompts — per
+    hop memory is O(block_q x block_k), not O(S_loc x T) (the old dense hop
+    would materialize a [B,Hkv,G,S/8,S/8] f32 score tensor per hop; at 16k
+    that is the activation wall this test guards against re-growing). The
+    oracle is attention_xla evaluated per query chunk (the dense oracle at
+    16k would itself need an 8+ GB score tensor)."""
+    b, s, hq, hkv, d = 1, 16384, 2, 1, 64
+    n_seq = 8
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, s, hq, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, s, hkv, d), jnp.bfloat16)
+    v = jax.random.normal(kv_, (b, s, hkv, d), jnp.bfloat16)
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+
+    mesh = make_sp_mesh(n_seq)
+    f = shard_map(
+        lambda q, k, v, p: ring_attention(q, k, v, p, "seq"),
+        mesh=mesh,
+        in_specs=(P(None, "seq", None, None), P(None, "seq", None, None),
+                  P(None, "seq", None, None), P(None, "seq")),
+        out_specs=P(None, "seq", None), check_vma=False)
+    got = np.asarray(jax.jit(f)(q, k, v, positions)).astype(np.float32)
+
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    chunk = 2048
+    oracle = jax.jit(attention_xla, static_argnames=())
+    for q0 in range(0, s, chunk):
+        want = np.asarray(oracle(
+            q[:, q0:q0 + chunk], kt, vt, positions[:, q0:q0 + chunk],
+            jnp.int32(s))).astype(np.float32)
+        np.testing.assert_allclose(want, got[:, q0:q0 + chunk],
+                                   rtol=5e-2, atol=5e-2)
+
+
 def test_sp_tp_prefill_collective_structure():
     """Guard the COLLECTIVE STRUCTURE of the 2-D (seq x model) prefill the
     same way test_parallel.py guards TP decode: the lowered program must

@@ -27,3 +27,6 @@ from tinychatengine_tpu.core.config import (  # noqa: F401
     get_model_config,
     MODEL_REGISTRY,
 )
+from tinychatengine_tpu.core.flags import warn_unknown_flags  # noqa: F401
+
+warn_unknown_flags()

@@ -766,8 +766,101 @@ def attention_xla(q, cache_k, cache_v, positions, kv_valid_len,
 # ring attention: sequence-parallel prefill over a mesh axis
 # ---------------------------------------------------------------------------
 
+def _fit_block(size: int, want: int) -> int:
+    """Largest power-of-two-ish divisor of ``size`` that is <= ``want``."""
+    blk = min(want, size)
+    while size % blk:
+        blk //= 2
+    return max(blk, 1)
+
+
+def _ring_hop_blocked(qh, q_pos, kh, vh, kv_pos, m, l, acc, *, scale,
+                      window, block_q: int, block_k: int):
+    """Fold one ring hop's KV slice into the online-softmax state with
+    O(block_q x block_k) score memory (flash blocking at the XLA level).
+
+    qh [B, Hkv, G, S, D] bf16; kh/vh [B, Hkv, T, D]; q_pos [B, S];
+    kv_pos [B, T]; m/l [B, Hkv, G, S] f32; acc [B, Hkv, G, S, D] f32.
+    An outer lax.scan walks query blocks, an inner lax.scan walks KV
+    chunks; chunks that are FULLY masked for the block (all keys after the
+    block's last query, or all keys below its sliding window) are skipped
+    via lax.cond — which also skips the whole hop on ring steps whose KV
+    slice is entirely in this shard's causal future. The recurrence is the
+    same as the unblocked form, so results match up to fp re-association.
+    """
+    b, hkv, g, s_loc, d = qh.shape
+    t_len = kh.shape[2]
+    bq = _fit_block(s_loc, block_q)
+    bk = _fit_block(t_len, block_k)
+    nq, nk = s_loc // bq, t_len // bk
+
+    # [nq, B, Hkv, G, Bq, ...] query blocks with their softmax state
+    def qblk(x, axis):
+        moved = jnp.moveaxis(
+            x.reshape(x.shape[:axis] + (nq, bq) + x.shape[axis + 1:]), axis, 0)
+        return moved
+    q_blocks = qblk(qh, 3)
+    qp_blocks = jnp.moveaxis(q_pos.reshape(b, nq, bq), 1, 0)
+    m_blocks, l_blocks = qblk(m, 3), qblk(l, 3)
+    acc_blocks = qblk(acc, 3)
+
+    # [nk, B, Hkv, Bk, D] KV chunks
+    k_chunks = jnp.moveaxis(kh.reshape(b, hkv, nk, bk, d), 2, 0)
+    v_chunks = jnp.moveaxis(vh.reshape(b, hkv, nk, bk, d), 2, 0)
+    kp_chunks = jnp.moveaxis(kv_pos.reshape(b, nk, bk), 1, 0)
+
+    def per_qblock(_, xs):
+        qb, qp, mb, lb, accb = xs                   # [B,Hkv,G,Bq,(D)]
+        qp_max = jnp.max(qp)
+        qp_min = jnp.min(qp)
+
+        def per_chunk(state, ys):
+            kc, vc, kp = ys                         # [B,Hkv,Bk,D], [B,Bk]
+
+            def update(state):
+                mb, lb, accb = state
+                s = jnp.einsum("bhgsd,bhtd->bhgst", qb, kc,
+                               preferred_element_type=jnp.float32) * scale
+                ok = kp[:, None, :] <= qp[:, :, None]        # [B, Bq, Bk]
+                if window is not None:
+                    ok &= kp[:, None, :] > qp[:, :, None] - window
+                okx = ok[:, None, None, :, :]
+                s = jnp.where(okx, s, NEG_INF)
+                m_new = jnp.maximum(mb, jnp.max(s, axis=-1))
+                # rows can still be FULLY masked: zero their exp terms
+                # explicitly rather than trusting exp(NEG_INF - NEG_INF)
+                corr = jnp.where(mb <= NEG_INF / 2, 0.0, jnp.exp(mb - m_new))
+                p = jnp.where(okx, jnp.exp(s - m_new[..., None]), 0.0)
+                lb2 = lb * corr + jnp.sum(p, axis=-1)
+                accb2 = (accb * corr[..., None]
+                         + jnp.einsum("bhgst,bhtd->bhgsd",
+                                      p.astype(vc.dtype), vc,
+                                      preferred_element_type=jnp.float32))
+                return m_new, lb2, accb2
+
+            live = jnp.min(kp) <= qp_max            # some key is not future
+            if window is not None:                  # ...or all below window
+                live &= jnp.max(kp) > qp_min - window
+            return jax.lax.cond(live, update, lambda st: st, state), None
+
+        (mb, lb, accb), _ = jax.lax.scan(
+            per_chunk, (mb, lb, accb), (k_chunks, v_chunks, kp_chunks))
+        return None, (mb, lb, accb)
+
+    _, (m_blocks, l_blocks, acc_blocks) = jax.lax.scan(
+        per_qblock, None,
+        (q_blocks, qp_blocks, m_blocks, l_blocks, acc_blocks))
+
+    def unblk(x, axis):
+        moved = jnp.moveaxis(x, 0, axis)
+        return moved.reshape(moved.shape[:axis] + (s_loc,)
+                             + moved.shape[axis + 2:])
+    return unblk(m_blocks, 3), unblk(l_blocks, 3), unblk(acc_blocks, 3)
+
+
 def ring_attention(q, k, v, q_positions, axis_name: str,
-                   window: int | None = None):
+                   window: int | None = None, block_q: int = 512,
+                   block_k: int = 512):
     """Exact causal GQA attention with SEQUENCE-sharded Q/K/V (Ring
     Attention, Liu et al. 2023 — the TPU-native long-context prefill the
     single-device reference has no counterpart for, SURVEY §2.8).
@@ -779,6 +872,13 @@ def ring_attention(q, k, v, q_positions, axis_name: str,
     hops every query has seen every key once. Per chip: compute and KV
     residency scale 1/n, and the n-1 ICI hops of [B, S/n, H_kv, D] overlap
     with the chunk einsums (XLA schedules ppermute async).
+
+    Each hop is FLASH-BLOCKED (``_ring_hop_blocked``): scores materialize
+    only per [block_q, block_k] tile, so per-hop memory is O(block), not
+    O(S_loc*T) — a 32k prompt on 8 devices peaks at the tile plus the
+    O(S_loc*D) accumulator instead of a 2 GiB score tensor. Fully-causal-
+    future (and wholly-below-window) chunks are skipped, which drops ~half
+    of the ring's tile matmuls.
 
     Masking is positional (kv_pos <= q_pos, optional sliding window), so
     right-padded prompt buckets work unchanged — pad queries produce garbage
@@ -797,34 +897,20 @@ def ring_attention(q, k, v, q_positions, axis_name: str,
     scale = 1.0 / (d ** 0.5)
     qh = (q.transpose(0, 2, 1, 3).reshape(b, hkv, g, s_loc, d)
           .astype(jnp.bfloat16))
+    q_pos = jnp.asarray(q_positions, jnp.int32)
 
     m = jnp.full((b, hkv, g, s_loc), NEG_INF, jnp.float32)
     l = jnp.zeros((b, hkv, g, s_loc), jnp.float32)
     acc = jnp.zeros((b, hkv, g, s_loc, d), jnp.float32)
     perm = [(i, (i + 1) % n) for i in range(n)]
-    k_t, v_t, pos_t = k, v, jnp.asarray(q_positions, jnp.int32)
+    k_t, v_t, pos_t = k, v, q_pos
 
     for t in range(n):
         kh = k_t.transpose(0, 2, 1, 3).astype(jnp.bfloat16)  # [B, Hkv, T, D]
         vh = v_t.transpose(0, 2, 1, 3)
-        s = jnp.einsum("bhgsd,bhtd->bhgst", qh, kh,
-                       preferred_element_type=jnp.float32) * scale
-        allowed = pos_t[:, None, :] <= q_positions[:, :, None]  # [B, Sq, T]
-        if window is not None:
-            allowed &= pos_t[:, None, :] > q_positions[:, :, None] - window
-        s = jnp.where(allowed[:, None, None, :, :], s, NEG_INF)
-
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
-        # chunks can be FULLY masked (keys from a later shard): zero their
-        # exp terms explicitly rather than trusting exp(NEG_INF - NEG_INF)
-        corr = jnp.where(m <= NEG_INF / 2, 0.0, jnp.exp(m - m_new))
-        p = jnp.where(allowed[:, None, None, :, :],
-                      jnp.exp(s - m_new[..., None]), 0.0)
-        l = l * corr + jnp.sum(p, axis=-1)
-        acc = (acc * corr[..., None]
-               + jnp.einsum("bhgst,bhtd->bhgsd", p.astype(vh.dtype), vh,
-                            preferred_element_type=jnp.float32))
-        m = m_new
+        m, l, acc = _ring_hop_blocked(
+            qh, q_pos, kh, vh, pos_t, m, l, acc, scale=scale, window=window,
+            block_q=block_q, block_k=block_k)
         if t < n - 1:  # rotate: receive the left neighbour's KV chunk
             k_t = jax.lax.ppermute(k_t, axis_name, perm)
             v_t = jax.lax.ppermute(v_t, axis_name, perm)
