@@ -8,7 +8,8 @@ a real trace is the only way to attribute the remaining "unaccounted glue"
 utils.profiler.device_trace and reports whether trace files appeared.
 
 Usage:
-  PYTHONPATH=/root/repo:$PYTHONPATH python scripts/trace_decode.py [logdir]
+  PYTHONPATH=/root/repo:$PYTHONPATH python scripts/trace_decode.py \
+      [logdir] [scheme]        # scheme: w4a16 (default) | w4a8
   (on CPU for a smoke test: TCE_TRACE_CPU=1 python scripts/trace_decode.py)
 """
 
@@ -35,9 +36,10 @@ from tinychatengine_tpu.utils.profiler import device_trace
 
 def main():
     logdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tce_trace"
+    scheme = sys.argv[2] if len(sys.argv) > 2 else "w4a16"
     on_cpu = jax.default_backend() != "tpu"
     cfg = get_model_config("bytellama_5m" if on_cpu else "llama3_8b")
-    qcfg = QuantConfig(scheme="w4a16")
+    qcfg = QuantConfig(scheme=scheme)
     params = llama.init_random_params(cfg, qcfg, seed=0, max_pos=1024,
                                       fast=not on_cpu)
     eng = Engine(params, cfg, qcfg, batch=1, max_len=1024)

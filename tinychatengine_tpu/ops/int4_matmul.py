@@ -939,6 +939,15 @@ def int4_matmul_a8(x: jax.Array, packed: jax.Array, scales: jax.Array,
     block_m = _pick_block(m + pad, 256, 16)
     block_n = _pick_block(n, 2048, 128)
     block_k = _pick_block(k, 2048, SUPERBLOCK)
+    if block_m >= 256:
+        # large-M (prefill) tiles: the in-kernel act-quant temporaries
+        # (dot i32, requant f32 — all [block_m, block_n]) live on the
+        # Mosaic stack; (256, 2048) tiles exceeded the 16M scoped-vmem
+        # limit on chip (AOT OOM, r4). Shrink the tile so the unrolled
+        # group-loop temporaries fit; weight re-reads stay <= m/512.
+        block_m = _pick_block(m + pad, 512, 16)
+        block_n = _pick_block(n, 512, 128)
+        block_k = _pick_block(k, 512, SUPERBLOCK)
 
     grid = (x2.shape[0] // block_m, n // block_n, k // block_k)
     spk = block_k // group_size

@@ -11,6 +11,7 @@ W4A16 or W8A8, and ``jax.tree_util`` / GSPMD sharding see the leaves).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional
 
 import jax
@@ -127,6 +128,18 @@ def apply_linear(p, x: jax.Array, *, out_int8: bool = False,
 
     if isinstance(p, Int4A8Linear):
         gs = 2 * p.packed.shape[-2] // p.scales.shape[-2]
+        # GEMM shapes (prefill) take the bf16-activation kernel: the
+        # reference's own W4A8 dispatch abandons int8 activations for
+        # large M too (m>100 -> dequant + fp GEMM, llm/src/ops/
+        # linear.cc:218-227) — at many rows the compute is MXU-bound and
+        # the per-(row,group) act-quant VPU work only slows it (measured:
+        # 2048-token prefill 5.8k tok/s via the a8 kernel vs 9.3k bf16),
+        # while W4A16 numerics at prefill are strictly more accurate.
+        m = math.prod(x.shape[:-1])
+        if m > 100:
+            return apply_linear(
+                Int4Linear(packed=p.packed, scales=p.scales, bias=p.bias),
+                x, layer_idx=layer_idx)
         if jax.default_backend() == "tpu":
             y = int4_matmul_a8(x, p.packed, p.scales, gs, layer_idx=layer_idx)
         else:

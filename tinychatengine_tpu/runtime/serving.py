@@ -97,7 +97,8 @@ class ServingEngine:
                  speculative: bool = False, spec_K: int = 7,
                  prefix_cache_entries: int = 0,
                  prefix_cache_len: Optional[int] = None,
-                 prefix_min: int = 64, logprobs_k: int = 8):
+                 prefix_min: int = 64, logprobs_k: int = 8,
+                 sp_mesh=None, sp_threshold: int = 512, sp_params=None):
         """paged=True swaps the slot-reserved cache (slots x max_len) for a
         page pool (runtime/paged.py): sequences borrow pages as they grow, so
         capacity is ~total resident tokens instead of worst-case per slot.
@@ -127,7 +128,27 @@ class ServingEngine:
         KV into the prefill scratch and prefills only the uncovered tail
         (causality makes KV[0:m) a function of tokens[0:m) alone, so any
         matching head is reusable regardless of how the stored prompt
-        continued). LRU eviction; hit/store counters in self.prefix_stats."""
+        continued). LRU eviction; hit/store counters in self.prefix_stats.
+
+        sp_mesh: a ("seq", "model") jax Mesh (parallel/sp.make_sp_mesh).
+        Long prompts (>= sp_threshold tokens) are admitted through the
+        sequence-parallel ring-attention prefill (parallel/sp.py): the
+        largest power-of-two head of the prompt runs as ONE SP dispatch
+        over the mesh (per-chip attention FLOPs ~1/n_seq), the filled
+        seq-sharded cache is spliced into the prefill scratch
+        (sp_cache_into — XLA inserts the gather on the sharding boundary),
+        and the ordinary chunked admission finishes the tail — so decode
+        proceeds on whatever mesh forward_fn uses (single-chip or TP).
+        llama-family forwards only (the ring lives in llama.forward's
+        sp_axis hook). Counters in self.sp_stats.
+
+        sp_params: parameters placed/laid out for sp_mesh (tp_degree ==
+        sp_mesh model-axis size). Defaults to the decode params — pass this
+        when decode runs on a DIFFERENT mesh/device set than sp_mesh (e.g.
+        TP decode on 2 chips, ring prefill over 4): jit forbids mixing
+        committed arrays from different device sets, so each dispatch must
+        see params resident on its own mesh; the filled prefill cache is
+        device_put back to the decode side before the splice."""
         self.params = params
         self.cfg = cfg
         self.qcfg = qcfg or QuantConfig()
@@ -239,6 +260,25 @@ class ServingEngine:
                 [None] * self._pfx_entries
             self._pfx_lru: list[int] = list(range(self._pfx_entries))
             self.prefix_stats = {"hits": 0, "hit_tokens": 0, "stores": 0}
+
+        # sequence-parallel admission (VERDICT r3 #5): ring prefill for long
+        # prompts, decode untouched
+        self._sp_mesh = sp_mesh
+        self.sp_threshold = int(sp_threshold)
+        if sp_mesh is not None:
+            from tinychatengine_tpu.parallel.sp import (make_sp_prefill,
+                                                        sp_cache_into)
+            n_seq = sp_mesh.shape["seq"]
+            assert self.sp_threshold % n_seq == 0, (sp_threshold, n_seq)
+            assert cfg.family == "llama", \
+                "SP admission rides llama.forward's sp_axis hook (llama-family only)"
+            self._jit_sp_prefill = jax.jit(
+                make_sp_prefill(sp_mesh), static_argnames=("cfg",))
+            self._jit_sp_splice = jax.jit(sp_cache_into,
+                                          donate_argnames=("dst",))
+            self._sp_caches: dict[int, kvc.KVCache] = {}
+            self._sp_params = params if sp_params is None else sp_params
+            self.sp_stats = {"admissions": 0, "tokens": 0}
 
         # speculative (prompt-lookup) serving state
         self.speculative = bool(speculative) and not paged and self._per_row
@@ -597,8 +637,68 @@ class ServingEngine:
                 done0 = m
                 self.prefix_stats["hits"] += 1
                 self.prefix_stats["hit_tokens"] += m
+        if self._sp_mesh is not None and done0 == 0:
+            done0 = self._sp_admit_head(req)
         self._pending = [slot_idx, done0]
         self._admit_chunk()
+
+    # -- sequence-parallel admission ------------------------------------------
+    def _sp_len_for(self, n: int) -> int:
+        """Largest power-of-two prompt head >= sp_threshold that leaves at
+        least one token for the ordinary final chunk (which produces the
+        first-token logits — the SP dispatch's own logits are unused)."""
+        best, b = 0, self.sp_threshold
+        while b <= min(n - 1, self.max_len):
+            best, b = b, b * 2
+        return best
+
+    def _sp_cache_for(self, sp_len: int) -> kvc.KVCache:
+        """Per-bucket seq-sharded prefill cache (every position is fully
+        overwritten by each SP prefill, so entries are reusable as-is)."""
+        c = self._sp_caches.get(sp_len)
+        if c is None:
+            from tinychatengine_tpu.parallel.sp import shard_sp_cache
+            c = shard_sp_cache(
+                kvc.init_cache(self.cfg.num_layers, 1, sp_len,
+                               self.cfg.num_kv_heads, self.cfg.head_dim,
+                               dtype=self._scratch.k.dtype,
+                               quantized=self._scratch.quantized),
+                self._sp_mesh)
+            self._sp_caches[sp_len] = c
+        return c
+
+    def _sp_admit_head(self, req: Request) -> int:
+        """Ring-prefill the prompt's power-of-two head in one SP dispatch
+        and splice it into the scratch cache; returns tokens covered (the
+        chunked admission continues from there). Fresh-prefill only (the
+        ring sees no prior KV), hence the done0 == 0 gate at the call site."""
+        sp_len = self._sp_len_for(len(req.prompt_ids))
+        if not sp_len:
+            return 0
+        ids = jnp.asarray(
+            np.asarray(req.prompt_ids[:sp_len], np.int32)[None])
+        _, filled = self._jit_sp_prefill(
+            self._sp_params, self.cfg, ids, self._sp_cache_for(sp_len))
+        if self._sp_params is not self.params:
+            # decode lives on a different mesh/device set: move the filled
+            # prefill KV across before the splice (jit cannot mix committed
+            # arrays from two device sets in one call)
+            filled = jax.device_put(filled, self._sp_landing_sharding())
+        self._scratch = self._jit_sp_splice(self._scratch, filled)
+        self.sp_stats["admissions"] += 1
+        self.sp_stats["tokens"] += sp_len
+        return sp_len
+
+    def _sp_landing_sharding(self):
+        """Where SP-prefilled KV lands on the decode side: replicated over
+        the decode params' mesh when those are mesh-committed, else the
+        default device."""
+        from jax.sharding import NamedSharding, PartitionSpec
+        for leaf in jax.tree.leaves(self.params):
+            sh = getattr(leaf, "sharding", None)
+            if isinstance(sh, NamedSharding):
+                return NamedSharding(sh.mesh, PartitionSpec())
+        return jax.devices()[0]
 
     # -- prefix cache ---------------------------------------------------------
     def _prefix_match(self, prompt: np.ndarray):

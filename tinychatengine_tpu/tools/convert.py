@@ -90,6 +90,46 @@ def requantize_llama(params, qcfg: QuantConfig):
     )
 
 
+def refuse_llama_tp(params, cfg: ModelConfig, tp_degree: int):
+    """Re-interleave a tp_degree=1 LlamaParams' column-fused qkv / gate_up
+    layouts for ``tp_degree`` shards.
+
+    Fused layouts are TP-degree-specific (ops/linear.py fuse_linears:
+    shard s owns the contiguous [q_s|k_s|v_s] block), so a checkpoint
+    written at one degree must be re-laid-out before sharding at another.
+    Column slicing is exact for every container (DenseLinear weight,
+    Int4Linear packed/scales — int4 groups run along K, so the N axis cuts
+    cleanly). Row-parallel matrices (wo, down) and the unfused lm_head are
+    untouched: their sharding is a plain contiguous split at any degree."""
+    import dataclasses as dc
+
+    from tinychatengine_tpu.ops.linear import fuse_linears
+
+    def split_cols(lin, widths):
+        parts, off = [], 0
+        for w in widths:
+            kw = {f.name: (None if getattr(lin, f.name) is None
+                           else getattr(lin, f.name)[..., off:off + w])
+                  for f in dc.fields(lin)}
+            parts.append(type(lin)(**kw))
+            off += w
+        return parts
+
+    def colw(lin):  # stored column width of a per-layer stacked linear
+        leaf = lin.weight if hasattr(lin, "weight") else lin.packed
+        return leaf.shape[-1]
+
+    d = cfg.head_dim
+    qw, kvw = cfg.num_heads * d, cfg.num_kv_heads * d
+    lay = params.layers
+    assert colw(lay.wqkv) == qw + 2 * kvw, "wqkv is not a tp1 fused layout"
+    wqkv = fuse_linears(split_cols(lay.wqkv, [qw, kvw, kvw]), tp_degree)
+    f = cfg.hidden_dim
+    wgu = fuse_linears(split_cols(lay.wgate_up, [f, f]), tp_degree)
+    return dc.replace(params, layers=dc.replace(lay, wqkv=wqkv,
+                                                wgate_up=wgu))
+
+
 # ---------------------------------------------------------------------------
 # HuggingFace source
 # ---------------------------------------------------------------------------
