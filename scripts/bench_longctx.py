@@ -1,11 +1,14 @@
-"""Long-context decode: tokens/s at 4k and 8k context (Llama-3-8B W4A16).
+"""Long-context decode: tokens/s at 4k/8k/16k/32k context (Llama-3-8B W4A8).
 
-At ctx 96 the KV read is noise next to the 4.0 GB of weights; at 8k it adds
-~1.07 GB/token — this measures whether the flash decode kernel's
+At ctx 96 the KV read is noise next to the ~3.9 GB of weights; at 32k it
+adds ~4.3 GB/token — this measures whether the flash decode kernel's
 length-bounded streaming actually scales (SURVEY §5 long-context audit; the
-reference caps every model at 2048 and reads O(S_max) dense).
+reference caps every model at 2048 and reads O(S_max) dense, and exports
+32768-position rotary caches it never exploits,
+llm/tools/model_quantizer.py:313-319).
 
-Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_longctx.py
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_longctx.py \
+           [ctx ...]            # default: 4096 8192 16384 32768
 """
 
 import json
@@ -19,22 +22,27 @@ HBM_BW = 819e9
 
 
 def main():
+    import jax
+
     from tinychatengine_tpu.core.config import (GenerationConfig, QuantConfig,
                                                 get_model_config)
     from tinychatengine_tpu.generation.engine import Engine
     from tinychatengine_tpu.models import llama
 
+    ctxs = [int(a) for a in sys.argv[1:]] or [4096, 8192, 16384, 32768]
     cfg = get_model_config("llama3_8b")
-    qcfg = QuantConfig(scheme="w4a16", group_size=128)
+    qcfg = QuantConfig(scheme="w4a8", group_size=128)
     print("building params...", file=sys.stderr)
-    params = llama.init_random_params(cfg, qcfg, seed=0, max_pos=8192,
-                                      fast=True)
+    params = llama.init_random_params(cfg, qcfg, seed=0,
+                                      max_pos=max(max(ctxs), 2048), fast=True)
     g = GenerationConfig(temp=0.0, n_predict=N_DECODE + 1,
                          repeat_penalty=1.1, repeat_last_n=64)
 
-    w_bytes = 4.00e9  # weights+scales per token (bench.py accounting)
+    # weights+scales actually streamed per token (matches bench.py)
+    w_bytes = sum(leaf.size * leaf.dtype.itemsize
+                  for leaf in jax.tree.leaves((params.layers, params.lm_head)))
     out = {}
-    for ctx in (4096, 8192):
+    for ctx in ctxs:
         eng = Engine(params, cfg, qcfg, batch=1, max_len=ctx)
         plen = ctx - N_DECODE - 8
 

@@ -167,6 +167,44 @@ def main():
                        jnp.full((B,), 96, jnp.int32), ks, ks, ctx_cap=512)
     failures += not report("ctx_cap int8 KV", gerr(got, want), tol=5e-2)
 
+    # 4. int8_decode — the OPT W8A8 2-pass attention kernel (VERDICT r3 #4:
+    #    oracle-tested in interpret mode + AOT-lowered but never RUN on
+    #    silicon; interpret-clean kernels have miscompiled before, PERF.md
+    #    negative #5). All phases: odd lengths, block boundaries, full
+    #    cache, both layers of the stack.
+    from tinychatengine_tpu.ops.attention import int8_decode
+
+    rng = np.random.default_rng(3)
+    Li, Bi, Hi, Si, Di = 2, 2, 8, 1024, 128
+    ck_s8 = jnp.asarray(rng.integers(-127, 128, (Li, Bi, Hi, Si, Di)),
+                        jnp.int8)
+    cv_s8 = jnp.asarray(rng.integers(-127, 128, (Li, Bi, Hi, Si, Di)),
+                        jnp.int8)
+    q_s8 = jnp.asarray(rng.integers(-127, 128, (Bi, Hi, Di)), jnp.int8)
+    qk_alpha, pv_alpha = 1.7e-4, 2.3e-3
+
+    def int8_oracle(li, lengths):
+        outs = []
+        for b in range(Bi):
+            nv = int(lengths[b])
+            kk = np.asarray(ck_s8[li, b, :, :nv], np.float32)
+            vv = np.asarray(cv_s8[li, b, :, :nv], np.float32)
+            qq = np.asarray(q_s8, np.float32)[b]
+            sc = np.einsum("hd,hnd->hn", qq, kk) * qk_alpha
+            p = np.exp(sc - sc.max(-1, keepdims=True))
+            p = p / p.sum(-1, keepdims=True)
+            p127 = np.clip(np.round(p * 127.0), -128, 127)
+            outs.append(np.einsum("hn,hnd->hd", p127, vv) * pv_alpha)
+        return np.stack(outs)
+
+    for li, lengths, tag in ((0, [37, 512], "int8_decode odd+block-edge"),
+                             (1, [1, 1024], "int8_decode min+full"),
+                             (1, [511, 513], "int8_decode straddle")):
+        la = np.asarray(lengths, np.int32)
+        got = int8_decode(q_s8, ck_s8, cv_s8, jnp.int32(li),
+                          jnp.asarray(la), qk_alpha, pv_alpha)
+        failures += not report(tag, gerr(got, int8_oracle(li, la)), tol=5e-3)
+
     print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     sys.exit(1 if failures else 0)
 

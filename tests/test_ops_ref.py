@@ -90,6 +90,79 @@ def test_rope_matches_hf_convention():
     assert kr.shape == k.shape
 
 
+def test_rope_past_8192():
+    """Long-context rope (VERDICT r3 #7): the cache generator and the
+    rotate-half application must be exact at 16k/32k positions — the
+    reference exports 32768-position caches it never runs
+    (llm/tools/model_quantizer.py:313-319); we do. f32 angle precision:
+    pos*inv_freq reaches ~3e4, where cos/sin stay well-conditioned, but an
+    accidental bf16 cache would lose the low bits — this guards dtype too."""
+    rng = np.random.default_rng(9)
+    d, max_pos = 128, 32768
+    cos, sin = ref.make_rope_cache(d, max_pos, theta=500000.0)
+    assert cos.shape == (max_pos, d) and cos.dtype == jnp.float32
+
+    positions = np.array([8192, 16384, 20011, 32767])
+    b, s, h = 1, len(positions), 2
+    q = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, s, 1, d)).astype(np.float32)
+    qr, kr = ref.rotary_embed_ref(jnp.asarray(q), jnp.asarray(k), cos, sin,
+                                  jnp.asarray(positions[None, :]))
+
+    # f64 oracle with an angle-aware tolerance: 1 ulp of f32 inv_freq
+    # amplifies to |pos|*ulp ~ 2e-3 radians at 32k (both HF and the
+    # exporter compute angles in f32 — the convention, not a bug), so each
+    # element's budget is ~|pos * inv_freq_i| * eps_f32 * |x|.
+    inv = 1.0 / (500000.0 ** (np.arange(0, d, 2) / d))
+    ang = np.outer(positions.astype(np.float64), inv)
+    angle_mag = np.concatenate([ang, ang], -1)[None, :, None, :]
+    c = np.cos(angle_mag)
+    sn = np.sin(angle_mag)
+    rotq = np.concatenate([-q[..., d // 2:], q[..., : d // 2]], -1)
+    rotk = np.concatenate([-k[..., d // 2:], k[..., : d // 2]], -1)
+    for got, x, rot in ((qr, q, rotq), (kr, k, rotk)):
+        want = x * c + rot * sn
+        budget = 1e-4 + 4 * np.finfo(np.float32).eps * angle_mag * (
+            np.abs(x) + np.abs(rot))
+        bad = np.abs(np.asarray(got) - want) > budget
+        assert not bad.any(), (
+            f"{bad.sum()} elements exceed the angle-aware budget; "
+            f"worst diff {np.abs(np.asarray(got) - want).max():.2e}")
+
+
+def test_decode_past_8192_consistent_with_prefill():
+    """A tiny model decoding at positions > 8192 must continue a prefilled
+    chain exactly as a longer prefill would (rope gather + cache addressing
+    at long offsets — CPU, 16.5k-position cache)."""
+    import jax
+
+    from tinychatengine_tpu.core.config import ModelConfig, QuantConfig
+    from tinychatengine_tpu.generation import kv_cache as kvc
+    from tinychatengine_tpu.models import llama
+
+    cfg = ModelConfig(
+        name="tiny-long", family="llama", num_heads=2, num_kv_heads=1,
+        num_layers=2, max_sqlen=16640, embed_dim=128, hidden_dim=128,
+        vocab_size=64, rms_norm_eps=1e-5)
+    params = llama.init_random_params(cfg, QuantConfig(scheme="fp"), seed=0,
+                                      max_pos=16640)
+    rng = np.random.default_rng(11)
+    n = 16384 + 37
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, n)), jnp.int32)
+    fwd = jax.jit(llama.forward, static_argnames=("cfg",))
+
+    def cache():
+        return kvc.init_cache(cfg.num_layers, 1, cfg.max_sqlen,
+                              cfg.num_kv_heads, cfg.head_dim)
+
+    la, _ = fwd(params, cfg, ids, cache(), jnp.int32(0))
+    lb, c = fwd(params, cfg, ids[:, :n - 3], cache(), jnp.int32(0))
+    for t in range(n - 3, n):
+        lb, c = fwd(params, cfg, ids[:, t:t + 1], c, jnp.int32(t))
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_attention_ref_gqa_and_mask():
     rng = np.random.default_rng(6)
     b, hq, hk, sq, sk, d = 1, 4, 2, 3, 5, 16
