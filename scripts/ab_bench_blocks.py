@@ -22,13 +22,17 @@ GU1024 = {(4096, 28672): (1024, 2048)}
 LM1024 = {(4096, 129024): (1024, 2048)}
 QKVWO4096 = {(4096, 6144): (2048, 4096), (4096, 4096): (2048, 4096)}
 
-# Round 5 (FINAL): rounds 3/4 contradicted each other at n_decode=64 —
-# the deltas are inside the co-tenant noise floor. 256-token decode runs
-# (4x signal) for the three candidates that ever won a round.
+# Round 6 (r4, W4A8 headline): the device trace (PERF.md) put qkv at 78%
+# and wo at 72% of achievable BW — ramp-dominated small shapes. bk=1024
+# halves the un-overlapped first-block DMA; never tried (r3 tested only
+# bn variants and bk=4096). Cost side: bk=1024 -> spk=8 forces the f32
+# scale upcast (hoisted out of the loop, but doubles scale read bytes).
 CONFIGS = {
     "base(no table)": {},
-    "gu1024": dict(GU1024),
-    "gu1024+lm1024": {**GU1024, **LM1024},
+    "qkvwo_bk1024": {(4096, 6144): (2048, 1024),
+                     (4096, 4096): (2048, 1024)},
+    "qkvwo_1024x1024": {(4096, 6144): (1024, 1024),
+                        (4096, 4096): (1024, 1024)},
 }
 
 
@@ -42,7 +46,7 @@ def main():
     from tinychatengine_tpu.ops import int4_matmul as im
 
     cfg = get_model_config("llama3_8b")
-    qcfg = QuantConfig(scheme="w4a16", group_size=128)
+    qcfg = QuantConfig(scheme="w4a8", group_size=128)
     print("building params...", file=sys.stderr)
     params = llama.init_random_params(cfg, qcfg, seed=0, max_pos=2048,
                                       fast=True)

@@ -2,7 +2,7 @@
 mixed per-request sampling load (the scheduler + row-sampler + ragged decode
 path, not just the raw device loop).
 
-Llama-3-8B W4A16, 8 slots, 24 requests with varied prompt lengths,
+Llama-3-8B W4A8 (headline scheme), 8 slots, 24 requests with varied prompt lengths,
 n_predicts, and sampling configs (greedy / hot / top-k), arriving up-front.
 Reports aggregate generated tokens/s and per-request TTFT stats.
 
@@ -25,7 +25,7 @@ def main():
     from tinychatengine_tpu.runtime.serving import ServingEngine
 
     cfg = get_model_config("llama3_8b")
-    qcfg = QuantConfig(scheme="w4a16", group_size=128)
+    qcfg = QuantConfig(scheme="w4a8", group_size=128)
     print("building params...", file=sys.stderr)
     params = llama.init_random_params(cfg, qcfg, seed=0, max_pos=2048,
                                       fast=True)
@@ -59,14 +59,17 @@ def main():
     print(f"  warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     srv.done.clear()
 
+    for k in srv.tick_stats:
+        srv.tick_stats[k] = 0
     t0 = time.perf_counter()
     reqs = submit_all()
     srv.run()
     wall = time.perf_counter() - t0
+    print(f"  tick mix: {srv.tick_stats}", file=sys.stderr)
     total = sum(len(r.output_ids) for r in reqs)
     ttfts = sorted(r.first_token_t - r.submit_t for r in reqs)
     out = {
-        "metric": "llama3_8b_w4a16_serving_tokens_per_s",
+        "metric": "llama3_8b_w4a8_serving_tokens_per_s",
         "value": round(total / wall, 1),
         "unit": "tokens/s",
         "requests": len(reqs), "slots": 8,
@@ -108,7 +111,7 @@ def main():
             print(f"  spec stats: {srv2._spec_stats}", file=sys.stderr)
     assert results[True][1] == results[False][1], "spec output diverged"
     print(json.dumps({
-        "metric": "llama3_8b_w4a16_serving_speculative_tokens_per_s",
+        "metric": "llama3_8b_w4a8_serving_speculative_tokens_per_s",
         "value": round(results[True][0], 1),
         "unit": "tokens/s",
         "plain_tokens_per_s": round(results[False][0], 1),
@@ -135,7 +138,7 @@ def main_http():
     tiny = "--tiny" in sys.argv  # CPU smoke: the whole REST + engine path
     name = "bytellama_5m" if tiny else "llama3_8b"
     cfg = get_model_config(name)
-    qcfg = QuantConfig(scheme="fp" if tiny else "w4a16", group_size=128)
+    qcfg = QuantConfig(scheme="fp" if tiny else "w4a8", group_size=128)
     print("building params...", file=sys.stderr)
     max_len = min(2048, cfg.max_sqlen)
     params = llama.init_random_params(cfg, qcfg, seed=0, max_pos=max_len,

@@ -1,6 +1,8 @@
-"""SP-admission serving (VERDICT r3 #5): long prompts admitted through the
-sequence-parallel ring prefill, decode unchanged — outputs must equal the
-plain engine exactly (greedy) on the 8-device virtual CPU mesh."""
+"""SP-admission and PP-decode serving (VERDICT r3 #5): long prompts
+admitted through the sequence-parallel ring prefill (decode unchanged),
+and a ServingEngine decoding THROUGH the pipeline-parallel forward with
+microbatch slot grouping — outputs must equal the plain engine exactly
+(greedy) on the 8-device virtual CPU mesh."""
 
 import jax
 import jax.numpy as jnp
@@ -134,3 +136,59 @@ def test_sp_admission_with_tp_decode_golden():
     assert req.output_ids == gold["token_ids"][:n_check], req.output_ids
     # the 32-token head of the 33-token (BOS + 32 bytes) prompt rode the ring
     assert srv.sp_stats == {"admissions": 1, "tokens": 32}, srv.sp_stats
+
+
+def test_pp_serving_decode_golden():
+    """ServingEngine decoding THROUGH the pipeline-parallel forward
+    (VERDICT r3 #5 stretch: PP decode with microbatch>1 slot grouping so
+    GPipe bubbles amortize): 2 slots ride a (2 pipe)-stage mesh as 2
+    microbatches per ragged decode tick, admission prefill flows through
+    the same PP forward (one microbatch, true_len-bucketed), and the real-
+    weights golden transcript must reproduce token-exactly — alongside a
+    second concurrent request (so ragged per-row starts are exercised)."""
+    import json
+    from pathlib import Path
+
+    import pytest
+
+    from tinychatengine_tpu.core.config import get_model_config
+    from tinychatengine_tpu.parallel.pp import make_pp_forward, make_pp_mesh, shard_pp
+    from tinychatengine_tpu.generation import kv_cache as kvc
+    from tinychatengine_tpu.tokenizers.byte_fallback import ByteTokenizer
+    from tinychatengine_tpu.tools.checkpoint import load_checkpoint
+
+    repo = Path(__file__).resolve().parent.parent
+    ckpt = repo / "assets" / "bytellama_5m"
+    golden = Path(__file__).parent / "golden" / "bytellama_greedy.json"
+    if not (ckpt / "meta.json").exists() or not golden.exists():
+        pytest.skip("trained checkpoint / golden transcript not present")
+
+    cfg = get_model_config("bytellama_5m")
+    params, qcfg = load_checkpoint(str(ckpt), cfg)
+    gold = json.loads(golden.read_text())
+    tok = ByteTokenizer()
+    ids = np.asarray(tok.encode(gold["prompt"]), np.int32)
+    n_check = 16
+    g = GenerationConfig(temp=0.0, n_predict=n_check, repeat_penalty=1.0,
+                         repeat_last_n=1)
+
+    mesh = make_pp_mesh(2)
+    max_len = 256
+    pp_params, pp_cache = shard_pp(
+        params, kvc.init_cache(cfg.num_layers, 2, max_len, cfg.num_kv_heads,
+                               cfg.head_dim), mesh)
+    srv = ServingEngine(pp_params, cfg, qcfg, slots=2, max_len=max_len,
+                        gcfg=g, forward_fn=make_pp_forward(mesh, n_micro=2))
+    srv.cache = pp_cache  # pipe-sharded slot cache
+
+    other = np.asarray(tok.encode("def main():"), np.int32)
+    req = srv.submit(ids, n_predict=n_check)
+    req2 = srv.submit(other, n_predict=8)
+    srv.run()
+    assert req.finished and req2.finished
+    assert req.output_ids == gold["token_ids"][:n_check], req.output_ids
+
+    # the second slot's chain must equal its solo single-device run
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=max_len)
+    want2 = list(eng.generate(other[None, :], g).tokens[0])[:8]
+    assert req2.output_ids == want2, (req2.output_ids, want2)

@@ -937,8 +937,13 @@ def int4_matmul_a8(x: jax.Array, packed: jax.Array, scales: jax.Array,
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
     block_m = _pick_block(m + pad, 256, 16)
-    block_n = _pick_block(n, 2048, 128)
-    block_k = _pick_block(k, 2048, SUPERBLOCK)
+    if (k, n) in DECODE_BLOCKS and m + pad < 512:  # same tuning hook as
+        block_n, block_k = DECODE_BLOCKS[(k, n)]   # int4_matmul (w4a16)
+        block_n = _pick_block(n, block_n, 128)
+        block_k = _pick_block(k, block_k, SUPERBLOCK)
+    else:
+        block_n = _pick_block(n, 2048, 128)
+        block_k = _pick_block(k, 2048, SUPERBLOCK)
     if block_m >= 256:
         # large-M (prefill) tiles: the in-kernel act-quant temporaries
         # (dot i32, requant f32 — all [block_m, block_n]) live on the

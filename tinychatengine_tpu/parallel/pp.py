@@ -102,30 +102,53 @@ def shard_pp(params, cache, mesh: Mesh):
 
 
 def make_pp_forward(mesh: Mesh, n_micro: int, forward=llama.forward):
-    """Returns pp_forward(params, cfg, input_ids, cache, start) ->
+    """Returns pp_forward(params, cfg, input_ids, cache, start, ...) ->
     (last-position logits [B, V], cache) running the stacked layers
     pipeline-parallel over mesh axis "pipe" with n_micro microbatches cut
-    from the batch. Works for prefill (S>1) and decode (S=1); ``start`` is
-    the uniform scalar offset (engine semantics)."""
+    from the batch. Works for prefill (S>1) and decode (S=1).
+
+    Serving-compatible drop-in (r4, VERDICT #5 stretch): ``start`` may be a
+    per-row [B] vector (ragged decode — each microbatch slices its rows'
+    offsets), ``input_embeds`` replaces the embedding lookup (VLM splice /
+    chunked prefill), ``true_len`` selects the last REAL position's logits
+    for right-padded buckets, ``ctx_cap`` forwards to the flash-decode
+    KV-DMA trim. Batches not divisible by n_micro fall back to
+    gcd(n_micro, b) microbatches (a batch-1 admission prefill runs as one
+    microbatch — all bubble, as GPipe prefill must). page_table (paged KV)
+    is not supported under PP."""
+    import math
+
     n_pipe = mesh.shape["pipe"]
     tp = mesh.shape.get("model", 1) > 1
     tp_axis = "model" if tp else None
     perm = [(i, (i + 1) % n_pipe) for i in range(n_pipe)]
 
-    def pp_forward(params, cfg, input_ids, cache, start):
+    def pp_forward(params, cfg, input_ids, cache, start, input_embeds=None,
+                   full_logits: bool = False, true_len=None, page_table=None,
+                   ctx_cap=None):
+        assert not full_logits, "PP forward returns last-position logits only"
+        assert page_table is None, "paged KV is not supported under PP"
         b, s = input_ids.shape
-        m = n_micro
-        assert b % m == 0, (b, m)
+        m = math.gcd(n_micro, b)
         assert cfg.num_layers % n_pipe == 0, (cfg.num_layers, n_pipe)
         bm = b // m
         cfg_local = dataclasses.replace(
             cfg, num_layers=cfg.num_layers // n_pipe)
         start_ = jnp.asarray(start, jnp.int32)
+        ragged = start_.ndim == 1
+        tlen = None if true_len is None else jnp.asarray(true_len, jnp.int32)
 
-        def local(params, input_ids, cache, start):
+        def local(params, input_ids, cache, start, *rest):
             stage = jax.lax.axis_index("pipe")
             e = params.embed.shape[1]
-            embeds = params.embed[input_ids].astype(jnp.bfloat16)  # [B, S, E]
+            rest = list(rest)
+            if input_embeds is not None:
+                embeds = rest.pop(0).astype(jnp.bfloat16)       # [B, S, E]
+            else:
+                embeds = params.embed[input_ids].astype(jnp.bfloat16)
+            tl = rest.pop(0) if true_len is not None else None
+            last_ix = (jnp.int32(s - 1) if tl is None
+                       else jnp.clip(tl - 1, 0, s - 1))
 
             def slice_mb(arr, mb, axis):
                 return jax.lax.dynamic_slice_in_dim(arr, mb * bm, bm, axis)
@@ -151,9 +174,11 @@ def make_pp_forward(mesh: Mesh, n_micro: int, forward=llama.forward):
                     k_scale=None if ks_all is None else slice_mb(ks_all, mb_c, 1),
                     v_scale=None if vs_all is None else slice_mb(vs_all, mb_c, 1))
                 ids_mb = slice_mb(input_ids, mb_in, 0)   # shape donor only
+                start_mb = slice_mb(start, mb_c, 0) if ragged else start
                 hidden, cache_mb = forward(
-                    params, cfg_local, ids_mb, cache_mb, start,
-                    input_embeds=x, return_hidden=True, tp_axis=tp_axis)
+                    params, cfg_local, ids_mb, cache_mb, start_mb,
+                    input_embeds=x, return_hidden=True, tp_axis=tp_axis,
+                    ctx_cap=ctx_cap)
 
                 k_all = commit_mb(k_all, cache_mb.k, k_old, valid, mb_c, 1)
                 v_all = commit_mb(v_all, cache_mb.v, v_old, valid, mb_c, 1)
@@ -163,8 +188,10 @@ def make_pp_forward(mesh: Mesh, n_micro: int, forward=llama.forward):
                     vs_all = commit_mb(vs_all, cache_mb.v_scale,
                                        slice_mb(vs_all, mb_c, 1), valid, mb_c, 1)
 
-                # last stage: head on the final position, collect by exit tick
-                h = ref.rms_norm_ref(hidden[:, s - 1:s], params.final_norm,
+                # last stage: head on the final REAL position, collect by
+                # exit tick
+                h_last = jax.lax.dynamic_slice_in_dim(hidden, last_ix, 1, 1)
+                h = ref.rms_norm_ref(h_last, params.final_norm,
                                      cfg.rms_norm_eps)
                 logits_mb = apply_linear(params.lm_head, h).astype(
                     jnp.float32)
@@ -190,16 +217,25 @@ def make_pp_forward(mesh: Mesh, n_micro: int, forward=llama.forward):
             (x_, k_all, v_all, ks_all, vs_all, acc), _ = jax.lax.scan(
                 tick, carry, jnp.arange(m + n_pipe - 1, dtype=jnp.int32))
             logits = jax.lax.psum(acc, "pipe")   # nonzero on stage n-1 only
+            n_new = jnp.asarray(s, jnp.int32) if tl is None else tl
             out_cache = KVCache(k=k_all, v=v_all,
-                                length=cache.length + jnp.asarray(s, jnp.int32),
+                                length=cache.length + n_new,
                                 k_scale=ks_all, v_scale=vs_all)
             return logits, out_cache
 
-        in_specs = (llama_pp_param_specs(params, tp=tp), P(None, None),
-                    _pp_cache_specs(cache, tp=tp), P())
+        in_specs = [llama_pp_param_specs(params, tp=tp), P(None, None),
+                    _pp_cache_specs(cache, tp=tp),
+                    P(None) if ragged else P()]
+        args = [params, input_ids, cache, start_]
+        if input_embeds is not None:
+            in_specs.append(P(None, None, None))
+            args.append(input_embeds)
+        if true_len is not None:
+            in_specs.append(P())
+            args.append(tlen)
         out_specs = (P(None, None), _pp_cache_specs(cache, tp=tp))
-        f = shard_map(local, mesh=mesh, in_specs=in_specs,
+        f = shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
                       out_specs=out_specs, check_vma=False)
-        return f(params, input_ids, cache, start_)
+        return f(*args)
 
     return pp_forward

@@ -186,6 +186,11 @@ class ServingEngine:
         self._scratch = self._prefill_engine.new_cache()
 
         self.slots = [_Slot() for _ in range(slots)]
+        # dispatch-mix observability (each key is ~one device round-trip):
+        # what the scheduler actually spent its ticks on (surfaced in
+        # /metrics and scripts/bench_serving.py)
+        self.tick_stats = {"bursts": 0, "burst_ticks": 0, "single_ticks": 0,
+                           "admit_chunks": 0, "spec_ticks": 0}
         self.queue: collections.deque[Request] = collections.deque()
         self.done: list[Request] = []
         self._ids = itertools.count()
@@ -427,8 +432,11 @@ class ServingEngine:
             return
         k = self._burst_ticks()
         if k >= 2:
+            self.tick_stats["bursts"] += 1
+            self.tick_stats["burst_ticks"] += k
             self._decode_burst(k)
         else:
+            self.tick_stats["single_ticks"] += 1
             self._decode_once()
 
     # -- speculative (prompt-lookup) ticks -----------------------------------
@@ -500,6 +508,7 @@ class ServingEngine:
         finally:
             self._in_spec = False
         self._spec_stats["ticks"] += 1
+        self.tick_stats["spec_ticks"] += 1
 
     def _burst_ticks(self) -> int:
         """How many decode ticks can run as one device dispatch without the
@@ -747,6 +756,7 @@ class ServingEngine:
         the FINAL chunk runs through the fused admission executable — prefill
         + splice + row-state fold-in + sample in one dispatch."""
         slot_idx, done = self._pending
+        self.tick_stats["admit_chunks"] += 1
         req = self.slots[slot_idx].request
         n = len(req.prompt_ids)
         take = min(self.admission_chunk, n - done)
