@@ -241,3 +241,49 @@ def test_greedy_penalized_fast_path_exact():
     g = GenerationConfig(temp=0.0, repeat_penalty=1.5)
     assert int(smp.greedy_penalized(logits, last, g)[0]) == \
         int(slow(logits, last, g)[0])
+
+
+def test_sample_rows_sort_free_top_k_exact():
+    """The sort-free top_k path (static top_k_max, r4) must produce BIT-
+    IDENTICAL tokens/keys/mu to the full argsort path — including ties at
+    the kth value (broken like argsort[::-1]: highest index first) and
+    interaction with top_p on the candidate list."""
+    import jax
+
+    rng = np.random.default_rng(17)
+    b, v = 4, 1024
+    logits = rng.standard_normal((b, v)).astype(np.float32) * 3
+    # engineered ties straddling the kth boundary on row 0: five equal
+    # values around rank 38-42 with top_k=40
+    tie_val = np.sort(logits[0])[-40]
+    logits[0, [7, 99, 500, 777, 901]] = tie_val
+    logits = jnp.asarray(logits)
+
+    cfgs = [
+        GenerationConfig(temp=0.9, top_k=40, top_p=0.9, seed=1),
+        GenerationConfig(temp=1.3, top_k=7, top_p=1.0, seed=2),
+        GenerationConfig(temp=0.0, top_k=40, top_p=0.95, seed=3,
+                         repeat_penalty=1.2),
+        GenerationConfig(temp=0.7, top_k=100, top_p=0.5, seed=4,
+                         frequency_penalty=0.3),
+    ]
+    params = smp.RowParams.from_configs(cfgs)
+    keys = jnp.asarray(
+        np.stack([np.asarray(jax.random.PRNGKey(i)) for i in range(b)]))
+    last = jnp.asarray(rng.integers(-1, v, (b, 16)), jnp.int32)
+    mu = jnp.full((b,), 8.0, jnp.float32)
+
+    want = smp.sample_rows(logits, keys, params, last, mu,
+                                use_tfs_typical=True, top_k_max=0)
+    got = smp.sample_rows(logits, keys, params, last, mu,
+                               use_tfs_typical=False, top_k_max=100)
+    for a, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(g))
+
+    # and without mu (the 2-tuple signature)
+    w2 = smp.sample_rows(logits, keys, params, last,
+                              use_tfs_typical=True, top_k_max=0)
+    g2 = smp.sample_rows(logits, keys, params, last,
+                              use_tfs_typical=False, top_k_max=100)
+    for a, g in zip(w2, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(g))

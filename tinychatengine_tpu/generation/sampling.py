@@ -51,13 +51,18 @@ def apply_frequency_presence(logits: jax.Array, last_tokens: jax.Array,
 
 
 def _token_counts(last_tokens: jax.Array, vocab: int) -> jax.Array:
-    """Occurrence counts per vocab id; -1 entries ignored. [B, T] -> [B, V]."""
-    b, t = last_tokens.shape
-    valid = (last_tokens >= 0).astype(jnp.float32)
+    """Occurrence counts per vocab id; -1 entries ignored. [B, T] -> [B, V].
+
+    One-hot contraction instead of a scatter-add: TPU lowers a [B, T]
+    scatter to T serial row updates, which the r4 serving device trace
+    billed at ~5 ms/tick; the [B, T, V] bf16 one-hot streams at HBM rate
+    (~0.4 ms) and is exact (counts <= T << 256 are exactly representable
+    in bf16)."""
+    valid = (last_tokens >= 0)
     clipped = jnp.clip(last_tokens, 0, vocab - 1)
-    return jax.vmap(
-        lambda ids, w: jnp.zeros((vocab,), jnp.float32).at[ids].add(w)
-    )(clipped, valid)
+    hot = jax.nn.one_hot(clipped, vocab, dtype=jnp.bfloat16)
+    hot = hot * valid[..., None].astype(jnp.bfloat16)
+    return jnp.sum(hot, axis=1, dtype=jnp.float32)
 
 
 def greedy(logits: jax.Array) -> jax.Array:
@@ -169,8 +174,10 @@ def typical_mask(logits: jax.Array, p: float, min_keep: int = 1) -> jax.Array:
     cum = jnp.cumsum(probs_sorted, axis=-1)
     keep_sorted = (cum - probs_sorted) < p
     keep_sorted = keep_sorted.at[..., :min_keep].set(True)
-    keep = jnp.zeros_like(keep_sorted).at[
-        jnp.arange(logits.shape[0])[:, None], order].set(keep_sorted)
+    # gather through the inverse permutation (argsort(order)) — TPU
+    # serializes the row scatter (~8 ms at [8, 128k], r4 serving trace)
+    keep = jnp.take_along_axis(keep_sorted, jnp.argsort(order, axis=-1),
+                               axis=-1)
     return jnp.where(keep, logits, NEG_INF)
 
 
@@ -317,7 +324,9 @@ jax.tree_util.register_pytree_node(
 
 def sample_rows(logits: jax.Array, keys: jax.Array, params: RowParams,
                 last_tokens: Optional[jax.Array] = None,
-                mu: Optional[jax.Array] = None):
+                mu: Optional[jax.Array] = None, *,
+                use_bias: bool = True, use_tfs_typical: bool = True,
+                use_mirostat: bool = True, top_k_max: int = 0):
     """Per-row sampling pipeline, reference order (top_k → tfs → typical →
     top_p → temp → draw), every parameter a traced [B] array.
 
@@ -330,15 +339,33 @@ def sample_rows(logits: jax.Array, keys: jax.Array, params: RowParams,
     instead of the truncation pipeline, and the return becomes
     (tokens, new_keys, new_mu). When None, mirostat rows are not supported
     (the caller must route them elsewhere).
-    """
+
+    use_bias / use_tfs_typical / use_mirostat: STATIC stage gates. When a
+    stage is off for every row its math is the identity (empty bias table
+    adds 0; tfs_z >= 1 and typical_p >= 1 keep everything; mirostat == 0
+    rows pass through), so skipping it is exact — but the identity still
+    costs full-vocab sorts/scans/softmaxes on device (~25 ms/tick at
+    B=8 x 128k vocab in the r4 serving trace). The serving engine keys its
+    executables on which stages any active row actually uses.
+
+    top_k_max: STATIC upper bound on every row's top_k when all rows have
+    top_k > 0 (0 = unknown/disabled-for-some-row). With tfs/typical off it
+    unlocks the sort-free path: ``lax.top_k(top_k_max)`` + per-row kth-value
+    threshold replaces the [B, V] argsort (~8 ms at [8, 128k] — the
+    largest single op in the r4 serving trace), with ties at the kth value
+    broken exactly like the rank path (highest original index first, the
+    argsort[::-1] order), and nucleus runs on the [B, top_k_max] candidate
+    values instead of [B, V]. Token draws are bit-identical: the kept set,
+    masked logits and key stream are unchanged."""
     logits = logits.astype(jnp.float32)
     b, v = logits.shape
-
-    # per-row logit_bias: fixed-width scatter-add ([-1]-padded ids no-op via
-    # zero values; clip keeps the index in range)
     rows = jnp.arange(b)[:, None]
-    logits = logits.at[rows, jnp.clip(params.bias_ids, 0, v - 1)].add(
-        jnp.where(params.bias_ids >= 0, params.bias_vals, 0.0))
+
+    if use_bias:
+        # per-row logit_bias: fixed-width scatter-add ([-1]-padded ids
+        # no-op via zero values; clip keeps the index in range)
+        logits = logits.at[rows, jnp.clip(params.bias_ids, 0, v - 1)].add(
+            jnp.where(params.bias_ids >= 0, params.bias_vals, 0.0))
 
     if last_tokens is not None:
         counts = _token_counts(last_tokens, v)                       # [B, V]
@@ -350,55 +377,102 @@ def sample_rows(logits: jax.Array, keys: jax.Array, params: RowParams,
 
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
+    if not use_tfs_typical and top_k_max > 0:
+        # sort-free top_k: per-row kth-value threshold from one
+        # lax.top_k(top_k_max) call. Ties AT the kth value are broken like
+        # the rank path (argsort[::-1] places equal values by descending
+        # index, so the kept tied positions are the highest indices): keep
+        # every strictly-greater logit plus the `need` right-most tied ones.
+        topvals = jax.lax.top_k(logits, top_k_max)[0]        # [B, K] desc
+        k_eff = jnp.clip(params.top_k, 1, top_k_max)[:, None]
+        kth = jnp.take_along_axis(topvals, k_eff - 1, axis=-1)
+        tied = logits == kth
+        need = k_eff - jnp.sum(logits > kth, axis=-1, keepdims=True)
+        from_right = jnp.cumsum(tied[..., ::-1], axis=-1)[..., ::-1]
+        masked = jnp.where((logits > kth) | (tied & (from_right <= need)),
+                           logits, NEG_INF)
+        # nucleus runs on the candidate VALUES (identical to the kept
+        # set's descending sort, whichever tied indices were kept)
+        s_logits = jnp.where(jnp.arange(top_k_max)[None, :] < k_eff,
+                             topvals, NEG_INF)
+        return _sample_rows_tail(logits, masked, s_logits, greedy_tok,
+                                 keys, params, mu, use_mirostat, rows)
+
     # one descending sort powers top_k (ranks) + tfs; top_p/typical keep
-    # their own orderings (probability vs typicality)
+    # their own orderings (probability vs typicality). ranks = the INVERSE
+    # of the `order` permutation, computed as argsort(order) — a second
+    # int sort (~1.2 ms at [8, 128k]) instead of the row scatter TPU
+    # serializes (~8 ms in the r4 serving trace); argsort of a permutation
+    # is exactly its inverse.
     order = jnp.argsort(logits, axis=-1)[..., ::-1]
-    ranks = jnp.zeros_like(order).at[
-        jnp.arange(b)[:, None], order].set(
-        jnp.broadcast_to(jnp.arange(v), (b, v)))
+    ranks = jnp.argsort(order, axis=-1)
     k_eff = jnp.where(params.top_k <= 0, v, params.top_k)[:, None]
     masked = jnp.where(ranks < k_eff, logits, NEG_INF)
 
     sorted_logits = jnp.take_along_axis(masked, order, axis=-1)
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    # tail-free: |d2| of sorted probs, normalized, cum < z (cum <= 1 so a
-    # z >= 1 row keeps everything — the off case needs no branch)
-    d1 = probs[..., :-1] - probs[..., 1:]
-    d2 = jnp.abs(d1[..., :-1] - d1[..., 1:])
-    # llama.cpp runs tfs over the post-top_k candidate LIST; with full-vocab
-    # arrays the masked tail (prob 0) adds two spurious boundary d2 terms —
-    # drop d2 windows reaching past the last live (non-masked) token
-    n_live = jnp.sum(sorted_logits > NEG_INF / 2, axis=-1, keepdims=True)
-    d2 = jnp.where(jnp.arange(v - 2)[None, :] < n_live - 2, d2, 0.0)
-    d2 = d2 / jnp.maximum(jnp.sum(d2, axis=-1, keepdims=True), 1e-12)
-    cum2 = jnp.cumsum(d2, axis=-1)
-    # PREFIX keep-count (n_keep indexes into the sorted order): the first
-    # token always survives, then tokens while cum|d2| < z; a z >= 1 row is
-    # "off" and must keep ALL v tokens (cum2 can round to exactly 1.0, so
-    # deriving the off case from the comparison would mask the tail token)
-    z = params.tfs_z[:, None]
-    n_keep = jnp.where(z >= 1.0, v,
-                       1 + jnp.sum(cum2 < z, axis=-1, keepdims=True))
-    thresh = jnp.take_along_axis(sorted_logits, n_keep - 1, axis=-1)
-    masked = jnp.where(masked < thresh, NEG_INF, masked)
 
-    # typical: deviation-from-entropy ordering, cum prob < typical_p
-    log_probs = jax.nn.log_softmax(masked, axis=-1)
-    p_full = jnp.exp(log_probs)
-    entropy = -jnp.sum(jnp.where(p_full > 0, p_full * log_probs, 0.0),
-                       axis=-1, keepdims=True)
-    shifted = jnp.abs(-log_probs - entropy)
-    t_order = jnp.argsort(shifted, axis=-1)
-    p_sorted = jnp.take_along_axis(p_full, t_order, axis=-1)
-    cum = jnp.cumsum(p_sorted, axis=-1)
-    keep_t = (cum - p_sorted) < params.typical_p[:, None]
-    keep_t = keep_t.at[..., :1].set(True)
-    keep = jnp.zeros_like(keep_t).at[
-        jnp.arange(b)[:, None], t_order].set(keep_t)
-    masked = jnp.where(keep, masked, NEG_INF)
+    if use_tfs_typical:
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        # tail-free: |d2| of sorted probs, normalized, cum < z (cum <= 1 so
+        # a z >= 1 row keeps everything — the off case needs no branch)
+        d1 = probs[..., :-1] - probs[..., 1:]
+        d2 = jnp.abs(d1[..., :-1] - d1[..., 1:])
+        # llama.cpp runs tfs over the post-top_k candidate LIST; with
+        # full-vocab arrays the masked tail (prob 0) adds two spurious
+        # boundary d2 terms — drop d2 windows reaching past the last live
+        # (non-masked) token
+        n_live = jnp.sum(sorted_logits > NEG_INF / 2, axis=-1, keepdims=True)
+        d2 = jnp.where(jnp.arange(v - 2)[None, :] < n_live - 2, d2, 0.0)
+        d2 = d2 / jnp.maximum(jnp.sum(d2, axis=-1, keepdims=True), 1e-12)
+        cum2 = jnp.cumsum(d2, axis=-1)
+        # PREFIX keep-count (n_keep indexes into the sorted order): the
+        # first token always survives, then tokens while cum|d2| < z; a
+        # z >= 1 row is "off" and must keep ALL v tokens (cum2 can round to
+        # exactly 1.0, so deriving the off case from the comparison would
+        # mask the tail token)
+        z = params.tfs_z[:, None]
+        n_keep = jnp.where(z >= 1.0, v,
+                           1 + jnp.sum(cum2 < z, axis=-1, keepdims=True))
+        thresh = jnp.take_along_axis(sorted_logits, n_keep - 1, axis=-1)
+        masked = jnp.where(masked < thresh, NEG_INF, masked)
 
+        # typical: deviation-from-entropy ordering, cum prob < typical_p.
+        # keep_t lives in t_order space; gather it back through the inverse
+        # permutation (argsort(t_order)) instead of scattering.
+        log_probs = jax.nn.log_softmax(masked, axis=-1)
+        p_full = jnp.exp(log_probs)
+        entropy = -jnp.sum(jnp.where(p_full > 0, p_full * log_probs, 0.0),
+                           axis=-1, keepdims=True)
+        shifted = jnp.abs(-log_probs - entropy)
+        t_order = jnp.argsort(shifted, axis=-1)
+        p_sorted = jnp.take_along_axis(p_full, t_order, axis=-1)
+        cum = jnp.cumsum(p_sorted, axis=-1)
+        keep_t = (cum - p_sorted) < params.typical_p[:, None]
+        keep_t = keep_t.at[..., :1].set(True)
+        keep = jnp.take_along_axis(keep_t, jnp.argsort(t_order, axis=-1),
+                                   axis=-1)
+        masked = jnp.where(keep, masked, NEG_INF)
+
+        # nucleus needs a fresh descending sort: tfs/typical masking is not
+        # order-preserving on the original sorted array
+        s_logits = jnp.sort(masked, axis=-1)[..., ::-1]
+    else:
+        # with tfs/typical off, the only masking so far is the top_k prefix
+        # cut, which PRESERVES the descending order — reuse sorted_logits
+        s_logits = sorted_logits
+
+    return _sample_rows_tail(logits, masked, s_logits, greedy_tok, keys,
+                             params, mu, use_mirostat, rows)
+
+
+def _sample_rows_tail(logits, masked, s_logits, greedy_tok, keys, params,
+                      mu, use_mirostat, rows):
+    """Nucleus -> temperature -> draw -> (mirostat), shared by the sorted
+    and the sort-free top_k paths of sample_rows. ``s_logits`` holds the
+    live candidates in descending order (full [B, V] or the [B, top_k_max]
+    value list — the nucleus math is width-agnostic)."""
+    b, v = logits.shape
     # nucleus: cumulative prob (descending) < top_p
-    s_logits = jnp.sort(masked, axis=-1)[..., ::-1]
     s_probs = jax.nn.softmax(s_logits, axis=-1)
     s_cum = jnp.cumsum(s_probs, axis=-1)
     keep_p = (s_cum - s_probs) < params.top_p[:, None]
@@ -416,6 +490,8 @@ def sample_rows(logits: jax.Array, keys: jax.Array, params: RowParams,
     tok = jnp.where(params.temp <= 0, greedy_tok, drawn)
     if mu is None:
         return tok, new_keys
+    if not use_mirostat:  # no active row uses mirostat: mu passes through
+        return tok, new_keys, mu
 
     # -- per-row mirostat v1/v2 (Generate.cc:138,176): rows with
     # params.mirostat != 0 replace the truncation pipeline above; mu is the
@@ -445,9 +521,8 @@ def sample_rows(logits: jax.Array, keys: jax.Array, params: RowParams,
     k_dyn = jnp.power((eps_h * jnp.power(2.0, mu)) /
                       (1.0 - jnp.power(float(v), -eps_h)), 1.0 / s_hat)
     k_dyn = jnp.clip(jnp.nan_to_num(k_dyn, nan=1.0), 1, v).astype(jnp.int32)
-    ranks_t = jnp.zeros((b, v), jnp.int32).at[
-        rows[:, 0][:, None], jnp.argsort(lt, axis=-1)[..., ::-1]].set(
-        jnp.broadcast_to(jnp.arange(v), (b, v)))
+    # inverse permutation by argsort (see the ranks comment above)
+    ranks_t = jnp.argsort(jnp.argsort(lt, axis=-1)[..., ::-1], axis=-1)
     m1 = jnp.where(ranks_t < k_dyn[:, None], lt, NEG_INF)
     tok1 = draw(m1, subs).astype(jnp.int32)
 

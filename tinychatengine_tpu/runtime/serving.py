@@ -218,7 +218,10 @@ class ServingEngine:
         base = jax.random.PRNGKey(max(self.gcfg.seed, 0))
         self._keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
             jnp.arange(slots, dtype=jnp.uint32))
-        self._jit_sample_rows = jax.jit(sampling.sample_rows)
+        self._jit_sample_rows = jax.jit(
+            sampling.sample_rows,
+            static_argnames=("use_bias", "use_tfs_typical", "use_mirostat",
+                             "top_k_max"))
 
         self._jit_decode = jax.jit(
             functools.partial(_decode_step, forward_fn),
@@ -229,7 +232,9 @@ class ServingEngine:
         self.tick_batch = max(int(tick_batch), 1)
         self._jit_decode_multi = jax.jit(
             functools.partial(_decode_multi, forward_fn),
-            static_argnames=("cfg", "n_ticks", "ctx_cap", "lp_k"),
+            static_argnames=("cfg", "n_ticks", "ctx_cap", "lp_k",
+                             "use_bias", "use_tfs_typical", "use_mirostat",
+                             "top_k_max"),
             donate_argnames=("cache",))
         # OpenAI-style logprobs: one top-k width per engine (requests clamp
         # to it) so the logprobs-variant executables stay one per bucket
@@ -243,11 +248,11 @@ class ServingEngine:
         # that dominated serving aggregate throughput)
         self._jit_admit = jax.jit(
             functools.partial(_admit_fused, forward_fn),
-            static_argnames=("cfg", "insert_bucket", "lp_k"),
+            static_argnames=("cfg", "insert_bucket", "lp_k", "features"),
             donate_argnames=("cache", "scratch"))
         self._jit_admit_paged = jax.jit(
             functools.partial(_admit_fused_paged, forward_fn),
-            static_argnames=("cfg", "insert_bucket", "lp_k"),
+            static_argnames=("cfg", "insert_bucket", "lp_k", "features"),
             donate_argnames=("cache", "scratch"))
 
         # prefix cache: a KVCache whose batch axis is the entry pool
@@ -549,12 +554,15 @@ class ServingEngine:
         lengths = jnp.asarray([s.length for s in self.slots], jnp.int32)
         active0 = [s.active for s in self.slots]
         lp_k = self.logprobs_k if self._want_lp() else None
+        ub, ut, um, kmax = self._row_features()
         if self.paged:
             seq, self.page_cache, self._keys, self._mu = self._jit_decode_multi(
                 self.params, self.cfg, jnp.asarray(self._next_tok),
                 self.page_cache, lengths, self._keys, self._row_params,
                 jnp.asarray(self._last), keep_mask, self._mu,
-                jnp.asarray(self._tables), n_ticks=k, lp_k=lp_k)
+                jnp.asarray(self._tables), n_ticks=k, lp_k=lp_k,
+                use_bias=ub, use_tfs_typical=ut, use_mirostat=um,
+                top_k_max=kmax)
         else:
             cap = _cap_bucket(
                 max(s_.length for s_ in self.slots) + k, self.max_len)
@@ -562,7 +570,9 @@ class ServingEngine:
                 self.params, self.cfg, jnp.asarray(self._next_tok),
                 self.cache, lengths, self._keys, self._row_params,
                 jnp.asarray(self._last), keep_mask, self._mu, None,
-                n_ticks=k, ctx_cap=cap, lp_k=lp_k)
+                n_ticks=k, ctx_cap=cap, lp_k=lp_k,
+                use_bias=ub, use_tfs_typical=ut, use_mirostat=um,
+                top_k_max=kmax)
         lps = tops = None
         if lp_k is not None:
             seq, lps, top_i, top_lp = (np.asarray(a) for a in seq)
@@ -829,6 +839,10 @@ class ServingEngine:
         last_row = jnp.asarray(self._last[slot_idx][None])
         insert_bucket = min(_bucket(n), self.max_len)
         lp_k = self.logprobs_k if req.logprobs is not None else None
+        feat = (bool(rcfg.logit_bias),
+                (rcfg.tfs_z < 1.0) or (rcfg.typical_p < 1.0),
+                rcfg.mirostat != 0,
+                max(rcfg.top_k, 0))
         if self.paged:
             p = self.allocator.page_size
             pages = self._slot_pages[slot_idx]   # reserved at admission start
@@ -844,7 +858,7 @@ class ServingEngine:
                 jnp.asarray(done, jnp.int32), jnp.asarray(take, jnp.int32),
                 self._keys, self._row_params, self._mu, row_key, rp_row,
                 last_row, mu0, jnp.int32(slot_idx),
-                insert_bucket=n_pg * p, lp_k=lp_k)
+                insert_bucket=n_pg * p, lp_k=lp_k, features=feat)
         else:
             (tok, self.cache, self._scratch, self._keys,
              self._row_params, self._mu, lp) = self._jit_admit(
@@ -852,7 +866,8 @@ class ServingEngine:
                 self.cache, jnp.asarray(done, jnp.int32),
                 jnp.asarray(take, jnp.int32), self._keys, self._row_params,
                 self._mu, row_key, rp_row, last_row, mu0,
-                jnp.int32(slot_idx), insert_bucket=insert_bucket, lp_k=lp_k)
+                jnp.int32(slot_idx), insert_bucket=insert_bucket, lp_k=lp_k,
+                features=feat)
         req.first_token_t = time.perf_counter()
         if self._pfx_entries:
             self._maybe_store_prefix(req)
@@ -947,9 +962,11 @@ class ServingEngine:
                 ctx_cap=_cap_bucket(
                     max(s_.length for s_ in self.slots) + 1, self.max_len))
         if self._per_row:
+            ub, ut, um, kmax = self._row_features()
             tok, self._keys, self._mu = self._jit_sample_rows(
                 logits, self._keys, self._row_params, jnp.asarray(self._last),
-                self._mu)
+                self._mu, use_bias=ub, use_tfs_typical=ut, use_mirostat=um,
+                top_k_max=kmax)
         else:
             tok, self._state = self._prefill_engine._jit_sample(
                 logits, self._state, jnp.asarray(self._last), self._hcfg)
@@ -966,6 +983,28 @@ class ServingEngine:
                 self._emit(i, int(tok_host[i]),
                            lp=None if lps is None else lps[i],
                            top=None if tops is None else tops[i])
+
+    def _row_features(self):
+        """STATIC sampler-stage gates over the ACTIVE rows: each off stage
+        is the identity (sampling.sample_rows docstring) but costs full-vocab
+        sorts/softmaxes on device (~25 ms/tick at B=8 x 128k in the r4
+        serving trace), so executables are keyed on which stages any live
+        request actually uses. Inactive rows' draws are discarded, so their
+        stale configs cannot affect emitted tokens."""
+        ub = ut = um = False
+        ks = []
+        for i, s in enumerate(self.slots):
+            if not s.active:
+                continue
+            c = self._row_cfgs[i]
+            ub |= bool(c.logit_bias)
+            ut |= (c.tfs_z < 1.0) or (c.typical_p < 1.0)
+            um |= c.mirostat != 0
+            ks.append(c.top_k)
+        # top_k_max: sort-free path bound; 0 = disabled (some row runs
+        # full-vocab top_k, or no active rows)
+        kmax = max(ks) if ks and min(ks) > 0 else 0
+        return ub, ut, um, kmax
 
     def _want_lp(self) -> bool:
         """Any active slot wants logprobs → this dispatch uses the
@@ -1058,17 +1097,21 @@ def _insert_slot(cache: kvc.KVCache, scratch: kvc.KVCache, slot_idx,
 
 
 def _fold_row_and_sample(logits, slot_idx, keys, rparams, mu, row_key,
-                         rp_row, last_row, mu0):
+                         rp_row, last_row, mu0, features=(True, True, True, 0)):
     """Fold one admission's row state into the resident [slots] arrays and
-    draw the first token — the traced body shared by both fused admits."""
+    draw the first token — the traced body shared by both fused admits.
+    ``features`` statically gates the sampler stages for the admitted row
+    (sampling.sample_rows)."""
     keys = keys.at[slot_idx].set(row_key)
     rparams = jax.tree.map(lambda f, r: f.at[slot_idx].set(r[0]),
                            rparams, rp_row)
     mu = mu.at[slot_idx].set(mu0)
+    ub, ut, um, kmax = features
     tok, k1, mu1 = sampling.sample_rows(
         logits, keys[slot_idx][None],
         jax.tree.map(lambda a: a[slot_idx][None], rparams),
-        last_row, mu[slot_idx][None])
+        last_row, mu[slot_idx][None], use_bias=ub, use_tfs_typical=ut,
+        use_mirostat=um, top_k_max=kmax)
     keys = keys.at[slot_idx].set(k1[0])
     mu = mu.at[slot_idx].set(mu1[0])
     return tok[0], keys, rparams, mu
@@ -1076,7 +1119,8 @@ def _fold_row_and_sample(logits, slot_idx, keys, rparams, mu, row_key,
 
 def _admit_fused(forward_fn, params, cfg, ids, scratch, cache, start,
                  true_len, keys, rparams, mu, row_key, rp_row, last_row,
-                 mu0, slot_idx, *, insert_bucket, lp_k=None):
+                 mu0, slot_idx, *, insert_bucket, lp_k=None,
+                 features=(True, True, True, 0)):
     """Final-chunk admission in ONE dispatch: prefill + slot splice + row
     fold-in + first-token sample. Numerically identical to the unfused
     sequence (same forward, same splice, same sample_rows call)."""
@@ -1084,7 +1128,8 @@ def _admit_fused(forward_fn, params, cfg, ids, scratch, cache, start,
                                  true_len=true_len)
     cache = _insert_body(cache, scratch, slot_idx, insert_bucket)
     tok, keys, rparams, mu = _fold_row_and_sample(
-        logits, slot_idx, keys, rparams, mu, row_key, rp_row, last_row, mu0)
+        logits, slot_idx, keys, rparams, mu, row_key, rp_row, last_row, mu0,
+        features)
     lp = None if lp_k is None else _token_logprobs(
         logits, tok.reshape(1), lp_k=lp_k)
     return tok, cache, scratch, keys, rparams, mu, lp
@@ -1093,12 +1138,14 @@ def _admit_fused(forward_fn, params, cfg, ids, scratch, cache, start,
 def _admit_fused_paged(forward_fn, params, cfg, ids, scratch, cache,
                        page_ids, start, true_len, keys, rparams, mu,
                        row_key, rp_row, last_row, mu0, slot_idx, *,
-                       insert_bucket, lp_k=None):
+                       insert_bucket, lp_k=None,
+                       features=(True, True, True, 0)):
     logits, scratch = forward_fn(params, cfg, ids, scratch, start,
                                  true_len=true_len)
     cache = _insert_pages_body(cache, scratch, page_ids, insert_bucket)
     tok, keys, rparams, mu = _fold_row_and_sample(
-        logits, slot_idx, keys, rparams, mu, row_key, rp_row, last_row, mu0)
+        logits, slot_idx, keys, rparams, mu, row_key, rp_row, last_row, mu0,
+        features)
     lp = None if lp_k is None else _token_logprobs(
         logits, tok.reshape(1), lp_k=lp_k)
     return tok, cache, scratch, keys, rparams, mu, lp
@@ -1162,7 +1209,8 @@ def _token_logprobs(logits, tok, *, lp_k: int):
 
 def _decode_multi(forward_fn, params, cfg, tokens, cache, lengths, keys,
                   rparams, last, keep_mask, mu, tables, *, n_ticks,
-                  ctx_cap=None, lp_k=None):
+                  ctx_cap=None, lp_k=None, use_bias=True,
+                  use_tfs_typical=True, use_mirostat=True, top_k_max=0):
     """K decode+sample ticks in ONE dispatch (lax.scan): the host-driven
     per-token scheduler costs 2-3 dispatch round-trips per tick (tunnel RTT
     ~25-30 ms makes that THE serving bottleneck; even local dispatch is
@@ -1183,7 +1231,10 @@ def _decode_multi(forward_fn, params, cfg, tokens, cache, lengths, keys,
         else:
             logits, cache = forward_fn(params, cfg, toks[:, None], cache,
                                        lengths, page_table=tables)
-        tok, keys, mu = sampling.sample_rows(logits, keys, rparams, last, mu)
+        tok, keys, mu = sampling.sample_rows(
+            logits, keys, rparams, last, mu, use_bias=use_bias,
+            use_tfs_typical=use_tfs_typical, use_mirostat=use_mirostat,
+            top_k_max=top_k_max)
         last = jnp.where(keep_mask,
                          jnp.concatenate([last[:, 1:], tok[:, None]], axis=1),
                          -1)
