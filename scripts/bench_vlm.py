@@ -40,10 +40,12 @@ def main():
                                        fast=True)
 
     # -- CLIP encode: [1, 336, 336, 3] -> [1, 576, 4096] ---------------------
+    # NOTE: params must be jit ARGUMENTS — a ~300 MB closure constant blows
+    # the remote compiler's upload limit (broken pipe / HTTP 413; CLAUDE.md)
     @functools.partial(jax.jit, static_argnames=("iters",))
-    def encode_loop(pixels, iters):
+    def encode_loop(cp, pixels, iters):
         def body(px, _):
-            emb = clip.encode_image(cparams, ccfg, px)      # [1, 576, 4096]
+            emb = clip.encode_image(cp, ccfg, px)           # [1, 576, 4096]
             px2 = px + jnp.mean(emb).astype(px.dtype) * 1e-6
             return px2, jnp.mean(emb)
         px, means = jax.lax.scan(body, pixels, None, length=iters)
@@ -52,7 +54,7 @@ def main():
     def encode_once(seed, iters):
         px = jax.random.normal(jax.random.PRNGKey(seed), (1, 336, 336, 3),
                                jnp.float32)
-        return np.asarray(encode_loop(px, iters))
+        return np.asarray(encode_loop(cparams, px, iters))
 
     print("compiling CLIP encode...", file=sys.stderr)
     encode_once(0, 1)
@@ -82,11 +84,13 @@ def main():
         rtts.append(time.perf_counter() - t0)
     rtt = float(np.median(rtts))
 
+    jit_encode = jax.jit(lambda cp, px: clip.encode_image(cp, ccfg, px))
+
     def image_turn(seed):
         """encode image -> build embeds -> prefill -> greedy first token."""
         rng = np.random.default_rng(seed)
         px = jnp.asarray(rng.standard_normal((1, 336, 336, 3)), jnp.float32)
-        img = clip.encode_image(cparams, ccfg, px)[0]        # [576, 4096]
+        img = jit_encode(cparams, px)[0]                     # [576, 4096]
         ids = rng.integers(10, vcfg.vocab_size - 10, S).astype(np.int32)
         e_txt = jnp.asarray(vparams.embed)[jnp.asarray(ids)]
         embeds = e_txt.at[n_pre:n_pre + n_img].set(

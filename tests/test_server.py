@@ -11,6 +11,7 @@ import http.client
 import json
 import threading
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -488,3 +489,121 @@ def test_n_choices(served):
     st, out = _post(port, "/v1/completions", {
         "prompt": "x", "max_tokens": 2, "best_of": 3})
     assert st == 400
+
+
+# ---- vision (image_url content parts) -----------------------------------------
+
+def _png_data_url(seed=0, size=30):
+    import base64
+    import io
+
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    img = Image.fromarray(
+        rng.integers(0, 256, (size, size, 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return ("data:image/png;base64,"
+            + base64.b64encode(buf.getvalue()).decode())
+
+
+@pytest.fixture(scope="module")
+def served_vlm():
+    from tinychatengine_tpu.models import clip
+    cfg, qcfg, params = _tiny()
+    ccfg = ModelConfig(
+        name="clip_tiny", family="clip", num_heads=4, num_kv_heads=4,
+        num_layers=2, max_sqlen=0, embed_dim=64, hidden_dim=128,
+        vocab_size=0, image_size=28, patch_size=14,
+        mmproj_dim=cfg.embed_dim)
+    cparams = clip.init_random_params(ccfg)
+    g = GenerationConfig(temp=0.0, n_predict=8, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    engine = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g)
+    server = InferenceServer(engine, ByteTokenizer(), model_name="tiny-vlm",
+                             template=TPL, request_timeout=120.0,
+                             clip_params=cparams, clip_cfg=ccfg)
+    port = server.start(port=0)
+    yield server, port, (cfg, qcfg, params), (cparams, ccfg), g
+    server.close()
+
+
+def test_chat_image_url_matches_engine_vlm(served_vlm):
+    """An OpenAI image_url chat request returns exactly what the library VLM
+    path (encode + splice + solo Engine) produces for the same image."""
+    from tinychatengine_tpu.generation import vlm
+    _, port, model, clip_ctx, g = served_vlm
+    cfg, qcfg, params = model
+    cparams, ccfg = clip_ctx
+    url = _png_data_url(seed=3)
+
+    st, out = _post(port, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": [
+            {"type": "image_url", "image_url": {"url": url}},
+            {"type": "text", "text": "what is this?"},
+        ]}],
+        "max_tokens": 8, "ignore_eos": True})
+    assert st == 200, out
+    got = out["choices"][0]["message"]["content"]
+
+    # oracle: same render (marker inline), same encode, solo engine
+    from tinychatengine_tpu.runtime.server import _decode_image_data_url
+    img = _decode_image_data_url(url)
+    emb_img = vlm.encode_image(cparams, ccfg, img)
+    prompt_text = TPL.first.replace("{image}", "").replace(
+        "{input}", vlm.IMAGE_MARKER + "what is this?")
+    ids, emb = vlm.build_multimodal_inputs_multi(
+        ByteTokenizer(), params.embed, prompt_text, [emb_img])
+    assert out["usage"]["prompt_tokens"] == len(ids)
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=cfg.max_sqlen)
+    gg = GenerationConfig(**{**g.__dict__, "n_predict": 8})
+    toks = eng.generate(ids[None], gg,
+                        input_embeds=jnp.asarray(emb, jnp.bfloat16)[None]
+                        ).tokens[0]
+    assert got == ByteTokenizer().decode(toks)
+
+    # and the image must matter: a different image changes the output
+    st2, out2 = _post(port, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": [
+            {"type": "image_url", "image_url": {"url": _png_data_url(9)}},
+            {"type": "text", "text": "what is this?"},
+        ]}],
+        "max_tokens": 8, "ignore_eos": True})
+    assert st2 == 200
+    assert out2["choices"][0]["message"]["content"] != got
+
+
+def test_chat_image_streaming_and_two_images(served_vlm):
+    _, port, *_ = served_vlm
+    events = _sse_events(port, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": [
+            {"type": "text", "text": "compare "},
+            {"type": "image_url", "image_url": {"url": _png_data_url(1)}},
+            {"type": "text", "text": " and "},
+            {"type": "image_url", "image_url": {"url": _png_data_url(2)}},
+        ]}],
+        "max_tokens": 6, "ignore_eos": True})
+    assert events[-1]["choices"][0]["finish_reason"] == "length"
+
+
+def test_chat_image_validation(served_vlm, served):
+    _, port_vlm, *_ = served_vlm
+    msg = [{"role": "user", "content": [
+        {"type": "image_url", "image_url": {"url": "https://x.test/a.png"}},
+        {"type": "text", "text": "hi"}]}]
+    st, out = _post(port_vlm, "/v1/chat/completions",
+                    {"messages": msg, "max_tokens": 4})
+    assert st == 400 and "data:" in out["error"]["message"]
+    st, out = _post(port_vlm, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": [
+            {"type": "image_url",
+             "image_url": {"url": "data:image/png;base64,!!!"}},
+        ]}], "max_tokens": 4})
+    assert st == 400 and "decode" in out["error"]["message"]
+    # a server built without a vision encoder refuses image parts
+    _, port_txt, _, _ = served
+    st, out = _post(port_txt, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": [
+            {"type": "image_url", "image_url": {"url": _png_data_url()}},
+            {"type": "text", "text": "hi"}]}], "max_tokens": 4})
+    assert st == 400 and "not enabled" in out["error"]["message"]

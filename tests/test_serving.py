@@ -815,3 +815,176 @@ def test_logprobs_paged_and_validation():
     assert all(len(t) == 2 for t in r.output_top_logprobs)
     assert len(r0.output_logprobs) == 6
     assert all(t == [] for t in r0.output_top_logprobs)
+
+
+# ---- multimodal (input_embeds) requests --------------------------------------
+# The VLM serving path (VILA/LLaVA over the API): Request.input_embeds
+# replaces the embedding lookup for the whole prompt; ids carry 0 at image
+# slots. Exactness invariant: same embeds through the single-request Engine.
+
+def _embeds_for(params, ids, image_rows=()):
+    """Prompt embeds = embed-table rows, with image_rows positions replaced
+    by synthetic 'image' vectors (what a CLIP mm_projector splice yields)."""
+    emb = np.asarray(jnp.take(jnp.asarray(params.embed),
+                              jnp.asarray(np.asarray(ids, np.int32)), axis=0),
+                     np.float32)
+    rng = np.random.default_rng(7)
+    for pos in image_rows:
+        emb[pos] = rng.standard_normal(emb.shape[1]).astype(np.float32) * 0.05
+    return emb
+
+
+def test_embeds_request_matches_engine():
+    """A multimodal request decodes exactly like the same embeds through the
+    solo Engine, while sharing the batch with ordinary text requests."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=10, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    ids = np.array([3, 0, 0, 0, 9, 17], np.int32)
+    emb = _embeds_for(params, ids, image_rows=(1, 2, 3))
+
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=cfg.max_sqlen)
+    want = eng.generate(ids[None], g,
+                        input_embeds=jnp.asarray(emb, jnp.bfloat16)[None]
+                        ).tokens[0]
+    want_txt = eng.generate(PROMPTS[0][None], g).tokens[0]
+    # the image rows must actually change the output (otherwise this test
+    # would pass with input_embeds silently dropped)
+    want_ids_only = eng.generate(ids[None], g).tokens[0]
+    assert list(want) != list(want_ids_only)
+
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g)
+    rm = srv.submit(ids, n_predict=10, input_embeds=emb)
+    rt = srv.submit(PROMPTS[0], n_predict=10)
+    srv.run()
+    assert rm.output_ids == list(want)
+    assert rt.output_ids == list(want_txt)
+
+    with pytest.raises(ValueError):  # shape validation
+        srv.submit(ids, input_embeds=emb[:3])
+
+
+def test_embeds_chunked_admission_exact():
+    """A long multimodal prompt admits through the chunked prefill path
+    (intermediate chunks slice the embeds; the fused final chunk pads them)."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=8, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    ids = (np.arange(20, 84, dtype=np.int32) % (cfg.vocab_size - 1)) + 1
+    ids[5:21] = 0
+    emb = _embeds_for(params, ids, image_rows=range(5, 21))
+
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=cfg.max_sqlen)
+    want = eng.generate(ids[None], g,
+                        input_embeds=jnp.asarray(emb, jnp.bfloat16)[None]
+                        ).tokens[0]
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g,
+                        admission_chunk=16)
+    r = srv.submit(ids, n_predict=8, input_embeds=emb)
+    srv.run()
+    assert r.output_ids == list(want)
+
+
+def test_embeds_bypass_prefix_cache():
+    """Multimodal requests neither store nor hit the token-keyed KV prefix
+    cache (ids are 0 at image slots, so KV is NOT a function of ids), and a
+    later text request with identical ids is not contaminated."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=6, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    ids = (np.arange(1, 65, dtype=np.int32) % (cfg.vocab_size - 1)) + 1
+    emb = _embeds_for(params, ids, image_rows=(0, 1, 2, 3))
+
+    srv = ServingEngine(params, cfg, qcfg, slots=1, gcfg=g,
+                        prefix_cache_entries=2, prefix_min=16)
+    srv.submit(ids, n_predict=6, input_embeds=emb)
+    srv.run()
+    assert srv.prefix_stats == {"hits": 0, "hit_tokens": 0, "stores": 0}
+
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=cfg.max_sqlen)
+    want = eng.generate(ids[None], g).tokens[0]
+    rt = srv.submit(ids, n_predict=6)
+    srv.run()
+    assert rt.output_ids == list(want)
+    assert srv.prefix_stats["hits"] == 0 and srv.prefix_stats["stores"] == 1
+
+
+def test_embeds_preemption_resume_exact():
+    """A preempted multimodal request resumes exactly: the recompute prefill
+    extends the embeds with the emitted tokens' embed-table rows."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=12, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    ids = np.array([3, 0, 0, 9, 17, 4, 8], np.int32)
+    emb = _embeds_for(params, ids, image_rows=(1, 2))
+
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=cfg.max_sqlen)
+    want = eng.generate(ids[None], g,
+                        input_embeds=jnp.asarray(emb, jnp.bfloat16)[None]
+                        ).tokens[0]
+
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g, paged=True,
+                        page_size=16, tick_batch=1)  # no bursts: preempt
+    r = srv.submit(ids, n_predict=12, input_embeds=emb)  # mid-generation
+    for _ in range(5):
+        srv.step()
+    assert r.output_ids and not r.finished
+    slot_idx = next(i for i, s in enumerate(srv.slots) if s.request is r)
+    srv._preempt(slot_idx)
+    assert len(r.input_embeds) == len(r.prompt_ids)
+    srv.run()
+    assert r.output_ids == list(want)
+
+
+# ---- non-llama families through the serving engine ---------------------------
+# The reference serves OPT (SmoothQuant W8A8) and StarCoder interactively;
+# the serving engine must be family-agnostic (dense slot cache; paged KV is
+# llama-only since page_table rides llama.forward).
+
+def test_serving_opt_w8a8_matches_engine():
+    from tinychatengine_tpu.models import opt
+    cfg = ModelConfig(
+        name="tiny_opt", family="opt", num_heads=4, num_kv_heads=4,
+        num_layers=2, max_sqlen=64, embed_dim=128, hidden_dim=256,
+        vocab_size=300)
+    qcfg = QuantConfig(scheme="w8a8")
+    params = opt.init_random_params(cfg, quantized=True, seed=0)
+    g = GenerationConfig(temp=0.0, n_predict=8, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=cfg.max_sqlen,
+                 forward_fn=opt.forward)
+    want = [eng.generate(p[None], g).tokens[0] for p in PROMPTS[:3]]
+
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g,
+                        forward_fn=opt.forward)
+    assert srv.cache.k.dtype == jnp.int8  # static-scale int8 KV, not bf16
+    reqs = [srv.submit(p, n_predict=8) for p in PROMPTS[:3]]
+    srv.run()
+    for r, w in zip(reqs, want):
+        assert r.output_ids == list(w)
+
+    with pytest.raises(NotImplementedError):
+        ServingEngine(params, cfg, qcfg, slots=2, gcfg=g, paged=True,
+                      forward_fn=opt.forward)
+
+
+def test_serving_gptbigcode_matches_engine():
+    from tinychatengine_tpu.models import gptbigcode
+    cfg = ModelConfig(
+        name="tiny_bigcode", family="gptbigcode", num_heads=4, num_kv_heads=1,
+        num_layers=2, max_sqlen=64, embed_dim=128, hidden_dim=256,
+        vocab_size=300)
+    qcfg = QuantConfig(scheme="fp")
+    params = gptbigcode.init_random_params(cfg, seed=0)
+    g = GenerationConfig(temp=0.0, n_predict=8, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=cfg.max_sqlen,
+                 forward_fn=gptbigcode.forward)
+    want = [eng.generate(p[None], g).tokens[0] for p in PROMPTS[:3]]
+
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g,
+                        forward_fn=gptbigcode.forward)
+    reqs = [srv.submit(p, n_predict=8) for p in PROMPTS[:3]]
+    srv.run()
+    for r, w in zip(reqs, want):
+        assert r.output_ids == list(w)

@@ -72,6 +72,45 @@ def build_multimodal_inputs(tok, embed_table, prompt: str,
     return ids[None, :], jnp.asarray(embeds, jnp.bfloat16)[None]
 
 
+def build_multimodal_inputs_multi(tok, embed_table, prompt: str,
+                                  image_embeds_list, bos: bool = True):
+    """N-image variant of build_multimodal_inputs for the serving path:
+    ``prompt`` contains one <image> marker per entry of
+    ``image_embeds_list`` (in order); the text between markers is tokenized
+    and embedded, image spans are spliced verbatim.
+
+    Returns (ids [S] int32 np, embeds [S, E] float32 np). Text rows are
+    fetched with ONE device gather of the needed rows (never the whole
+    [V, E] table — it is ~1 GB for 8B-class models and the tunnel fetches
+    at ~15 MB/s).
+    """
+    segs = prompt.split(IMAGE_MARKER)
+    if len(segs) != len(image_embeds_list) + 1:
+        raise ValueError(
+            f"prompt has {len(segs) - 1} image markers but "
+            f"{len(image_embeds_list)} images were provided")
+    ids_parts, spans = [], []   # spans: (offset, n_img) per image
+    off = 0
+    for si, seg in enumerate(segs):
+        toks = tok.encode(seg, bos=(bos and si == 0)) \
+            if (seg or (bos and si == 0)) else []
+        ids_parts.append(np.asarray(toks, np.int32))
+        off += len(toks)
+        if si < len(image_embeds_list):
+            n_img = image_embeds_list[si].shape[0]
+            ids_parts.append(np.zeros((n_img,), np.int32))
+            spans.append((off, n_img))
+            off += n_img
+    ids = np.concatenate(ids_parts) if ids_parts else \
+        np.zeros((0,), np.int32)
+    emb = np.asarray(
+        jnp.take(jnp.asarray(embed_table), jnp.asarray(ids), axis=0),
+        np.float32)
+    for (o, n_img), img in zip(spans, image_embeds_list):
+        emb[o:o + n_img] = np.asarray(img, np.float32)
+    return ids, emb
+
+
 def generate_with_image(engine: Engine, clip_params, clip_cfg: ModelConfig,
                         tok, prompt: str, image: np.ndarray,
                         gcfg: GenerationConfig, stop_token_ids=(),

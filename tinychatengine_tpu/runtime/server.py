@@ -10,7 +10,11 @@ OpenAI wire shapes so existing clients work unchanged:
   GET  /v1/models            model listing
   GET  /metrics              Prometheus exposition
   POST /v1/completions       text completion (+ SSE streaming, logprobs)
-  POST /v1/chat/completions  chat-template wrap (+ SSE streaming, logprobs)
+  POST /v1/chat/completions  chat-template wrap (+ SSE streaming, logprobs,
+                             and — when the server is built with a vision
+                             encoder — OpenAI image_url content parts:
+                             data: URLs are CLIP-encoded on the handler
+                             thread and spliced as prompt embeddings)
   POST /v1/embeddings        mean-pooled L2-normalized decoder embeddings
 
 Threading model: HTTP is thread-per-connection (ThreadingHTTPServer), but
@@ -29,7 +33,9 @@ ride into the engine and cut generation on-device-loop as usual.
 
 from __future__ import annotations
 
+import base64
 import dataclasses
+import io
 import json
 import queue
 import threading
@@ -59,6 +65,7 @@ class _Job:
     stop_ids: tuple
     rcfg: GenerationConfig | None
     logprobs: int | None = None     # None=off, 0=chosen only, k=top-k
+    input_embeds: np.ndarray | None = None  # [n, E] multimodal prompt
     events: queue.Queue = dataclasses.field(default_factory=queue.Queue)
     req: object = None              # serving.Request, set by the scheduler
 
@@ -69,9 +76,19 @@ class InferenceServer:
     def __init__(self, engine: ServingEngine, tokenizer,
                  model_name: str | None = None,
                  template: ChatTemplate | None = None,
-                 request_timeout: float = 600.0):
+                 request_timeout: float = 600.0,
+                 clip_params=None, clip_cfg=None):
+        """clip_params/clip_cfg: an optional vision encoder (models/clip.py)
+        turning the server into a VLM endpoint — chat messages may then
+        carry OpenAI ``image_url`` content parts (data: URLs only in this
+        zero-egress build); images are CLIP-encoded on the handler thread
+        (JAX dispatch is thread-safe; none of the engine's donated buffers
+        are touched) and the request is admitted with spliced prompt
+        embeddings (vlm.build_multimodal_inputs_multi)."""
         self.engine = engine
         self.tok = tokenizer
+        self.clip_params = clip_params
+        self.clip_cfg = clip_cfg
         self.model_name = model_name or engine.cfg.name
         self.template = template or template_for(self.model_name)
         self.request_timeout = float(request_timeout)
@@ -157,7 +174,8 @@ class InferenceServer:
                     job.ids, n_predict=job.n_predict,
                     stop_token_ids=job.stop_ids,
                     on_token=lambda t, _r, _j=job: _j.events.put(("tok", t)),
-                    gcfg=job.rcfg, logprobs=job.logprobs)
+                    gcfg=job.rcfg, logprobs=job.logprobs,
+                    input_embeds=job.input_embeds)
             except Exception as exc:
                 job.events.put(("err", f"{type(exc).__name__}: {exc}"))
                 return
@@ -185,10 +203,10 @@ class InferenceServer:
 
     # -- handler-thread API ----------------------------------------------------
     def submit(self, ids, n_predict: int, stop_ids, rcfg,
-               logprobs: int | None = None) -> _Job:
+               logprobs: int | None = None, input_embeds=None) -> _Job:
         job = _Job(ids=np.asarray(ids, np.int32).reshape(-1),
                    n_predict=n_predict, stop_ids=tuple(stop_ids), rcfg=rcfg,
-                   logprobs=logprobs)
+                   logprobs=logprobs, input_embeds=input_embeds)
         self._intake.put(("submit", job))
         return job
 
@@ -391,20 +409,60 @@ def _stop_strings(body: dict) -> list[str]:
     raise RequestError("'stop' must be a string or list of strings")
 
 
-def render_messages(template: ChatTemplate, messages) -> str:
+def _decode_image_data_url(url: str) -> np.ndarray:
+    """data:image/...;base64,... → uint8 [H, W, 3]. Only data: URLs: this
+    build has no network egress, and inline images are what local OpenAI
+    vision clients send anyway."""
+    if not isinstance(url, str) or not url.startswith("data:"):
+        raise RequestError(
+            "only data: image URLs are supported (no network egress)")
+    try:
+        _, b64 = url.split(",", 1)
+        raw = base64.b64decode(b64, validate=True)
+        from PIL import Image
+        with Image.open(io.BytesIO(raw)) as im:
+            return np.asarray(im.convert("RGB"), np.uint8)
+    except RequestError:
+        raise
+    except Exception as exc:
+        raise RequestError(f"could not decode image: {exc}")
+
+
+def render_messages(template: ChatTemplate, messages,
+                    images: list | None = None) -> str:
     """Fold an OpenAI ``messages`` array through the family chat template
     (first/next wraps mirror the reference REPL's prompt building,
     llm/application/chat.cc:437-441). A client system message is emitted as
     a plain prefix ahead of the template's own preamble; assistant turns are
-    inserted verbatim between the user wraps."""
+    inserted verbatim between the user wraps.
+
+    images: when a list is passed, ``image_url`` content parts are decoded
+    (data: URLs) and appended to it, and a vlm.IMAGE_MARKER is left in the
+    rendered text at each image's position (the caller splices CLIP embeds
+    there); when None, an image part is a client error."""
+    from tinychatengine_tpu.generation.vlm import IMAGE_MARKER
+
     parts, first = [], True
     for m in messages:
         if not isinstance(m, dict) or "role" not in m:
             raise RequestError("each message needs a 'role'")
         content = m.get("content") or ""
         if isinstance(content, list):  # OpenAI content-part arrays
-            content = "".join(p.get("text", "") for p in content
-                              if isinstance(p, dict) and p.get("type") == "text")
+            buf = []
+            for p in content:
+                if not isinstance(p, dict):
+                    continue
+                if p.get("type") == "text":
+                    buf.append(p.get("text", ""))
+                elif p.get("type") == "image_url":
+                    if images is None:
+                        raise RequestError(
+                            "image input is not enabled on this server")
+                    u = p.get("image_url")
+                    u = u.get("url") if isinstance(u, dict) else u
+                    images.append(_decode_image_data_url(u))
+                    buf.append(IMAGE_MARKER)
+            content = "".join(buf)
         if not isinstance(content, str):
             raise RequestError("message 'content' must be text")
         role = m["role"]
@@ -693,12 +751,32 @@ def _make_handler(server: InferenceServer):
         def _completion(self, body: dict, chat: bool):
             srv = self.srv
             tok = srv.tok
+            input_embeds = None
             if chat:
                 messages = body.get("messages")
                 if not isinstance(messages, list) or not messages:
                     raise RequestError("'messages' must be a non-empty list")
-                prompt_text = render_messages(srv.template, messages)
-                ids = tok.encode(prompt_text, bos=True)
+                images: list = []
+                prompt_text = render_messages(srv.template, messages,
+                                              images=images)
+                if images:
+                    if srv.clip_params is None:
+                        raise RequestError(
+                            "image input is not enabled on this server "
+                            "(no vision encoder configured)")
+                    from tinychatengine_tpu.generation import vlm
+                    emb_list = [vlm.encode_image(srv.clip_params,
+                                                 srv.clip_cfg, img)
+                                for img in images]
+                    try:
+                        ids, input_embeds = vlm.build_multimodal_inputs_multi(
+                            tok, srv.engine.params.embed, prompt_text,
+                            emb_list)
+                    except ValueError as exc:  # stray literal marker etc.
+                        raise RequestError(str(exc))
+                    ids = ids.tolist()
+                else:
+                    ids = tok.encode(prompt_text, bos=True)
             else:
                 prompt = body.get("prompt", "")
                 if isinstance(prompt, list) and all(
@@ -757,7 +835,8 @@ def _make_handler(server: InferenceServer):
                 return dataclasses.replace(gcfg, seed=gcfg.seed + i)
 
             jobs = [srv.submit(ids, n_predict, sorted(stop_ids), rcfg_for(i),
-                               logprobs=lp_req) for i in range(n_choices)]
+                               logprobs=lp_req, input_embeds=input_embeds)
+                    for i in range(n_choices)]
             colls = [_Collector(srv, j, stops, frozenset(stop_ids))
                      for j in jobs]
             oid = srv.next_id("chatcmpl" if chat else "cmpl")

@@ -56,6 +56,13 @@ class Request:
 
     prompt_ids: np.ndarray                    # [n] int32
     n_predict: int
+    # optional multimodal prompt: [n, E] embeddings covering the WHOLE prompt
+    # (vlm.build_multimodal_inputs layout — text rows are embed-table rows,
+    # image spans are CLIP/mm_projector outputs; prompt_ids carries 0 at
+    # image slots and feeds only penalty windows / history). When set, the
+    # prefill consumes these instead of the embedding lookup. llama-family
+    # forwards (the reference's VLM decoder family, LLaVAGenerate.cc).
+    input_embeds: Optional[np.ndarray] = None
     stop_token_ids: tuple = ()
     on_token: Optional[Callable[[int, "Request"], None]] = None
     request_id: int = 0
@@ -160,6 +167,15 @@ class ServingEngine:
         self.paged = paged
 
         quantized = self.qcfg.kv_cache_dtype == "int8"
+        # OPT W8A8 stores raw static-scale int8 KV (Int8OPTAttention.cc
+        # semantics) — mirror Engine's dtype selection so the slot cache
+        # matches the prefill scratch (engine.py:88-89)
+        kv_dtype = jnp.int8 if (cfg.family == "opt"
+                                and self.qcfg.scheme == "w8a8") else None
+        if paged and kv_dtype is not None:
+            raise NotImplementedError(
+                "paged serving is llama-family (page_table rides "
+                "llama.forward); OPT W8A8 serves with the dense slot cache")
         if paged:
             from tinychatengine_tpu.runtime import paged as pg
             self.max_pages = -(-self.max_len // page_size)
@@ -176,6 +192,10 @@ class ServingEngine:
                                    np.int32)
             self._slot_pages: list[list[int]] = [[] for _ in range(slots)]
             self.cache = None
+        elif kv_dtype is not None:
+            self.cache = kvc.init_cache(
+                cfg.num_layers, slots, self.max_len, cfg.num_kv_heads,
+                cfg.head_dim, dtype=kv_dtype)
         else:
             self.cache = kvc.init_cache(
                 cfg.num_layers, slots, self.max_len, cfg.num_kv_heads,
@@ -316,7 +336,8 @@ class ServingEngine:
     def submit(self, prompt_ids, n_predict: Optional[int] = None,
                stop_token_ids=(), on_token=None,
                gcfg: Optional[GenerationConfig] = None,
-               logprobs: Optional[int] = None) -> Request:
+               logprobs: Optional[int] = None,
+               input_embeds=None) -> Request:
         """gcfg: per-request sampling parameters (temp/top_k/top_p/tfs_z/
         typical_p/penalties/mirostat/seed) — served by ONE compiled
         row-sampler, no recompile per distinct config.
@@ -337,8 +358,17 @@ class ServingEngine:
             raise ValueError(
                 f"logprobs must be in [0, {self.logprobs_k}] "
                 f"(engine logprobs_k); got {logprobs}")
+        ids = np.asarray(prompt_ids, np.int32).reshape(-1)
+        if input_embeds is not None:
+            input_embeds = np.asarray(input_embeds, np.float32)
+            if input_embeds.ndim == 3 and input_embeds.shape[0] == 1:
+                input_embeds = input_embeds[0]
+            if input_embeds.shape != (len(ids), self.cfg.embed_dim):
+                raise ValueError(
+                    f"input_embeds must be [{len(ids)}, "
+                    f"{self.cfg.embed_dim}]; got {input_embeds.shape}")
         req = Request(
-            prompt_ids=np.asarray(prompt_ids, np.int32).reshape(-1),
+            prompt_ids=ids, input_embeds=input_embeds,
             n_predict=n_predict or (gcfg or self.gcfg).n_predict,
             stop_token_ids=tuple(int(t) for t in stop_token_ids),
             on_token=on_token, request_id=next(self._ids), gcfg=gcfg,
@@ -610,6 +640,15 @@ class ServingEngine:
         re-emitted and greedy output is unchanged."""
         slot = self.slots[slot_idx]
         req = slot.request
+        if req.input_embeds is not None and req.output_ids:
+            # the folded-in emitted tokens are ordinary text: extend the
+            # embeds with their table rows (device gather + small fetch —
+            # never the whole [V, E] table over the tunnel)
+            rows = jnp.take(self.params.embed,
+                            jnp.asarray(np.asarray(req.output_ids, np.int32)),
+                            axis=0)
+            req.input_embeds = np.concatenate(
+                [req.input_embeds, np.asarray(rows, np.float32)])
         req.prompt_ids = np.concatenate(
             [req.prompt_ids, np.asarray(req.output_ids, np.int32)])
         slot.request = None
@@ -637,6 +676,8 @@ class ServingEngine:
         cap = self.max_len - 2
         if n > cap:
             req.prompt_ids = req.prompt_ids[-cap:]  # keep the tail
+            if req.input_embeds is not None:
+                req.input_embeds = req.input_embeds[-cap:]
             n = cap
         slot = self.slots[slot_idx]
         slot.request = req
@@ -646,7 +687,10 @@ class ServingEngine:
             self._slot_pages[slot_idx] = self.allocator.alloc(n_pg)
         self._scratch = _reset(self._scratch)
         done0 = 0
-        if self._pfx_entries:
+        # multimodal prompts bypass the prefix cache and the SP ring: their
+        # ids carry 0 at image slots, so token-keyed KV reuse would be
+        # semantically wrong, and the ring prefill embeds ids itself
+        if self._pfx_entries and req.input_embeds is None:
             hit = self._prefix_match(req.prompt_ids)
             if hit is not None:
                 entry, m = hit
@@ -656,7 +700,8 @@ class ServingEngine:
                 done0 = m
                 self.prefix_stats["hits"] += 1
                 self.prefix_stats["hit_tokens"] += m
-        if self._sp_mesh is not None and done0 == 0:
+        if self._sp_mesh is not None and done0 == 0 \
+                and req.input_embeds is None:
             done0 = self._sp_admit_head(req)
         self._pending = [slot_idx, done0]
         self._admit_chunk()
@@ -744,6 +789,8 @@ class ServingEngine:
     def _maybe_store_prefix(self, req: Request):
         """After an admission, store the prompt's KV head (up to the pool
         width) unless an existing entry already covers it. Evicts LRU."""
+        if req.input_embeds is not None:
+            return  # image KV is not a function of the 0-filled ids
         w = self._pfx_store.max_len
         keep = min(len(req.prompt_ids), w)
         if keep < self._prefix_min:
@@ -774,8 +821,12 @@ class ServingEngine:
             self._pending = None
             self._finish_admission_fused(slot_idx, req, done, take)
             return
+        emb = None if req.input_embeds is None else \
+            jnp.asarray(req.input_embeds[None, done:done + take],
+                        jnp.bfloat16)
         logits, self._scratch = self._prefill_engine.prefill(
-            req.prompt_ids[None, done:done + take], self._scratch, start=done)
+            req.prompt_ids[None, done:done + take], self._scratch, start=done,
+            input_embeds=emb)
         done += take
         if done < n:
             self._pending[1] = done
@@ -836,6 +887,12 @@ class ServingEngine:
         bucket_p = _bucket(take)
         ids = np.zeros((1, bucket_p), np.int32)
         ids[0, :take] = req.prompt_ids[done:done + take]
+        embeds = None
+        if req.input_embeds is not None:
+            pad = np.zeros((1, bucket_p, req.input_embeds.shape[1]),
+                           np.float32)
+            pad[0, :take] = req.input_embeds[done:done + take]
+            embeds = jnp.asarray(pad, jnp.bfloat16)
         last_row = jnp.asarray(self._last[slot_idx][None])
         insert_bucket = min(_bucket(n), self.max_len)
         lp_k = self.logprobs_k if req.logprobs is not None else None
@@ -857,7 +914,7 @@ class ServingEngine:
                 self.page_cache, jnp.asarray(pages, jnp.int32),
                 jnp.asarray(done, jnp.int32), jnp.asarray(take, jnp.int32),
                 self._keys, self._row_params, self._mu, row_key, rp_row,
-                last_row, mu0, jnp.int32(slot_idx),
+                last_row, mu0, jnp.int32(slot_idx), embeds,
                 insert_bucket=n_pg * p, lp_k=lp_k, features=feat)
         else:
             (tok, self.cache, self._scratch, self._keys,
@@ -866,8 +923,8 @@ class ServingEngine:
                 self.cache, jnp.asarray(done, jnp.int32),
                 jnp.asarray(take, jnp.int32), self._keys, self._row_params,
                 self._mu, row_key, rp_row, last_row, mu0,
-                jnp.int32(slot_idx), insert_bucket=insert_bucket, lp_k=lp_k,
-                features=feat)
+                jnp.int32(slot_idx), embeds,
+                insert_bucket=insert_bucket, lp_k=lp_k, features=feat)
         req.first_token_t = time.perf_counter()
         if self._pfx_entries:
             self._maybe_store_prefix(req)
@@ -1119,13 +1176,16 @@ def _fold_row_and_sample(logits, slot_idx, keys, rparams, mu, row_key,
 
 def _admit_fused(forward_fn, params, cfg, ids, scratch, cache, start,
                  true_len, keys, rparams, mu, row_key, rp_row, last_row,
-                 mu0, slot_idx, *, insert_bucket, lp_k=None,
+                 mu0, slot_idx, embeds=None, *, insert_bucket, lp_k=None,
                  features=(True, True, True, 0)):
     """Final-chunk admission in ONE dispatch: prefill + slot splice + row
     fold-in + first-token sample. Numerically identical to the unfused
-    sequence (same forward, same splice, same sample_rows call)."""
+    sequence (same forward, same splice, same sample_rows call).
+    ``embeds`` (optional [1, bucket, E]) is a multimodal prompt chunk —
+    forwarded as input_embeds (a separate executable variant; text-only
+    admissions pay nothing)."""
     logits, scratch = forward_fn(params, cfg, ids, scratch, start,
-                                 true_len=true_len)
+                                 true_len=true_len, input_embeds=embeds)
     cache = _insert_body(cache, scratch, slot_idx, insert_bucket)
     tok, keys, rparams, mu = _fold_row_and_sample(
         logits, slot_idx, keys, rparams, mu, row_key, rp_row, last_row, mu0,
@@ -1137,11 +1197,11 @@ def _admit_fused(forward_fn, params, cfg, ids, scratch, cache, start,
 
 def _admit_fused_paged(forward_fn, params, cfg, ids, scratch, cache,
                        page_ids, start, true_len, keys, rparams, mu,
-                       row_key, rp_row, last_row, mu0, slot_idx, *,
-                       insert_bucket, lp_k=None,
+                       row_key, rp_row, last_row, mu0, slot_idx,
+                       embeds=None, *, insert_bucket, lp_k=None,
                        features=(True, True, True, 0)):
     logits, scratch = forward_fn(params, cfg, ids, scratch, start,
-                                 true_len=true_len)
+                                 true_len=true_len, input_embeds=embeds)
     cache = _insert_pages_body(cache, scratch, page_ids, insert_bucket)
     tok, keys, rparams, mu = _fold_row_and_sample(
         logits, slot_idx, keys, rparams, mu, row_key, rp_row, last_row, mu0,

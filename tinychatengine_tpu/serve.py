@@ -26,6 +26,17 @@ from tinychatengine_tpu.runtime.server import InferenceServer
 from tinychatengine_tpu.runtime.serving import ServingEngine
 
 
+def build_demo_clip(embed_dim: int):
+    """Tiny random CLIP encoder for --demo --vision (mirrors chat.py's
+    --demo --image wiring)."""
+    from tinychatengine_tpu.models import clip
+    ccfg = ModelConfig(
+        name="clip_demo", family="clip", num_heads=4, num_kv_heads=4,
+        num_layers=2, max_sqlen=0, embed_dim=64, hidden_dim=128,
+        vocab_size=0, image_size=56, patch_size=14, mmproj_dim=embed_dim)
+    return clip.init_random_params(ccfg), ccfg
+
+
 def build_demo_serving(slots: int = 4, **kw):
     """Tiny random-weight model + byte tokenizer: full serving path, no
     checkpoint (mirrors chat.py --demo)."""
@@ -79,6 +90,10 @@ def main(argv=None):
                     help="KV prefix-cache entries (0 = off)")
     ap.add_argument("--speculative", action="store_true",
                     help="prompt-lookup speculative decoding in tick bursts")
+    ap.add_argument("--vision", action="store_true",
+                    help="enable image_url chat content parts (VLM): loads "
+                    "the checkpoint's CLIP encoder (or a tiny random one "
+                    "with --demo) and splices image embeddings into prompts")
     ap.add_argument("--compilation-cache", default="~/.cache/tce_tpu/xla",
                     metavar="DIR", help="persistent XLA compilation cache "
                     "(server restarts skip the 20-240s cold compiles; "
@@ -100,16 +115,23 @@ def main(argv=None):
     kw = dict(paged=args.paged, max_len=args.max_len,
               speculative=args.speculative,
               prefix_cache_entries=args.prefix_cache)
+    clip_params = clip_cfg = None
     if args.demo:
         engine, tok = build_demo_serving(slots=args.slots, **kw)
+        if args.vision:
+            clip_params, clip_cfg = build_demo_clip(engine.cfg.embed_dim)
     else:
         if not args.checkpoint:
             ap.error("--checkpoint required (or use --demo)")
         engine, tok = build_serving(args.model, args.precision,
                                     args.checkpoint, args.tokenizer,
                                     args.slots, **kw)
+        if args.vision:
+            from tinychatengine_tpu.tools.checkpoint import load_clip
+            clip_params, clip_cfg = load_clip(args.checkpoint)
 
-    server = InferenceServer(engine, tok)
+    server = InferenceServer(engine, tok, clip_params=clip_params,
+                             clip_cfg=clip_cfg)
     port = server.start(host=args.host, port=args.port)
     print(f"serving {server.model_name} on http://{args.host}:{port} "
           f"({args.slots} slots{', paged' if args.paged else ''})")
