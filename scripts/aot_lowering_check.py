@@ -98,6 +98,26 @@ def main():
                   rope_cos=S((1, 128), jnp.float32),
                   rope_sin=S((1, 128), jnp.float32))
 
+    # pack-time-padded K (llama-2-family hidden dims: scale rows % 8 != 0
+    # fail Mosaic without the pad — the r4 bench_vlm regression; padded_ic)
+    print("padded-K shapes (llama-2/VILA down-proj):", flush=True)
+    from tinychatengine_tpu.ops.int4_matmul import int4_matmul_a8
+    for k_x, n in ((11008, 4096), (13824, 5120)):
+        from tinychatengine_tpu.quant.packing import padded_ic
+        k_w = padded_ic(k_x, G)
+        assert k_w != k_x, (k_x, "expected a padded shape")
+        xp = S((1, k_x), jnp.bfloat16)
+        packed = S((L, k_w // 2, n), jnp.uint8)
+        for sd, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+            scales = S((L, k_w // G, n), sd)
+            check(f"int4_matmul K={k_x}->pad{k_w} {tag} scales",
+                  functools.partial(int4_matmul, group_size=G),
+                  xp, packed, scales, layer_idx=li)
+        scales = S((L, k_w // G, n), jnp.float32)
+        check(f"int4_matmul_a8 K={k_x}->pad{k_w}",
+              functools.partial(int4_matmul_a8, group_size=G),
+              xp, packed, scales, layer_idx=li)
+
     # ctx_cap flash decode block modes (always-on in the engine loop)
     print("flash_decode ctx_cap:", flush=True)
     Lc, B, HKV, SMAX, D, HQ = 2, 1, 8, 2048, 128, 32

@@ -409,3 +409,54 @@ def test_fused_bias_residual_order_exact():
                             interpret=True)
     np.testing.assert_array_equal(np.asarray(got, np.float32),
                                   np.asarray(want, np.float32))
+
+
+# ---- pack-time K padding (llama-2-family scale-row legality) ------------------
+# K/G in (8, inf) not a multiple of 8 (e.g. llama-2's 11008 -> 86 groups)
+# fails to lower on real silicon ("slice must be aligned to tiling (8)",
+# bench_vlm r4). pack_qm_tpu/pack_scales pad such K at pack time with
+# zero-point codes (dequant == 0 exactly); the kernel zero-pads x to match.
+
+def test_padded_ic_values():
+    from tinychatengine_tpu.quant.packing import padded_ic
+    assert padded_ic(11008, 128) == 11264     # llama-2 7B hidden (86 -> 88)
+    assert padded_ic(13824, 128) == 14336     # llama-2 13B hidden (108 -> 112)
+    assert padded_ic(14336, 128) == 14336     # llama-3 8B: already aligned
+    assert padded_ic(4096, 128) == 4096       # sg 32: aligned
+    assert padded_ic(256, 128) == 256         # sg 2 <= 8: small-model case
+    assert padded_ic(1280, 128) == 2048       # sg 10 -> 16
+
+
+@pytest.mark.parametrize("stacked", [False, True])
+@pytest.mark.parametrize("scheme", ["a16", "a8"])
+def test_padded_k_exact_vs_unpadded(stacked, scheme):
+    """Padded pack == unpadded pack bit-for-bit (the pad groups contribute
+    exactly 0), through the Pallas kernels and the XLA oracles."""
+    from tinychatengine_tpu.ops.int4_matmul import (int4_matmul_a8,
+                                                    int4_matmul_a8_xla)
+    m, n, k, g = 16, 256, 1280, 128          # sg 10 -> pads to 2048 (sg 16)
+    rng = np.random.default_rng(3)
+    w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    q, scales = quantize_groupwise_int4(w, g)
+    plain = (jnp.asarray(pack_qm_tpu(q)), jnp.asarray(pack_scales(scales)))
+    padded = (jnp.asarray(pack_qm_tpu(q, g)),
+              jnp.asarray(pack_scales(scales, "f32", g)))
+    assert padded[0].shape == (1024, n) and padded[1].shape == (16, n)
+
+    kern = int4_matmul_a8 if scheme == "a8" else int4_matmul
+    xla = int4_matmul_a8_xla if scheme == "a8" else int4_matmul_xla
+    if stacked:
+        pp = (padded[0][None], padded[1][None])
+        up = (plain[0][None], plain[1][None])
+        got = kern(x, *pp, g, layer_idx=jnp.int32(0), interpret=True)
+        want = kern(x, *up, g, layer_idx=jnp.int32(0), interpret=True)
+    else:
+        got = kern(x, *padded, g, interpret=True)
+        want = kern(x, *plain, g, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+    # the XLA oracle slices the dequant-0 pad rows off
+    np.testing.assert_array_equal(
+        np.asarray(xla(x, *padded, g), np.float32),
+        np.asarray(xla(x, *plain, g), np.float32))

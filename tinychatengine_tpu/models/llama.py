@@ -169,6 +169,12 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
         fused = gs > 0 and all(
             _fusable(p, gs) for p in (layers.wqkv, layers.wo,
                                       layers.wgate_up, layers.down))
+        # pack-time-padded K (packing.padded_ic, llama-2-family hidden dims)
+        # can't fuse: the in-kernel norm would run over the zero-padded x
+        fused = fused and all(
+            2 * p.packed.shape[-2] == k_in for p, k_in in
+            ((layers.wqkv, cfg.embed_dim), (layers.wo, cfg.embed_dim),
+             (layers.wgate_up, cfg.embed_dim), (layers.down, cfg.hidden_dim)))
 
     def step(carry, layer_idx):
         x, cache = carry

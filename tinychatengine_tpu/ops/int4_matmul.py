@@ -429,9 +429,13 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
     stacked = packed.ndim == 3
     assert stacked == (layer_idx is not None), "layer_idx iff stacked weights"
     kp, n = packed.shape[-2:]
-    assert kp == k // 2, (packed.shape, k)
-    assert k % SUPERBLOCK == 0, f"K={k} must be a multiple of {SUPERBLOCK}"
-    assert scales.shape[-2:] == (k // group_size, n), scales.shape
+    # weights may carry a K padded at pack time (packing.padded_ic: scale
+    # rows stay 8-sublane-aligned for shapes like llama-2's 11008); the pad
+    # rows dequantize to 0, so zero-padding x makes the result exact
+    kw = 2 * kp
+    assert kw >= k and (kw - k) % group_size == 0, (packed.shape, k)
+    assert kw % SUPERBLOCK == 0, f"K={kw} must be a multiple of {SUPERBLOCK}"
+    assert scales.shape[-2:] == (kw // group_size, n), scales.shape
     assert group_size <= PLANE and PLANE % group_size == 0, group_size
 
     x2 = x.reshape(-1, k)
@@ -439,8 +443,9 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
 
     # Sublane alignment: bf16 tiles want M%16==0; pad (cheap, dead rows).
     pad = (-m) % 16
-    if pad:
-        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    if pad or kw > k:
+        x2 = jnp.pad(x2, ((0, pad), (0, kw - k)))
+    k = kw
     # Fat blocks: the kernel is VPU-bound on nibble unpack, and per-grid-step
     # fixed costs (pipeline bubbles, semaphores) showed up as ~2x wall time at
     # the old (512, 1024) blocking. (2048, 2048) = 2 MB weight tiles measured
@@ -734,7 +739,11 @@ def int4_matmul_fused(x: jax.Array, packed: jax.Array, scales: jax.Array,
             bias = bias[None]
     assert layer_idx is not None
     kp, n = packed.shape[-2:]
-    assert kp == k // 2 and k % SUPERBLOCK == 0
+    assert kp == k // 2, (
+        "fused decode kernels need unpadded K (the in-kernel norm runs over "
+        "the whole x block; pack-time-padded shapes — packing.padded_ic — "
+        "must use the unfused path)", packed.shape, k)
+    assert k % SUPERBLOCK == 0
     assert norm_w is None or norm_w.shape[-1] == k
 
     x2 = x.reshape(-1, k)
@@ -928,14 +937,17 @@ def int4_matmul_a8(x: jax.Array, packed: jax.Array, scales: jax.Array,
     stacked = packed.ndim == 3
     assert stacked == (layer_idx is not None)
     kp, n = packed.shape[-2:]
-    assert kp == k // 2 and k % SUPERBLOCK == 0
+    kw = 2 * kp  # pack-time padded K (see int4_matmul); pad groups dot to 0
+    assert kw >= k and (kw - k) % group_size == 0 and kw % SUPERBLOCK == 0
+    assert scales.shape[-2:] == (kw // group_size, n), scales.shape
     assert group_size <= PLANE and PLANE % group_size == 0
 
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
     pad = (-m) % 16
-    if pad:
-        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    if pad or kw > k:
+        x2 = jnp.pad(x2, ((0, pad), (0, kw - k)))
+    k = kw
     block_m = _pick_block(m + pad, 256, 16)
     if (k, n) in DECODE_BLOCKS and m + pad < 512:  # same tuning hook as
         block_n, block_k = DECODE_BLOCKS[(k, n)]   # int4_matmul (w4a16)
@@ -1051,7 +1063,7 @@ def int4_matmul_a8_xla(x: jax.Array, packed: jax.Array, scales: jax.Array,
     a_scale = jnp.maximum(absmax, 1e-8) / 127.0
     q_a = jnp.clip(jnp.round(g / a_scale), -127, 127)
     xq = (q_a * a_scale).reshape(x2.shape)  # fake-quantized activations
-    w = dequantize_int4(packed, scales, group_size, dtype=jnp.float32)
+    w = dequantize_int4(packed, scales, group_size, dtype=jnp.float32)[:k]
     y = jnp.einsum("mk,kn->mn", xq, w, preferred_element_type=jnp.float32)
     return y.astype(jnp.bfloat16).reshape(*x.shape[:-1], -1)
 
@@ -1063,5 +1075,6 @@ def int4_matmul_xla(x: jax.Array, packed: jax.Array, scales: jax.Array,
     traffic of the fused kernel at decode)."""
     from tinychatengine_tpu.ops.ref import dequantize_int4
     w = dequantize_int4(packed, scales, group_size, dtype=jnp.bfloat16)
+    w = w[:x.shape[-1]]  # drop pack-time K padding (dequant-0 rows)
     return jnp.einsum("...k,kn->...n", x.astype(jnp.bfloat16), w,
                       preferred_element_type=jnp.float32).astype(x.dtype)

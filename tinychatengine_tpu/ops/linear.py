@@ -226,9 +226,11 @@ def random_int4_linear_fast(key, k: int, n: int, group_size: int = 128,
                             scale_dtype: str = "f32") -> Int4Linear:
     """Random packed bytes + scales generated on device — for benchmarks where
     only shapes/layout matter (8B-scale init in milliseconds, no host quantize)."""
+    from tinychatengine_tpu.quant.packing import padded_ic
+    kp = padded_ic(k, group_size)  # kernels zero-pad x to the padded K
     k1, k2 = jax.random.split(key)
-    packed = jax.random.randint(k1, (k // 2, n), 0, 256, jnp.int32).astype(jnp.uint8)
-    scales = jax.random.uniform(k2, (k // group_size, n), jnp.float32,
+    packed = jax.random.randint(k1, (kp // 2, n), 0, 256, jnp.int32).astype(jnp.uint8)
+    scales = jax.random.uniform(k2, (kp // group_size, n), jnp.float32,
                                 minval=0.5, maxval=1.5) * (std / 4.0)
     if scale_dtype == "bf16":
         scales = scales.astype(jnp.bfloat16)
@@ -249,6 +251,6 @@ def random_int4_linear(key, k: int, n: int, group_size: int = 128,
     w = (rng.standard_normal((n, k)) * std).astype(np.float32)
     q, scales = quantize_groupwise_int4(w, group_size)
     return Int4Linear(
-        packed=jnp.asarray(pack_qm_tpu(q)),
-        scales=jnp.asarray(pack_scales(scales, scale_dtype)),
+        packed=jnp.asarray(pack_qm_tpu(q, group_size)),
+        scales=jnp.asarray(pack_scales(scales, scale_dtype, group_size)),
     )

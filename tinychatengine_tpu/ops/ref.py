@@ -53,6 +53,7 @@ def int4_matmul_ref(x: jax.Array, packed: jax.Array, scales: jax.Array,
     the activation dtype (bf16 here vs fp32 there).
     """
     w = dequantize_int4(packed, scales, group_size, dtype=jnp.float32)
+    w = w[:x.shape[-1]]  # drop pack-time K padding (dequant-0 rows)
     y = jnp.einsum("...k,kn->...n", x.astype(jnp.float32), w,
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)

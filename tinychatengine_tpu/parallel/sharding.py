@@ -36,11 +36,13 @@ def make_mesh(n_data: int = 1, n_model: int = 1, devices=None) -> Mesh:
     return Mesh(dev, ("data", "model"))
 
 
-def _linear_spec(p, shard_axis: str):
+def _linear_spec(p, shard_axis: str, logical_k: int | None = None):
     """PartitionSpec pytree for one (possibly layer-stacked) linear.
 
     shard_axis: "col" → shard output features N on "model" (q/k/v/gate/up);
                 "row" → shard input features K on "model" (o/down).
+    logical_k: the model's true input width for a row-parallel linear —
+    rejects even-slice K sharding of pack-time-padded weights (see below).
     Works for both [K, N]-shaped leaves and stacked [L, K, N]: the spec names
     the trailing two axes and pads leading axes with None.
     """
@@ -51,6 +53,18 @@ def _linear_spec(p, shard_axis: str):
 
     col = shard_axis == "col"
     if isinstance(p, (Int4Linear, Int4A8Linear)):
+        if not col and logical_k is not None \
+                and 2 * p.packed.shape[-2] != logical_k:
+            # row-parallel shards the packed K axis by even slicing; with
+            # pack-time K padding (packing.padded_ic — llama-2-family
+            # hidden dims) the pad sits at the END of K, so an even split
+            # would misalign every later shard's weight rows against its x
+            # slice: silently wrong. Such models need per-shard conversion
+            # (quantize each K/tp slice separately) for row-parallel TP.
+            raise ValueError(
+                f"row-parallel TP over pack-time-padded K "
+                f"({2 * p.packed.shape[-2]} stored vs logical {logical_k}): "
+                f"convert per-shard instead")
         return type(p)(
             packed=spec(p.packed, None if col else "model", "model" if col else None),
             scales=spec(p.scales, None if col else "model", "model" if col else None),
@@ -79,13 +93,19 @@ def llama_param_specs(params: LlamaParams) -> LlamaParams:
         return P(*((None,) * leaf.ndim))
 
     layers = params.layers
+    embed_dim = params.embed.shape[-1]
+    # down-proj logical K = hidden_dim, recoverable from gate_up's N (=2h);
+    # wo logical K = embed_dim — both catch pack-time-padded K before an
+    # even row-parallel slice silently misaligns shards
+    hidden = getattr(layers.wgate_up, "weight",
+                     getattr(layers.wgate_up, "packed", None)).shape[-1] // 2
     layer_specs = LlamaLayerParams(
         input_norm=norm_spec(layers.input_norm),
         wqkv=_linear_spec(layers.wqkv, "col"),
-        wo=_linear_spec(layers.wo, "row"),
+        wo=_linear_spec(layers.wo, "row", logical_k=embed_dim),
         post_norm=norm_spec(layers.post_norm),
         wgate_up=_linear_spec(layers.wgate_up, "col"),
-        down=_linear_spec(layers.down, "row"),
+        down=_linear_spec(layers.down, "row", logical_k=hidden),
     )
     return LlamaParams(
         embed=P(None, None),  # replicated (gather-heavy; revisit with V-sharding)

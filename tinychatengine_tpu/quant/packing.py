@@ -35,12 +35,39 @@ import numpy as np
 
 PLANE = 128  # sublane rows per nibble plane
 SUPERBLOCK = 2 * PLANE
+ZERO_POINT_CODE = 8  # dequantizes to exactly 0: (8 - 8) * d
 
 
-def pack_qm_tpu(q: np.ndarray) -> np.ndarray:
+def padded_ic(ic: int, group_size: int) -> int:
+    """IC rounded up so the Mosaic scale specs are always legal: a scale row
+    count (IC/G) above one f32 sublane tile (8) must be a multiple of 8 —
+    shapes like llama-2's 11008 (86 groups) otherwise fail to lower on real
+    silicon ("Slice shape along dimension 1 must be aligned to tiling (8),
+    but is 86" — bench_vlm r4), a failure CPU interpret mode cannot see.
+    Row counts <= 8 lower fine as full-dim 3D blocks (the small-model case,
+    chip-validated) and stay unpadded. Padded K rows carry the zero-point
+    code (dequant == 0 exactly) and span whole groups, so both the W4A16
+    and W4A8 kernels contribute exactly 0 for them with zero-padded x."""
+    import math
+    sg = ic // group_size
+    if sg <= 8 or sg % 8 == 0:
+        return ic
+    unit = math.lcm(8 * group_size, SUPERBLOCK)
+    return -(-ic // unit) * unit
+
+
+def pack_qm_tpu(q: np.ndarray, group_size: int | None = None) -> np.ndarray:
     """Pack uint4 codes ``q [OC, IC]`` (values 0..15, OC-major as produced by
-    the quantizer) → QM_TPU ``packed [IC//2, OC]`` uint8."""
+    the quantizer) → QM_TPU ``packed [IC_pad//2, OC]`` uint8.
+
+    ``group_size``: when given, IC is padded to ``padded_ic`` with the
+    zero-point code (rows dequantize to exactly 0)."""
     oc, ic = q.shape
+    if group_size is not None and padded_ic(ic, group_size) != ic:
+        pad = padded_ic(ic, group_size) - ic
+        q = np.concatenate(
+            [q, np.full((oc, pad), ZERO_POINT_CODE, q.dtype)], axis=1)
+        ic += pad
     assert ic % SUPERBLOCK == 0, f"IC={ic} must be a multiple of {SUPERBLOCK}"
     qt = q.astype(np.uint8).T  # [IC, OC]
     qt = qt.reshape(ic // SUPERBLOCK, 2, PLANE, oc)
@@ -58,14 +85,25 @@ def unpack_qm_tpu(packed: np.ndarray) -> np.ndarray:
     return qt.T.copy()
 
 
-def pack_scales(scales: np.ndarray, dtype: str = "f32") -> np.ndarray:
+def pack_scales(scales: np.ndarray, dtype: str = "f32",
+                group_size: int | None = None) -> np.ndarray:
     """Quantizer scales ``[OC, IC//G]`` → kernel layout ``[IC//G, OC]``.
 
     ``dtype``: storage precision. "bf16" mirrors the reference's
     half-precision scale storage (quantize_methods.py QM_* emit fp16) in the
     TPU-native half format and halves scale HBM traffic; "f32" (default)
     keeps full precision (used where exact f32-scale parity is asserted).
-    QuantConfig.scale_dtype selects the conversion-time storage."""
+    QuantConfig.scale_dtype selects the conversion-time storage.
+
+    ``group_size``: when given, group rows pad to padded_ic//G with 0.0
+    (must match the pack_qm_tpu padding; padded groups contribute exactly
+    0 in-kernel)."""
+    if group_size is not None:
+        oc, sg = scales.shape
+        sgp = padded_ic(sg * group_size, group_size) // group_size
+        if sgp != sg:
+            scales = np.concatenate(
+                [scales, np.zeros((oc, sgp - sg), scales.dtype)], axis=1)
     out = np.ascontiguousarray(scales.T)
     if dtype == "bf16":
         import ml_dtypes

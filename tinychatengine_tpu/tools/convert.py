@@ -40,8 +40,9 @@ def quantize_linear(w_oc_ic: np.ndarray, qcfg: QuantConfig,
     q, scales = quantize_groupwise_int4(w_oc_ic, qcfg.group_size)
     cls = Int4A8Linear if qcfg.scheme == "w4a8" else Int4Linear
     return cls(
-        packed=jnp.asarray(pack_qm_tpu(q)),
-        scales=jnp.asarray(pack_scales(scales, qcfg.scale_dtype)),
+        packed=jnp.asarray(pack_qm_tpu(q, qcfg.group_size)),
+        scales=jnp.asarray(pack_scales(scales, qcfg.scale_dtype,
+                                       qcfg.group_size)),
         bias=None if bias is None else jnp.asarray(bias, jnp.float32))
 
 
