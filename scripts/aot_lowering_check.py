@@ -134,6 +134,20 @@ def main():
           functools.partial(flash_decode, ctx_cap=512),
           q, ck8, ck8, li, lens, ks, ks)
 
+    # int8-KV chunked prefill at a long-context shape (the r4 bench_longctx
+    # --kv int8 regression: the one-head (1, block_s) scale block was
+    # Mosaic-illegal; now full-H blocks + in-kernel one-hot head select)
+    from tinychatengine_tpu.ops.attention import flash_prefill
+    SLONG = 16384
+    qp = S((B, 2048, HQ, D), jnp.bfloat16)
+    ck8l = S((Lc, B, HKV, SLONG, D), jnp.int8)
+    ksl = S((Lc, B, HKV, SLONG), jnp.float32)
+    check("flash_prefill int8 KV S=16384", flash_prefill,
+          qp, ck8l, ck8l, li, S((), jnp.int32), S((), jnp.int32), ksl, ksl)
+    ckbl = S((Lc, B, HKV, SLONG, D), jnp.bfloat16)
+    check("flash_prefill bf16 KV S=16384", flash_prefill,
+          qp, ckbl, ckbl, li, S((), jnp.int32), S((), jnp.int32))
+
     # the whole fused decode step at the bench model size (the program
     # bench.py will run with TCE_DECODE_FUSED=1)
     print("full decode step (llama3_8b, fused):", flush=True)

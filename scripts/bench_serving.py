@@ -9,6 +9,7 @@ Reports aggregate generated tokens/s and per-request TTFT stats.
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_serving.py
        ... bench_serving.py --http   # same load through the REST layer
                                      # (24 concurrent OpenAI-API clients)
+       ... bench_serving.py --slots 16 --requests 48   # slot-scaling point
 """
 
 import json
@@ -16,6 +17,12 @@ import sys
 import time
 
 import numpy as np
+
+
+def _flag(name: str, default: int) -> int:
+    if name in sys.argv:
+        return int(sys.argv[sys.argv.index(name) + 1])
+    return default
 
 
 def main():
@@ -31,8 +38,10 @@ def main():
                                       fast=True)
     gcfg = GenerationConfig(temp=0.0, n_predict=128, repeat_penalty=1.1,
                             repeat_last_n=64, seed=0)
-    srv = ServingEngine(params, cfg, qcfg, slots=8, max_len=2048, gcfg=gcfg,
-                        admission_chunk=512, tick_batch=16)
+    slots = _flag("--slots", 8)
+    n_requests = _flag("--requests", 24)
+    srv = ServingEngine(params, cfg, qcfg, slots=slots, max_len=2048,
+                        gcfg=gcfg, admission_chunk=512, tick_batch=16)
 
     rng = np.random.default_rng(0)
     variants = [
@@ -45,7 +54,7 @@ def main():
 
     def submit_all():
         reqs = []
-        for i in range(24):
+        for i in range(n_requests):
             plen = int(rng.integers(32, 320))
             ids = rng.integers(100, cfg.vocab_size - 100, plen)
             reqs.append(srv.submit(ids, n_predict=128,

@@ -406,12 +406,13 @@ def flash_decode_paged(q: jax.Array, pages_k: jax.Array, pages_v: jax.Array,
 
 def _prefill_kernel(info_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
                     block_s: int, sm_scale: float, quantized: bool,
-                    window: int | None, n_batch: int):
+                    window: int | None, n_batch: int, groups: int = 1):
     if quantized:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
         o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
+    hk = pl.program_id(1) // groups   # this query head's KV-head row
     qb = pl.program_id(2)
     j = pl.program_id(3)
     nb = pl.num_programs(3)
@@ -439,8 +440,15 @@ def _prefill_kernel(info_ref, q_ref, k_ref, v_ref, *rest, block_q: int,
             preferred_element_type=jnp.float32) * sm_scale   # [Bq, T]
         vs_row = None
         if quantized:
-            s = s * ks_ref[0, 0, 0].reshape(1, block_s)
-            vs_row = vs_ref[0, 0, 0].reshape(1, block_s)
+            # scale blocks carry ALL hkv rows (a (1, block_s) one-head block
+            # is Mosaic-illegal when H isn't 8-aligned, and dynamic
+            # sublane-start slicing silently miscompiles — PERF.md negative
+            # result #5); select this query head's KV row by one-hot reduce
+            hkv_rows = ks_ref.shape[2]
+            sel = (jax.lax.broadcasted_iota(
+                jnp.int32, (hkv_rows, block_s), 0) == hk).astype(jnp.float32)
+            s = s * (ks_ref[0, 0] * sel).sum(axis=0).reshape(1, block_s)
+            vs_row = (vs_ref[0, 0] * sel).sum(axis=0).reshape(1, block_s)
         # causal: key pos <= query pos; and key pos < length
         qpos = start + qb * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_s), 0)
@@ -486,7 +494,8 @@ def _flash_prefill_impl(info, q, ck, cv, ks, vs, *, groups, block_q, block_s,
         return (info_ref[0], b, h // groups, clamp_blk(info_ref, b, qb, j), 0)
 
     def kvs_map(b, h, qb, j, info_ref):
-        return (info_ref[0], b, h // groups, clamp_blk(info_ref, b, qb, j))
+        # full-H block (head picked in-kernel by one-hot; see _prefill_kernel)
+        return (info_ref[0], b, 0, clamp_blk(info_ref, b, qb, j))
 
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda b, h, qb, j, i: (b, h, qb, 0),
@@ -496,9 +505,12 @@ def _flash_prefill_impl(info, q, ck, cv, ks, vs, *, groups, block_q, block_s,
     ]
     args = [q, ck, cv]
     if quantized:
+        hkv = ck.shape[2]
         in_specs += [
-            pl.BlockSpec((1, 1, 1, block_s), kvs_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, block_s), kvs_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hkv, block_s), kvs_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hkv, block_s), kvs_map,
+                         memory_space=pltpu.VMEM),
         ]
         args += [ks, vs]
 
@@ -518,7 +530,7 @@ def _flash_prefill_impl(info, q, ck, cv, ks, vs, *, groups, block_q, block_s,
     kernel = functools.partial(_prefill_kernel, block_q=block_q,
                                block_s=block_s, sm_scale=sm_scale,
                                quantized=quantized, window=window,
-                               n_batch=bq)
+                               n_batch=bq, groups=groups)
     cost = pl.CostEstimate(
         flops=2 * 2 * bq * hq * sq * smax * d,
         bytes_accessed=bq * hq * sq * d * 2 + 2 * bq * hq * smax * d * 2,
