@@ -37,12 +37,22 @@ def main():
 
     argv = sys.argv[1:]
     kv_int8 = False
+    model = "llama3_8b"
     if "--kv" in argv:
         i = argv.index("--kv")
         kv_int8 = argv[i + 1] == "int8"
         del argv[i:i + 2]
+    if "--model" in argv:  # e.g. codellama_7b: the BASELINE long-context
+        i = argv.index("--model")   # codegen config (llama-2-family shape,
+        model = argv[i + 1]         # exercises pack-time K padding on chip)
+        del argv[i:i + 2]
+    batch = 1
+    if "--batch" in argv:  # batched long-context decode stress (BASELINE's
+        i = argv.index("--batch")   # Code Llama config): KV reads scale xB,
+        batch = int(argv[i + 1])    # weights amortize
+        del argv[i:i + 2]
     ctxs = [int(a) for a in argv] or [4096, 8192, 16384, 32768]
-    cfg = get_model_config("llama3_8b")
+    cfg = get_model_config(model)
     qcfg = QuantConfig(scheme="w4a8", group_size=128,
                        kv_cache_dtype="int8" if kv_int8 else "bf16")
     print("building params...", file=sys.stderr)
@@ -56,12 +66,12 @@ def main():
                   for leaf in jax.tree.leaves((params.layers, params.lm_head)))
     out = {}
     for ctx in ctxs:
-        eng = Engine(params, cfg, qcfg, batch=1, max_len=ctx)
+        eng = Engine(params, cfg, qcfg, batch=batch, max_len=ctx)
         plen = ctx - N_DECODE - 8
 
         def run(seed, n_tokens):
             rng = np.random.default_rng(seed)
-            ids = rng.integers(100, cfg.vocab_size - 100, (1, plen))
+            ids = rng.integers(100, cfg.vocab_size - 100, (batch, plen))
             return np.asarray(eng.generate_device(ids, g, n_tokens=n_tokens))
 
         print(f"ctx {ctx}: compiling...", file=sys.stderr)
@@ -74,20 +84,24 @@ def main():
             t0 = time.perf_counter(); run(20 + t, 1 + N_DECODE)
             longs.append(time.perf_counter() - t0)
         per = (float(np.median(longs)) - float(np.median(shorts))) / N_DECODE
-        # bytes of K+V (+ f32 scales in int8 mode) streamed per decoded token
+        # bytes of K+V (+ f32 scales in int8 mode) streamed per SEQUENCE per
+        # decode step; weights stream once per step regardless of batch
         kv_row = cfg.num_layers * plen * cfg.num_kv_heads * 2
         kv = kv_row * (cfg.head_dim * 1 + 4 if kv_int8
                        else cfg.head_dim * 2)
-        roof = HBM_BW / (w_bytes + kv)
+        roof = batch * HBM_BW / (w_bytes + batch * kv)
+        agg = batch / per
         out[f"ctx{ctx}"] = {
-            "tokens_per_s": round(1.0 / per, 2),
+            "tokens_per_s": round(agg, 2),
             "roofline": round(roof, 1),
-            "frac": round(1.0 / per / roof, 3),
+            "frac": round(agg / roof, 3),
             "kv_gb_per_token": round(kv / 1e9, 2),
             "kv_dtype": "int8" if kv_int8 else "bf16",
+            "batch": batch,
         }
-        print(f"  ctx {ctx}: {1.0 / per:.1f} tok/s (roof {roof:.1f})",
+        print(f"  ctx {ctx}: {agg:.1f} tok/s (roof {roof:.1f})",
               file=sys.stderr)
+    out["model"] = model
     print(json.dumps(out))
 
 

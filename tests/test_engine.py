@@ -249,3 +249,39 @@ def test_int8_kv_device_loop_close_to_bf16():
     assert outs["int8"].shape == outs["bf16"].shape
     assert (outs["int8"] == outs["bf16"]).mean() >= 0.75, (
         outs["int8"], outs["bf16"])
+
+
+def test_chunked_prefill_int8_kv_matches_single_shot():
+    """Chunked prefill into an INT8 KV cache == one-shot prefill into the
+    same (the r4 bench_longctx --kv int8 path: quantize-on-write happens per
+    chunk, so chunk boundaries must not change the stored codes/scales)."""
+    from tinychatengine_tpu.core.config import ModelConfig, QuantConfig
+    from tinychatengine_tpu.generation.engine import Engine
+    from tinychatengine_tpu.models import llama
+
+    cfg = ModelConfig(
+        name="tiny", family="llama", num_heads=4, num_kv_heads=2,
+        num_layers=2, max_sqlen=256, embed_dim=128, hidden_dim=256,
+        vocab_size=256, rms_norm_eps=1e-5)
+    qcfg = QuantConfig(scheme="fp", kv_cache_dtype="int8")
+    params = llama.init_random_params(cfg, qcfg, seed=0)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(5, 250, (1, 100), dtype=np.int32)
+
+    eng_a = Engine(params, cfg, qcfg)
+    logits_a, cache_a = eng_a.prefill(ids, eng_a.new_cache())
+    assert cache_a.quantized
+
+    eng_b = Engine(params, cfg, qcfg)
+    eng_b.CHUNK = 32
+    logits_b, cache_b = eng_b.prefill(ids, eng_b.new_cache())
+
+    np.testing.assert_allclose(np.asarray(logits_a), np.asarray(logits_b),
+                               rtol=2e-2, atol=2e-2)
+    # quantize-on-write is per-position: stored codes and scales for the
+    # VALID positions must be identical regardless of chunking (positions
+    # past the prompt hold bucket-padding garbage and legitimately differ)
+    np.testing.assert_array_equal(np.asarray(cache_a.k[:, :, :, :100]),
+                                  np.asarray(cache_b.k[:, :, :, :100]))
+    np.testing.assert_array_equal(np.asarray(cache_a.k_scale[:, :, :, :100]),
+                                  np.asarray(cache_b.k_scale[:, :, :, :100]))
