@@ -287,3 +287,46 @@ def test_sample_rows_sort_free_top_k_exact():
                               use_tfs_typical=False, top_k_max=100)
     for a, g in zip(w2, g2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(g))
+
+
+def test_token_counts_chunked_equals_direct():
+    """Windows past _COUNT_CHUNK are summed chunk-by-chunk (ADVICE r4 memory
+    bound) — counts must equal the direct one-hot for any T, including -1
+    padding and chunk-straddling repeats."""
+    rng = np.random.default_rng(3)
+    b, v, t = 4, 512, 2 * smp._COUNT_CHUNK + 37   # forces 3 chunks, ragged tail
+    last = rng.integers(-1, v, (b, t)).astype(np.int32)
+    last[0, :] = 5                                 # one id repeated T times
+    got = np.asarray(smp._token_counts(jnp.asarray(last), v))
+    want = np.zeros((b, v), np.float32)
+    for r in range(b):
+        for tok in last[r]:
+            if tok >= 0:
+                want[r, tok] += 1
+    np.testing.assert_array_equal(got, want)
+    assert got[0, 5] == t
+
+
+def test_sample_rows_top_k_over_bound_poisoned():
+    """A direct caller understating top_k_max gets -1 tokens for the
+    violating rows (loud), never silently over-truncated draws (ADVICE r4).
+    Rows within the bound are unaffected."""
+    rng = np.random.default_rng(11)
+    b, v = 3, 256
+    logits = jnp.asarray(rng.standard_normal((b, v)).astype(np.float32))
+    cfgs = [GenerationConfig(temp=0.8, top_k=8, seed=1),
+            GenerationConfig(temp=0.8, top_k=999, seed=2),   # > top_k_max
+            GenerationConfig(temp=0.8, top_k=16, seed=3)]
+    params = smp.RowParams.from_configs(cfgs)
+    keys = jnp.asarray(
+        np.stack([np.asarray(jax.random.PRNGKey(i)) for i in range(b)]))
+    tok, _ = smp.sample_rows(logits, keys, params,
+                             use_tfs_typical=False, top_k_max=16)
+    tok = np.asarray(tok)
+    assert tok[1] == -1
+    assert tok[0] >= 0 and tok[2] >= 0
+    # reference: the exact full-sort path with an adequate bound
+    want, _ = smp.sample_rows(logits, keys, params,
+                              use_tfs_typical=True, top_k_max=0)
+    want = np.asarray(want)
+    np.testing.assert_array_equal(tok[[0, 2]], want[[0, 2]])

@@ -607,3 +607,40 @@ def test_chat_image_validation(served_vlm, served):
             {"type": "image_url", "image_url": {"url": _png_data_url()}},
             {"type": "text", "text": "hi"}]}], "max_tokens": 4})
     assert st == 400 and "not enabled" in out["error"]["message"]
+
+
+def test_image_caps_reject_oversize():
+    """Decompression-bomb guards (ADVICE r4): oversized base64 payloads and
+    oversized pixel dimensions are rejected BEFORE the full pixel decode."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    from tinychatengine_tpu.runtime import server as srv_mod
+    from tinychatengine_tpu.runtime.server import (RequestError,
+                                                   _decode_image_data_url)
+
+    # payload-size cap (no decode at all)
+    big = "data:image/png;base64," + "A" * (srv_mod.MAX_IMAGE_B64_BYTES + 8)
+    with pytest.raises(RequestError, match="payload too large"):
+        _decode_image_data_url(big)
+
+    # dimension cap: a tiny compressed PNG with huge pixel dims; the header
+    # check must fire without materializing the pixels
+    old = srv_mod.MAX_IMAGE_DIM
+    srv_mod.MAX_IMAGE_DIM = 64
+    try:
+        img = Image.new("RGB", (128, 16))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        url = ("data:image/png;base64,"
+               + base64.b64encode(buf.getvalue()).decode())
+        with pytest.raises(RequestError, match="image too large"):
+            _decode_image_data_url(url)
+    finally:
+        srv_mod.MAX_IMAGE_DIM = old
+
+    # a normal small image still decodes
+    arr = _decode_image_data_url(_png_data_url(seed=1, size=20))
+    assert arr.shape == (20, 20, 3)

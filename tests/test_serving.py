@@ -988,3 +988,41 @@ def test_serving_gptbigcode_matches_engine():
     srv.run()
     for r, w in zip(reqs, want):
         assert r.output_ids == list(w)
+
+
+def test_kmax_bucketing_bounds_executables():
+    """ADVICE r4 (medium): top_k_max is a STATIC jit arg on the decode/admit
+    executables; a client cycling top_k values must map onto a FIXED bucket
+    set, not one executable per distinct value — while per-row draws stay
+    exact (sample_rows clips per-row k_eff)."""
+    from tinychatengine_tpu.runtime.serving import _KMAX_BUCKETS, _kmax_bucket
+
+    assert _kmax_bucket(0) == 0           # disabled / no rows
+    assert _kmax_bucket(-3) == 0
+    assert _kmax_bucket(1) == 8
+    assert _kmax_bucket(8) == 8
+    assert _kmax_bucket(9) == 64
+    assert _kmax_bucket(64) == 64
+    assert _kmax_bucket(65) == 256
+    assert _kmax_bucket(1024) == 1024
+    assert _kmax_bucket(5000) == 0        # beyond buckets → exact sorted path
+    # every distinct top_k in 1..2048 lands in the fixed set
+    assert {_kmax_bucket(k) for k in range(1, 2049)} <= set(_KMAX_BUCKETS) | {0}
+
+    # engine-level: cycling top_k across requests produces bucketed features
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=4, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g)
+    seen = set()
+    for i, k in enumerate([3, 5, 9, 13, 40, 41, 77, 100]):
+        srv.submit(PROMPTS[i % len(PROMPTS)], n_predict=4,
+                   gcfg=GenerationConfig(temp=0.8, top_k=k, seed=i,
+                                         n_predict=4, repeat_penalty=1.0,
+                                         repeat_last_n=1))
+        while srv.queue or srv._pending is not None:
+            srv.step()
+        seen.add(srv._row_features()[3])
+    srv.run()
+    assert seen <= set(_KMAX_BUCKETS) | {0}
+    assert len(seen) <= 3  # 8 distinct top_k values → at most {8, 64, 256}

@@ -50,6 +50,12 @@ def apply_frequency_presence(logits: jax.Array, last_tokens: jax.Array,
     return logits - counts * alpha_freq - (counts > 0) * alpha_pres
 
 
+_COUNT_CHUNK = 128  # one-hot window chunk: bounds the [B, chunk, V]
+# intermediate at ~256 MB for B=8, V=128k (a repeat_last_n of e.g. 1024
+# would otherwise imply a ~2 GiB one-hot inside the decode scan if XLA
+# fails to fuse the contraction — ADVICE r4)
+
+
 def _token_counts(last_tokens: jax.Array, vocab: int) -> jax.Array:
     """Occurrence counts per vocab id; -1 entries ignored. [B, T] -> [B, V].
 
@@ -57,12 +63,25 @@ def _token_counts(last_tokens: jax.Array, vocab: int) -> jax.Array:
     scatter to T serial row updates, which the r4 serving device trace
     billed at ~5 ms/tick; the [B, T, V] bf16 one-hot streams at HBM rate
     (~0.4 ms) and is exact (counts <= T << 256 are exactly representable
-    in bf16)."""
+    in bf16). Windows larger than _COUNT_CHUNK are summed chunk-by-chunk
+    (identical result — addition over disjoint position slices) so the
+    intermediate stays O(B * chunk * V) regardless of repeat_last_n."""
     valid = (last_tokens >= 0)
     clipped = jnp.clip(last_tokens, 0, vocab - 1)
-    hot = jax.nn.one_hot(clipped, vocab, dtype=jnp.bfloat16)
-    hot = hot * valid[..., None].astype(jnp.bfloat16)
-    return jnp.sum(hot, axis=1, dtype=jnp.float32)
+
+    def counts_of(tok_chunk, valid_chunk):
+        hot = jax.nn.one_hot(tok_chunk, vocab, dtype=jnp.bfloat16)
+        hot = hot * valid_chunk[..., None].astype(jnp.bfloat16)
+        return jnp.sum(hot, axis=1, dtype=jnp.float32)
+
+    t = last_tokens.shape[1]
+    if t <= _COUNT_CHUNK:
+        return counts_of(clipped, valid)
+    total = jnp.zeros((last_tokens.shape[0], vocab), jnp.float32)
+    for s in range(0, t, _COUNT_CHUNK):
+        e = min(s + _COUNT_CHUNK, t)
+        total = total + counts_of(clipped[:, s:e], valid[:, s:e])
+    return total
 
 
 def greedy(logits: jax.Array) -> jax.Array:
@@ -395,8 +414,15 @@ def sample_rows(logits: jax.Array, keys: jax.Array, params: RowParams,
         # set's descending sort, whichever tied indices were kept)
         s_logits = jnp.where(jnp.arange(top_k_max)[None, :] < k_eff,
                              topvals, NEG_INF)
-        return _sample_rows_tail(logits, masked, s_logits, greedy_tok,
-                                 keys, params, mu, use_mirostat, rows)
+        tok, *rest = _sample_rows_tail(logits, masked, s_logits, greedy_tok,
+                                       keys, params, mu, use_mirostat, rows)
+        # CONTRACT GUARD (ADVICE r4): top_k_max must bound every used row's
+        # top_k (the serving engine upholds this via _row_features). A
+        # direct caller understating it would get silently over-truncated
+        # sampling; poison such rows' draws to -1 instead — loud downstream,
+        # never a plausible-but-wrong token.
+        tok = jnp.where(params.top_k > top_k_max, jnp.int32(-1), tok)
+        return (tok, *rest)
 
     # one descending sort powers top_k (ranks) + tfs; top_p/typical keep
     # their own orderings (probability vs typicality). ranks = the INVERSE

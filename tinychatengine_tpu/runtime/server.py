@@ -409,18 +409,38 @@ def _stop_strings(body: dict) -> list[str]:
     raise RequestError("'stop' must be a string or list of strings")
 
 
+MAX_IMAGE_B64_BYTES = 24 * 1024 * 1024   # payload cap before base64 decode
+MAX_IMAGE_DIM = 8192                      # per-side cap before convert()
+# (ADVICE r4: an unbounded highly-compressed image could allocate hundreds
+# of MB per handler thread inside im.convert; CLIP resizes to ~336 px, so
+# giant inputs buy the client nothing)
+
+
 def _decode_image_data_url(url: str) -> np.ndarray:
     """data:image/...;base64,... → uint8 [H, W, 3]. Only data: URLs: this
     build has no network egress, and inline images are what local OpenAI
-    vision clients send anyway."""
+    vision clients send anyway. Payload size and pixel dimensions are
+    bounded BEFORE the full decode so a decompression-bomb image cannot
+    exhaust host memory across concurrent handler threads."""
     if not isinstance(url, str) or not url.startswith("data:"):
         raise RequestError(
             "only data: image URLs are supported (no network egress)")
     try:
         _, b64 = url.split(",", 1)
+        if len(b64) > MAX_IMAGE_B64_BYTES:
+            raise RequestError(
+                f"image payload too large (> {MAX_IMAGE_B64_BYTES} bytes "
+                "base64)")
         raw = base64.b64decode(b64, validate=True)
         from PIL import Image
+        Image.MAX_IMAGE_PIXELS = MAX_IMAGE_DIM * MAX_IMAGE_DIM  # PIL's own
+        # bomb ceiling, set explicitly (decode raises DecompressionBombError)
         with Image.open(io.BytesIO(raw)) as im:
+            w, h = im.size  # header-only: no pixel data decoded yet
+            if w > MAX_IMAGE_DIM or h > MAX_IMAGE_DIM:
+                raise RequestError(
+                    f"image too large ({w}x{h}; max {MAX_IMAGE_DIM} per "
+                    "side)")
             return np.asarray(im.convert("RGB"), np.uint8)
     except RequestError:
         raise

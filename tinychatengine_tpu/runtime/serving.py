@@ -899,7 +899,7 @@ class ServingEngine:
         feat = (bool(rcfg.logit_bias),
                 (rcfg.tfs_z < 1.0) or (rcfg.typical_p < 1.0),
                 rcfg.mirostat != 0,
-                max(rcfg.top_k, 0))
+                _kmax_bucket(max(rcfg.top_k, 0)))
         if self.paged:
             p = self.allocator.page_size
             pages = self._slot_pages[slot_idx]   # reserved at admission start
@@ -1059,9 +1059,14 @@ class ServingEngine:
             um |= c.mirostat != 0
             ks.append(c.top_k)
         # top_k_max: sort-free path bound; 0 = disabled (some row runs
-        # full-vocab top_k, or no active rows)
+        # full-vocab top_k, or no active rows). BUCKETED to a fixed set so a
+        # REST client cycling top_k values cannot trigger a recompile of the
+        # decode-scan/admission executables per distinct value (each compile
+        # is 20-240 s over the tunnel): exactness is preserved because
+        # sample_rows clips per-row k_eff to the row's own top_k and masks
+        # candidate positions >= k_eff.
         kmax = max(ks) if ks and min(ks) > 0 else 0
-        return ub, ut, um, kmax
+        return ub, ut, um, _kmax_bucket(kmax)
 
     def _want_lp(self) -> bool:
         """Any active slot wants logprobs → this dispatch uses the
@@ -1223,6 +1228,24 @@ def _zip_tops(top_i, top_lp):
     return [[list(zip(ti.tolist(), tl.tolist()))
              for ti, tl in zip(top_i[t], top_lp[t])]
             for t in range(top_i.shape[0])]
+
+
+_KMAX_BUCKETS = (8, 64, 256, 1024)
+
+
+def _kmax_bucket(kmax: int) -> int:
+    """Round a batch's max top_k up to a fixed bucket so the set of
+    top_k_max-keyed executables is bounded (ADVICE r4: an unbucketed static
+    kmax recompiles the decode scan per distinct client top_k). Rows keep
+    their exact per-row k (sample_rows clips k_eff and masks candidates
+    beyond it). Values above the largest bucket fall back to 0 — the
+    full-vocab sorted path, exact for any k."""
+    if kmax <= 0:
+        return 0
+    for b in _KMAX_BUCKETS:
+        if kmax <= b:
+            return b
+    return 0
 
 
 def _cap_bucket(needed: int, smax: int) -> int:
