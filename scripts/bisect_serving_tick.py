@@ -51,20 +51,20 @@ def main():
         [gcfgs[i % 3] for i in range(slots)])
     window = 64
 
-    def body_model(toks, cache, lengths, keys, last, mu):
+    def body_model(params, rparams, toks, cache, lengths, keys, last, mu):
         logits, cache = llama.forward(params, cfg, toks[:, None], cache,
                                       lengths, ctx_cap=cap)
         # data-depend on logits without any sampler
         tok = (toks + (logits[:, 0] > 0).astype(jnp.int32)) % 1000
         return tok, cache, keys, last, mu
 
-    def body_greedy(toks, cache, lengths, keys, last, mu):
+    def body_greedy(params, rparams, toks, cache, lengths, keys, last, mu):
         logits, cache = llama.forward(params, cfg, toks[:, None], cache,
                                       lengths, ctx_cap=cap)
         return (jnp.argmax(logits, -1).astype(jnp.int32) % 1000,
                 cache, keys, last, mu)
 
-    def body_rowsamp(toks, cache, lengths, keys, last, mu):
+    def body_rowsamp(params, rparams, toks, cache, lengths, keys, last, mu):
         logits, cache = llama.forward(params, cfg, toks[:, None], cache,
                                       lengths, ctx_cap=cap)
         tok, keys, mu = sampling.sample_rows(
@@ -76,14 +76,17 @@ def main():
     BODIES = {"model": body_model, "greedy": body_greedy,
               "rowsamp": body_rowsamp}
 
+    # params/rparams MUST be jit arguments: closure constants blow the
+    # remote compiler's upload limit (CLAUDE.md)
     @functools.partial(jax.jit, static_argnames=("variant", "n_ticks"),
                        donate_argnames=("cache",))
-    def burst(toks, cache, lengths, keys, last, mu, *, variant, n_ticks):
+    def burst(params, rparams, toks, cache, lengths, keys, last, mu, *,
+              variant, n_ticks):
         body = BODIES[variant]
 
         def tick(carry, _):
             toks, cache, keys, last, mu = carry
-            toks, cache, keys, last, mu = body(toks, cache,
+            toks, cache, keys, last, mu = body(params, rparams, toks, cache,
                                                lengths, keys, last, mu)
             return (toks, cache, keys, last, mu), toks
 
@@ -111,8 +114,8 @@ def main():
         for n in (N_SHORT, N_LONG):
             t0 = time.perf_counter()
             toks, cache, lengths, keys, last, mu = fresh(0)
-            np.asarray(burst(toks, cache, lengths, keys, last, mu,
-                             variant=v, n_ticks=n)[0])
+            np.asarray(burst(params, rparams, toks, cache, lengths, keys,
+                             last, mu, variant=v, n_ticks=n)[0])
             print(f"  {v}/{n}: {time.perf_counter() - t0:.0f}s",
                   file=sys.stderr)
 
@@ -123,13 +126,13 @@ def main():
         for v in variants:
             toks, cache, lengths, keys, last, mu = fresh(100 + r)
             t0 = time.perf_counter()
-            np.asarray(burst(toks, cache, lengths, keys, last, mu,
-                             variant=v, n_ticks=N_SHORT)[0])
+            np.asarray(burst(params, rparams, toks, cache, lengths, keys,
+                             last, mu, variant=v, n_ticks=N_SHORT)[0])
             res[v]["s"].append(time.perf_counter() - t0)
             toks, cache, lengths, keys, last, mu = fresh(200 + r)
             t0 = time.perf_counter()
-            np.asarray(burst(toks, cache, lengths, keys, last, mu,
-                             variant=v, n_ticks=N_LONG)[0])
+            np.asarray(burst(params, rparams, toks, cache, lengths, keys,
+                             last, mu, variant=v, n_ticks=N_LONG)[0])
             res[v]["l"].append(time.perf_counter() - t0)
         print(f"round {r}: " + "  ".join(
             f"{v}={(res[v]['l'][-1] - res[v]['s'][-1]) / (N_LONG - N_SHORT) * 1e3:.2f}ms"

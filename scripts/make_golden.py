@@ -14,6 +14,15 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 PROMPT = "class Foo:\n    def __init__(self"
 N_PREDICT = 48
+# r5 (VERDICT r4 weak #6): the original golden's continuation is repetition-
+# degenerate (", filename, filename, ..."), a weak pin for logit ORDERING
+# bugs. These prompts were screened for diverse greedy continuations
+# (>=35 distinct trigrams each): code-shaped, license prose, free prose.
+MULTI_PROMPTS = [
+    "def add(a, b):\n    return",
+    "# Copyright 2024\n# Licensed under",
+    "In the beginning",
+]
 
 
 def main():
@@ -34,15 +43,25 @@ def main():
                  max_len=cfg.max_sqlen)
     g = GenerationConfig(temp=0.0, n_predict=N_PREDICT, repeat_penalty=1.0,
                          repeat_last_n=1)
-    ids = np.asarray(tok.encode(PROMPT), np.int32)[None, :]
-    toks = list(map(int, eng.generate(ids, g).tokens[0]))
-    out = {"prompt": PROMPT, "n_predict": N_PREDICT, "token_ids": toks,
-           "text": tok.decode(toks)}
+    def gen(prompt):
+        ids = np.asarray(tok.encode(prompt), np.int32)[None, :]
+        toks = list(map(int, eng.generate(ids, g).tokens[0]))
+        return {"prompt": prompt, "n_predict": N_PREDICT,
+                "token_ids": toks, "text": tok.decode(toks)}
+
     dest = REPO / "tests" / "golden" / "bytellama_greedy.json"
     dest.parent.mkdir(parents=True, exist_ok=True)
+    out = gen(PROMPT)
     dest.write_text(json.dumps(out, indent=1))
     print(f"wrote {dest}")
     print("continuation:", repr(out["text"]))
+
+    multi = [gen(p) for p in MULTI_PROMPTS]
+    dest2 = REPO / "tests" / "golden" / "bytellama_goldens.json"
+    dest2.write_text(json.dumps(multi, indent=1))
+    print(f"wrote {dest2}")
+    for m in multi:
+        print("continuation:", repr(m["text"]))
 
 
 if __name__ == "__main__":

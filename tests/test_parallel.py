@@ -224,3 +224,22 @@ def test_tp_fused_decode_matches_single_device(monkeypatch):
 
     np.testing.assert_allclose(np.asarray(lg_1), np.asarray(lg_n),
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.slow
+def test_multiprocess_distributed_dryrun():
+    """2 localhost processes x 4 CPU devices: jax.distributed.initialize +
+    cross-process TP x DP serving step == single-process (VERDICT r4 item 5;
+    scripts/dryrun_multiprocess.py — it caught the process_count()-before-
+    initialize backend-poisoning bug in parallel/distributed.py)."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).parent.parent / "scripts/dryrun_multiprocess.py"
+    r = subprocess.run([sys.executable, str(script)], capture_output=True,
+                       text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["ok"] and out["processes"] == 2

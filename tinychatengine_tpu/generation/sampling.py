@@ -341,11 +341,95 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _sample_rows_candidates(logits, keys, params, last_tokens, mu,
+                            top_k_max: int):
+    """Candidate-domain row sampler (r5): penalties, top_k, nucleus,
+    temperature and the token draw all run on the ``[B, C]`` candidate list
+    (C = top_k_max + window), never on the full [B, V] vocab.
+
+    Exactness (the r5 serving-tick bisect billed the full-vocab sampler at
+    ~4.1 ms/tick vs the model's 7.25 — scripts/bisect_serving_tick.py):
+
+    * gate: every used row has 0 < top_k <= top_k_max AND lowering-only
+      penalties (repeat_penalty >= 1, frequency/presence >= 0) — enforced
+      statically by the caller (``pen_lower``).
+    * candidate sufficiency: penalties only LOWER the values of window
+      tokens (<= T of them). Any token outside the raw top-(top_k_max + T)
+      is dominated post-penalty by >= top_k_max unpenalized candidates, so
+      the post-penalty top-k_eff set — and therefore the nucleus set inside
+      it, and the penalized argmax — always lies in the candidate list.
+    * the kept set, its penalized logits, and the softmax the draw uses are
+      identical to the full-vocab pipeline's; the Gumbel draw consumes the
+      same per-row subkey over the C candidates instead of V logits (a
+      different but identically-distributed stream; serving uses one path
+      consistently so burst/single/admission outputs agree bit-for-bit).
+    * tie-break among EXACTLY-equal penalized logits may differ from the
+      full argsort path (equal logits = equal probability, so the sampled
+      distribution is unchanged; greedy ties between bit-equal logits
+      resolve by candidate order instead of token id).
+    """
+    b, v = logits.shape
+    t = last_tokens.shape[1]
+    c = min(top_k_max + t, v)
+    cvals, cidx = jax.lax.top_k(logits, c)                    # [B, C]
+
+    # per-candidate window counts: [B, C, T] compare — tiny (no [B, V]
+    # one-hot, no scatter)
+    hit = (cidx[:, :, None] == last_tokens[:, None, :]) \
+        & (last_tokens[:, None, :] >= 0)
+    cnt = jnp.sum(hit, axis=-1).astype(jnp.float32)           # [B, C]
+
+    rp = params.repeat_penalty[:, None]
+    pen = jnp.where(cvals > 0, cvals / rp, cvals * rp)
+    cvals = jnp.where(cnt > 0, pen, cvals)
+    cvals = (cvals - cnt * params.frequency_penalty[:, None]
+             - (cnt > 0) * params.presence_penalty[:, None])
+
+    amax = jnp.argmax(cvals, axis=-1)                         # penalized argmax
+    greedy_tok = jnp.take_along_axis(cidx, amax[:, None], 1)[:, 0]
+
+    # top_k within candidates: threshold at the k_eff-th penalized value
+    svals = -jnp.sort(-cvals, axis=-1)                        # desc [B, C]
+    k_eff = jnp.clip(params.top_k, 1, top_k_max)[:, None]
+    kth = jnp.take_along_axis(svals, k_eff - 1, axis=-1)
+    keep = cvals >= kth
+    # ties at the kth value could keep > k_eff: trim like the sort-free
+    # path (by candidate order) so the kept count is exactly k_eff
+    over = jnp.cumsum(keep.astype(jnp.int32), axis=-1) > k_eff
+    keep &= ~over
+    masked = jnp.where(keep, cvals, NEG_INF)
+
+    # nucleus on the kept candidates (softmax over the kept set == the full
+    # path's softmax over the top_k-masked vocab)
+    s_logits = jnp.where(jnp.arange(c)[None, :] < k_eff, svals, NEG_INF)
+    s_probs = jax.nn.softmax(s_logits, axis=-1)
+    s_cum = jnp.cumsum(s_probs, axis=-1)
+    keep_p = (s_cum - s_probs) < params.top_p[:, None]
+    keep_p = keep_p.at[..., :1].set(True)
+    n_keep = jnp.sum(keep_p, axis=-1, keepdims=True)
+    thresh = jnp.take_along_axis(s_logits, n_keep - 1, axis=-1)
+    masked = jnp.where(masked < thresh, NEG_INF, masked)
+
+    masked = masked / jnp.maximum(params.temp, 1e-6)[:, None]
+    splits = jax.vmap(jax.random.split)(keys)
+    new_keys, subs = splits[:, 0], splits[:, 1]
+    win = jax.vmap(lambda l, k: jax.random.categorical(k, l))(masked, subs)
+    drawn = jnp.take_along_axis(cidx, win[:, None], 1)[:, 0].astype(jnp.int32)
+    tok = jnp.where(params.temp <= 0, greedy_tok, drawn).astype(jnp.int32)
+    # contract guard (same as the sort-free path): rows whose top_k exceeds
+    # the static bound poison to -1 rather than sample over-truncated
+    tok = jnp.where(params.top_k > top_k_max, jnp.int32(-1), tok)
+    if mu is None:
+        return tok, new_keys
+    return tok, new_keys, mu
+
+
 def sample_rows(logits: jax.Array, keys: jax.Array, params: RowParams,
                 last_tokens: Optional[jax.Array] = None,
                 mu: Optional[jax.Array] = None, *,
                 use_bias: bool = True, use_tfs_typical: bool = True,
-                use_mirostat: bool = True, top_k_max: int = 0):
+                use_mirostat: bool = True, top_k_max: int = 0,
+                pen_lower: bool = False):
     """Per-row sampling pipeline, reference order (top_k → tfs → typical →
     top_p → temp → draw), every parameter a traced [B] array.
 
@@ -375,8 +459,22 @@ def sample_rows(logits: jax.Array, keys: jax.Array, params: RowParams,
     broken exactly like the rank path (highest original index first, the
     argsort[::-1] order), and nucleus runs on the [B, top_k_max] candidate
     values instead of [B, V]. Token draws are bit-identical: the kept set,
-    masked logits and key stream are unchanged."""
+    masked logits and key stream are unchanged.
+
+    pen_lower: STATIC caller guarantee that every used row's penalties are
+    lowering-only (repeat_penalty >= 1, frequency/presence >= 0). Combined
+    with top_k_max > 0 and bias/tfs/typical/mirostat off, the whole
+    pipeline runs in the candidate domain (_sample_rows_candidates): no
+    [B, V] one-hot, no full-vocab softmax/cumsum, and the Gumbel draw is
+    [B, C] instead of [B, V] — the r5 fix for the ~4.1 ms/tick sampler the
+    serving bisect found (identical kept sets + penalized logits; the draw
+    stream differs from the full-vocab path but serving uses one path
+    consistently, so burst/single-tick/admission stay bit-equal)."""
     logits = logits.astype(jnp.float32)
+    if (pen_lower and top_k_max > 0 and not use_bias and not use_tfs_typical
+            and not use_mirostat and last_tokens is not None):
+        return _sample_rows_candidates(logits, keys, params, last_tokens,
+                                       mu, top_k_max)
     b, v = logits.shape
     rows = jnp.arange(b)[:, None]
 

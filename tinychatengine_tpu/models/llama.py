@@ -334,9 +334,13 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
     n_new = jnp.asarray(s, jnp.int32) if true_len is None else true_len
     if sp_axis is not None and true_len is None:
         n_new = n_new * jax.lax.psum(1, sp_axis)  # global prompt length
+    ragged = n_new.ndim == 1  # per-ROW true lengths [B]: batched ragged
+    # prefill (r5 batched admission) — each row's last real position is
+    # gathered per row; the cache length advances by the longest row (the
+    # caller owns per-row lengths host-side, serving._admit_batch)
 
     if page_table is None:
-        cache = kvc.advance(cache, n_new)  # paged: lengths live host-side
+        cache = kvc.advance(cache, jnp.max(n_new) if ragged else n_new)
 
     if return_hidden:
         return x, cache
@@ -352,6 +356,8 @@ def forward(params: LlamaParams, cfg: ModelConfig, input_ids: jax.Array,
             sp_owner = (n_new - 1) // s
             local_ix = jnp.clip(n_new - 1 - sp_owner * s, 0, s - 1)
             x = jax.lax.dynamic_slice_in_dim(x, local_ix, 1, axis=1)
+        elif ragged:
+            x = jnp.take_along_axis(x, (n_new - 1)[:, None, None], axis=1)
         else:
             x = jax.lax.dynamic_slice_in_dim(x, n_new - 1, 1, axis=1)
     if fused and isinstance(params.lm_head, Int4Linear) \

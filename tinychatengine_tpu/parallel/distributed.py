@@ -30,9 +30,18 @@ def initialize(coordinator_address: str | None = None,
                process_id: int | None = None) -> None:
     """jax.distributed.initialize with TPU-pod auto-config when args are None
     (on Cloud TPU the runtime provides coordinator/count/id via metadata).
-    Safe to call once per process; no-op if already initialized."""
+    Safe to call once per process; no-op if already initialized.
+
+    MUST run before any backend-touching jax call. The pre-r5 version
+    probed ``jax.process_count()`` first — which itself initializes the
+    backend, turning the real initialize into a swallowed RuntimeError and
+    silently degrading every caller to single-process (caught by
+    scripts/dryrun_multiprocess.py, the 2-process x 4-CPU-device check).
+    The already-initialized probe now reads jax.distributed's own client
+    state, which never touches the backend."""
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    if _initialized or getattr(jax._src.distributed.global_state, "client",
+                               None) is not None:
         _initialized = True
         return
     kwargs = {}
@@ -42,8 +51,10 @@ def initialize(coordinator_address: str | None = None,
     try:
         jax.distributed.initialize(**kwargs)
         _initialized = True
-    except (RuntimeError, ValueError):
-        # single-process / already-initialized backends land here
+    except (RuntimeError, ValueError) as exc:
+        if coordinator_address is not None:
+            raise  # explicit multi-process setup must not degrade silently
+        # env-driven call outside a pod/coordinator: single-process mode
         _initialized = True
 
 

@@ -62,3 +62,35 @@ def quantize_tensor_int8(x: np.ndarray):
         s = 1.0
     q = np.clip(np.round(x / s), -128, 127).astype(np.int8)
     return q, np.float32(s)
+
+
+# ---- sub-4-bit: group-wise INT3 (r5 bytes-lever experiment) -----------------
+# Same absmax family as the reference's int4 (d = max/-2^(b-1), +0.5 offset
+# round, implicit midpoint zero): bits=3 → d = max/-4, q = clip(x/d + 4.5,
+# 0, 7), dequant (q - 4) * d. Weight bytes drop to 3/8 per weight (75% of
+# int4); see ops/int3_matmul.py for the bitplane layout and PERF.md for the
+# measured keep/kill decision.
+
+ZERO_POINT3 = 4.0
+
+
+def quantize_groupwise_int3(w: np.ndarray, group_size: int = 128):
+    """w [OC, IC] float → uint8 codes in [0, 7] + per-group f32 scales."""
+    w = np.asarray(w, dtype=np.float32)
+    oc, ic = w.shape
+    assert ic % group_size == 0, (ic, group_size)
+    g = w.reshape(oc, ic // group_size, group_size)
+    idx = np.argmax(np.abs(g), axis=-1)
+    max_vals = np.take_along_axis(g, idx[..., None], axis=-1)[..., 0]
+    d = max_vals / -4.0
+    inv_d = np.where(d == 0.0, 0.0, np.divide(1.0, d, where=d != 0.0))
+    q = np.clip(g * inv_d[..., None] + 4.5, 0.0, 7.0).astype(np.uint8)
+    return q.reshape(oc, ic), d.astype(np.float32)
+
+
+def dequantize_groupwise_int3(q: np.ndarray, scales: np.ndarray,
+                              group_size: int = 128):
+    oc, ic = q.shape
+    g = q.reshape(oc, ic // group_size, group_size).astype(np.float32)
+    return ((g - ZERO_POINT3) * scales[..., None]).reshape(oc, ic) \
+        .astype(np.float32)

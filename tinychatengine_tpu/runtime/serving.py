@@ -174,8 +174,10 @@ class ServingEngine:
                                 and self.qcfg.scheme == "w8a8") else None
         if paged and kv_dtype is not None:
             raise NotImplementedError(
-                "paged serving is llama-family (page_table rides "
-                "llama.forward); OPT W8A8 serves with the dense slot cache")
+                "paged serving rides the page_table hook in llama.forward / "
+                "gptbigcode.forward; OPT W8A8's static-scale int8 KV "
+                "attention (the ×127 requant 2-pass int8_decode kernel) has "
+                "no paged variant — OPT serves with the dense slot cache")
         if paged:
             from tinychatengine_tpu.runtime import paged as pg
             self.max_pages = -(-self.max_len // page_size)
@@ -241,7 +243,7 @@ class ServingEngine:
         self._jit_sample_rows = jax.jit(
             sampling.sample_rows,
             static_argnames=("use_bias", "use_tfs_typical", "use_mirostat",
-                             "top_k_max"))
+                             "top_k_max", "pen_lower"))
 
         self._jit_decode = jax.jit(
             functools.partial(_decode_step, forward_fn),
@@ -254,7 +256,7 @@ class ServingEngine:
             functools.partial(_decode_multi, forward_fn),
             static_argnames=("cfg", "n_ticks", "ctx_cap", "lp_k",
                              "use_bias", "use_tfs_typical", "use_mirostat",
-                             "top_k_max"),
+                             "top_k_max", "pen_lower"),
             donate_argnames=("cache",))
         # OpenAI-style logprobs: one top-k width per engine (requests clamp
         # to it) so the logprobs-variant executables stay one per bucket
@@ -274,6 +276,25 @@ class ServingEngine:
             functools.partial(_admit_fused_paged, forward_fn),
             static_argnames=("cfg", "insert_bucket", "lp_k", "features"),
             donate_argnames=("cache", "scratch"))
+        # batched admission (r5): R queue-head single-chunk admissions in ONE
+        # dispatch — ragged batched prefill into an R-row scratch, R slot
+        # splices, R first-token samples. At a wave boundary (all slots
+        # freeing together, the steady state of a loaded server) the single
+        # path paid R dispatch RTTs + R full weight streams serialized
+        # against decode; this pays one of each. llama-family dense only
+        # (vector true_len rides llama.forward; paged/SP/multimodal/prefix-
+        # hit requests keep the single path).
+        self._batch_admit = (self._per_row and not paged
+                             and forward_fn is llama.forward
+                             and sp_mesh is None)
+        self._jit_admit_multi = jax.jit(
+            functools.partial(_admit_fused_multi, forward_fn),
+            static_argnames=("cfg", "insert_bucket", "n_rows", "lp_k",
+                             "features"),
+            donate_argnames=("cache", "scratch"))
+        self._multi_scratch: dict[int, kvc.KVCache] = {}
+        self.tick_stats["batch_admits"] = 0
+        self.tick_stats["batch_admit_reqs"] = 0
 
         # prefix cache: a KVCache whose batch axis is the entry pool
         self._pfx_entries = int(prefix_cache_entries)
@@ -453,6 +474,10 @@ class ServingEngine:
                         _bucket(min(len(self.queue[0].prompt_ids),
                                     self.max_len - 2))):
                 break  # not enough pages: hold the queue until some free
+            batch = self._eligible_batch()
+            if len(batch) >= 2:
+                self._admit_batch(batch)
+                continue
             self._begin_admission(self._free_slot(), self.queue.popleft())
             if self._pending is not None:
                 break  # a long prompt: continue its chunks on later ticks
@@ -584,7 +609,7 @@ class ServingEngine:
         lengths = jnp.asarray([s.length for s in self.slots], jnp.int32)
         active0 = [s.active for s in self.slots]
         lp_k = self.logprobs_k if self._want_lp() else None
-        ub, ut, um, kmax = self._row_features()
+        ub, ut, um, kmax, pl = self._row_features()
         if self.paged:
             seq, self.page_cache, self._keys, self._mu = self._jit_decode_multi(
                 self.params, self.cfg, jnp.asarray(self._next_tok),
@@ -592,7 +617,7 @@ class ServingEngine:
                 jnp.asarray(self._last), keep_mask, self._mu,
                 jnp.asarray(self._tables), n_ticks=k, lp_k=lp_k,
                 use_bias=ub, use_tfs_typical=ut, use_mirostat=um,
-                top_k_max=kmax)
+                top_k_max=kmax, pen_lower=pl)
         else:
             cap = _cap_bucket(
                 max(s_.length for s_ in self.slots) + k, self.max_len)
@@ -602,7 +627,7 @@ class ServingEngine:
                 jnp.asarray(self._last), keep_mask, self._mu, None,
                 n_ticks=k, ctx_cap=cap, lp_k=lp_k,
                 use_bias=ub, use_tfs_typical=ut, use_mirostat=um,
-                top_k_max=kmax)
+                top_k_max=kmax, pen_lower=pl)
         lps = tops = None
         if lp_k is not None:
             seq, lps, top_i, top_lp = (np.asarray(a) for a in seq)
@@ -664,6 +689,104 @@ class ServingEngine:
             if not s.active:
                 return i
         return None
+
+    # -- batched admission (r5) ------------------------------------------------
+    def _eligible_batch(self) -> list:
+        """Maximal contiguous queue-head prefix admissible through the ONE-
+        dispatch batched path: per-row sampler engines, dense llama-family,
+        single-chunk text prompts with no prefix-cache hit. FIFO order is
+        preserved — the scan stops at the first ineligible request (which
+        then takes the single path first)."""
+        if not self._batch_admit:
+            return []
+        cap = min(self.admission_chunk, self.max_len - 2)
+        out = []
+        free = sum(1 for s in self.slots if not s.active)
+        for req in self.queue:
+            if len(out) >= free:
+                break
+            if req.input_embeds is not None or len(req.prompt_ids) > cap:
+                break
+            if self._pfx_entries and \
+                    self._prefix_match(req.prompt_ids) is not None:
+                break  # cached-prefix reuse beats a batched fresh prefill
+            out.append(req)
+        return out
+
+    def _admit_batch(self, reqs: list):
+        """Admit R queue-head requests in ONE device dispatch
+        (_admit_fused_multi): ragged batched prefill (per-row true_lens),
+        R slot splices, R-row sampler-state fold-in, R first-token samples.
+        Numerics per request match the single fused path (same forward
+        math, same per-request keys/params through sample_rows).
+        Prefix-cache STORES are skipped for batched admissions (the store
+        executable copies scratch row 0; hits still route via the single
+        path through _eligible_batch)."""
+        slots = []
+        for req in reqs:
+            self.queue.remove(req)
+            slots.append(self._free_slot())
+            self.slots[slots[-1]].request = req
+        n_rows = len(reqs)
+        self.tick_stats["batch_admits"] += 1
+        self.tick_stats["batch_admit_reqs"] += n_rows
+
+        rcfgs, mu0s, keys = [], [], []
+        for slot_idx, req in zip(slots, reqs):
+            rcfg = self._admit_host_prep(slot_idx, req)
+            self._row_cfgs[slot_idx] = rcfg
+            rcfgs.append(rcfg)
+            mu0s.append(2.0 * rcfg.mirostat_tau)
+            keys.append(self._row_key_for(req, rcfg))
+        rp_rows = sampling.RowParams.from_configs(rcfgs)
+        row_keys = jnp.stack(keys)
+        mu0s = jnp.asarray(mu0s, jnp.float32)
+        last_rows = jnp.asarray(self._last[np.asarray(slots)])
+
+        bucket = max(_bucket(len(r.prompt_ids)) for r in reqs)
+        ids = np.zeros((n_rows, bucket), np.int32)
+        true_lens = np.zeros((n_rows,), np.int32)
+        for r, req in enumerate(reqs):
+            n = len(req.prompt_ids)
+            ids[r, :n] = req.prompt_ids
+            true_lens[r] = n
+
+        ub = any(bool(c.logit_bias) for c in rcfgs)
+        ut = any((c.tfs_z < 1.0) or (c.typical_p < 1.0) for c in rcfgs)
+        um = any(c.mirostat != 0 for c in rcfgs)
+        ks = [c.top_k for c in rcfgs]
+        kmax = _kmax_bucket(max(ks) if min(ks) > 0 else 0)
+        pl = all(c.repeat_penalty >= 1.0 and c.frequency_penalty >= 0.0
+                 and c.presence_penalty >= 0.0 for c in rcfgs)
+        lp_k = self.logprobs_k \
+            if any(r.logprobs is not None for r in reqs) else None
+
+        scratch = self._multi_scratch.pop(n_rows, None)
+        if scratch is None:
+            w = min(_bucket(self.admission_chunk), self.max_len)
+            scratch = kvc.init_cache(
+                self.cfg.num_layers, n_rows, w, self.cfg.num_kv_heads,
+                self.cfg.head_dim, dtype=self._scratch.k.dtype,
+                quantized=self._scratch.quantized)
+        (tok, self.cache, scratch, self._keys, self._row_params, self._mu,
+         lp) = self._jit_admit_multi(
+            self.params, self.cfg, jnp.asarray(ids), scratch, self.cache,
+            jnp.asarray(true_lens), self._keys, self._row_params, self._mu,
+            row_keys, rp_rows, last_rows, mu0s,
+            jnp.asarray(slots, jnp.int32), insert_bucket=bucket,
+            n_rows=n_rows, lp_k=lp_k, features=(ub, ut, um, kmax, pl))
+        self._multi_scratch[n_rows] = scratch
+        tok = np.asarray(tok)
+        lps = tops = None
+        if lp is not None:
+            lps = np.asarray(lp[0])
+            tops = _zip_tops(np.asarray(lp[1])[None], np.asarray(lp[2])[None])
+        now = time.perf_counter()
+        for r, (slot_idx, req) in enumerate(zip(slots, reqs)):
+            req.first_token_t = now
+            self._emit(slot_idx, int(tok[r]),
+                       lp=None if lps is None else lps[r],
+                       top=None if tops is None else tops[0][r])
 
     def _begin_admission(self, slot_idx: int, req: Request):
         """Reserve a slot (and, paged, the prefill's pages) and start the
@@ -899,7 +1022,9 @@ class ServingEngine:
         feat = (bool(rcfg.logit_bias),
                 (rcfg.tfs_z < 1.0) or (rcfg.typical_p < 1.0),
                 rcfg.mirostat != 0,
-                _kmax_bucket(max(rcfg.top_k, 0)))
+                _kmax_bucket(max(rcfg.top_k, 0)),
+                rcfg.repeat_penalty >= 1.0 and rcfg.frequency_penalty >= 0.0
+                and rcfg.presence_penalty >= 0.0)
         if self.paged:
             p = self.allocator.page_size
             pages = self._slot_pages[slot_idx]   # reserved at admission start
@@ -1019,11 +1144,11 @@ class ServingEngine:
                 ctx_cap=_cap_bucket(
                     max(s_.length for s_ in self.slots) + 1, self.max_len))
         if self._per_row:
-            ub, ut, um, kmax = self._row_features()
+            ub, ut, um, kmax, pl = self._row_features()
             tok, self._keys, self._mu = self._jit_sample_rows(
                 logits, self._keys, self._row_params, jnp.asarray(self._last),
                 self._mu, use_bias=ub, use_tfs_typical=ut, use_mirostat=um,
-                top_k_max=kmax)
+                top_k_max=kmax, pen_lower=pl)
         else:
             tok, self._state = self._prefill_engine._jit_sample(
                 logits, self._state, jnp.asarray(self._last), self._hcfg)
@@ -1049,6 +1174,8 @@ class ServingEngine:
         request actually uses. Inactive rows' draws are discarded, so their
         stale configs cannot affect emitted tokens."""
         ub = ut = um = False
+        pl = True  # every active row's penalties lowering-only → the
+        # candidate-domain sampler is exact (sampling._sample_rows_candidates)
         ks = []
         for i, s in enumerate(self.slots):
             if not s.active:
@@ -1057,6 +1184,8 @@ class ServingEngine:
             ub |= bool(c.logit_bias)
             ut |= (c.tfs_z < 1.0) or (c.typical_p < 1.0)
             um |= c.mirostat != 0
+            pl &= (c.repeat_penalty >= 1.0 and c.frequency_penalty >= 0.0
+                   and c.presence_penalty >= 0.0)
             ks.append(c.top_k)
         # top_k_max: sort-free path bound; 0 = disabled (some row runs
         # full-vocab top_k, or no active rows). BUCKETED to a fixed set so a
@@ -1066,7 +1195,7 @@ class ServingEngine:
         # sample_rows clips per-row k_eff to the row's own top_k and masks
         # candidate positions >= k_eff.
         kmax = max(ks) if ks and min(ks) > 0 else 0
-        return ub, ut, um, _kmax_bucket(kmax)
+        return ub, ut, um, _kmax_bucket(kmax), pl
 
     def _want_lp(self) -> bool:
         """Any active slot wants logprobs → this dispatch uses the
@@ -1159,7 +1288,8 @@ def _insert_slot(cache: kvc.KVCache, scratch: kvc.KVCache, slot_idx,
 
 
 def _fold_row_and_sample(logits, slot_idx, keys, rparams, mu, row_key,
-                         rp_row, last_row, mu0, features=(True, True, True, 0)):
+                         rp_row, last_row, mu0,
+                         features=(True, True, True, 0, False)):
     """Fold one admission's row state into the resident [slots] arrays and
     draw the first token — the traced body shared by both fused admits.
     ``features`` statically gates the sampler stages for the admitted row
@@ -1168,21 +1298,77 @@ def _fold_row_and_sample(logits, slot_idx, keys, rparams, mu, row_key,
     rparams = jax.tree.map(lambda f, r: f.at[slot_idx].set(r[0]),
                            rparams, rp_row)
     mu = mu.at[slot_idx].set(mu0)
-    ub, ut, um, kmax = features
+    ub, ut, um, kmax, pl = features
     tok, k1, mu1 = sampling.sample_rows(
         logits, keys[slot_idx][None],
         jax.tree.map(lambda a: a[slot_idx][None], rparams),
         last_row, mu[slot_idx][None], use_bias=ub, use_tfs_typical=ut,
-        use_mirostat=um, top_k_max=kmax)
+        use_mirostat=um, top_k_max=kmax, pen_lower=pl)
     keys = keys.at[slot_idx].set(k1[0])
     mu = mu.at[slot_idx].set(mu1[0])
     return tok[0], keys, rparams, mu
 
 
+def _insert_multi_body(cache: kvc.KVCache, scratch: kvc.KVCache,
+                       slot_idxs, bucket: int, n_rows: int) -> kvc.KVCache:
+    """Splice scratch rows 0..n_rows into cache slots slot_idxs[r] (r5
+    batched admission — n_rows is static, slot_idxs traced [R] int32)."""
+    def put(dst, src, r, slot):
+        piece = jax.lax.slice_in_dim(
+            jax.lax.dynamic_slice_in_dim(src, r, 1, axis=1), 0, bucket,
+            axis=3)
+        return jax.lax.dynamic_update_slice(dst, piece, (0, slot, 0, 0, 0))
+
+    def put_scale(dst, src, r, slot):
+        piece = jax.lax.slice_in_dim(
+            jax.lax.dynamic_slice_in_dim(src, r, 1, axis=1), 0, bucket,
+            axis=3)
+        return jax.lax.dynamic_update_slice(dst, piece, (0, slot, 0, 0))
+
+    k, v = cache.k, cache.v
+    ks, vs = cache.k_scale, cache.v_scale
+    for r in range(n_rows):
+        slot = slot_idxs[r]
+        k = put(k, scratch.k, r, slot)
+        v = put(v, scratch.v, r, slot)
+        if ks is not None:
+            ks = put_scale(ks, scratch.k_scale, r, slot)
+            vs = put_scale(vs, scratch.v_scale, r, slot)
+    return kvc.KVCache(k=k, v=v, length=cache.length, k_scale=ks, v_scale=vs)
+
+
+def _admit_fused_multi(forward_fn, params, cfg, ids, scratch, cache,
+                       true_lens, keys, rparams, mu, row_keys, rp_rows,
+                       last_rows, mu0s, slot_idxs, *, insert_bucket,
+                       n_rows, lp_k=None,
+                       features=(True, True, True, 0, False)):
+    """R admissions in ONE dispatch (r5): a ragged batched prefill (fresh
+    prompts, per-row true_lens → per-row last-position logits via llama
+    vector-true_len), R slot splices, R-row state fold-in and the R first-
+    token samples. The per-request FIFO single path (_admit_fused) handled
+    one request per dispatch; a deep queue at a wave boundary paid
+    R dispatch RTTs + R weight streams — this pays one of each."""
+    logits, scratch = forward_fn(params, cfg, ids, scratch,
+                                 jnp.zeros_like(true_lens),
+                                 true_len=true_lens)        # [R, V]
+    cache = _insert_multi_body(cache, scratch, slot_idxs, insert_bucket,
+                               n_rows)
+    ub, ut, um, kmax, pl = features
+    tok, k1, mu1 = sampling.sample_rows(
+        logits, row_keys, rp_rows, last_rows, mu0s, use_bias=ub,
+        use_tfs_typical=ut, use_mirostat=um, top_k_max=kmax, pen_lower=pl)
+    keys = keys.at[slot_idxs].set(k1)
+    rparams = jax.tree.map(lambda f, r: f.at[slot_idxs].set(r), rparams,
+                           rp_rows)
+    mu = mu.at[slot_idxs].set(mu1)
+    lp = None if lp_k is None else _token_logprobs(logits, tok, lp_k=lp_k)
+    return tok, cache, scratch, keys, rparams, mu, lp
+
+
 def _admit_fused(forward_fn, params, cfg, ids, scratch, cache, start,
                  true_len, keys, rparams, mu, row_key, rp_row, last_row,
                  mu0, slot_idx, embeds=None, *, insert_bucket, lp_k=None,
-                 features=(True, True, True, 0)):
+                 features=(True, True, True, 0, False)):
     """Final-chunk admission in ONE dispatch: prefill + slot splice + row
     fold-in + first-token sample. Numerically identical to the unfused
     sequence (same forward, same splice, same sample_rows call).
@@ -1204,7 +1390,7 @@ def _admit_fused_paged(forward_fn, params, cfg, ids, scratch, cache,
                        page_ids, start, true_len, keys, rparams, mu,
                        row_key, rp_row, last_row, mu0, slot_idx,
                        embeds=None, *, insert_bucket, lp_k=None,
-                       features=(True, True, True, 0)):
+                       features=(True, True, True, 0, False)):
     logits, scratch = forward_fn(params, cfg, ids, scratch, start,
                                  true_len=true_len, input_embeds=embeds)
     cache = _insert_pages_body(cache, scratch, page_ids, insert_bucket)
@@ -1293,7 +1479,8 @@ def _token_logprobs(logits, tok, *, lp_k: int):
 def _decode_multi(forward_fn, params, cfg, tokens, cache, lengths, keys,
                   rparams, last, keep_mask, mu, tables, *, n_ticks,
                   ctx_cap=None, lp_k=None, use_bias=True,
-                  use_tfs_typical=True, use_mirostat=True, top_k_max=0):
+                  use_tfs_typical=True, use_mirostat=True, top_k_max=0,
+                  pen_lower=False):
     """K decode+sample ticks in ONE dispatch (lax.scan): the host-driven
     per-token scheduler costs 2-3 dispatch round-trips per tick (tunnel RTT
     ~25-30 ms makes that THE serving bottleneck; even local dispatch is
@@ -1317,7 +1504,7 @@ def _decode_multi(forward_fn, params, cfg, tokens, cache, lengths, keys,
         tok, keys, mu = sampling.sample_rows(
             logits, keys, rparams, last, mu, use_bias=use_bias,
             use_tfs_typical=use_tfs_typical, use_mirostat=use_mirostat,
-            top_k_max=top_k_max)
+            top_k_max=top_k_max, pen_lower=pen_lower)
         last = jnp.where(keep_mask,
                          jnp.concatenate([last[:, 1:], tok[:, None]], axis=1),
                          -1)
