@@ -1,6 +1,7 @@
 """AWQ scale search: fold-exactness, search sanity, end-to-end wiring."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -90,6 +91,7 @@ def test_awq_then_quantize_generates():
     assert np.isfinite(lg).all()
 
 
+@pytest.mark.slow
 def test_awq_convert_cli(tmp_path):
     """End-to-end: HF llama -> --awq-calib conversion -> loadable quantized
     checkpoint that generates."""

@@ -130,6 +130,7 @@ def test_rope_past_8192():
             f"worst diff {np.abs(np.asarray(got) - want).max():.2e}")
 
 
+@pytest.mark.slow
 def test_decode_past_8192_consistent_with_prefill():
     """A tiny model decoding at positions > 8192 must continue a prefilled
     chain exactly as a longer prefill would (rope gather + cache addressing

@@ -194,6 +194,7 @@ def test_scaling_harness_runs():
     assert r["mesh"] == "2x4" and r["tokens_per_s"] > 0
 
 
+@pytest.mark.slow
 def test_tp_fused_decode_matches_single_device(monkeypatch):
     """Fused decode under TP (CPU mesh, interpret kernels): qkv/gate_up run
     the fused kernel on their LOCAL column shards (norm on replicated x,

@@ -208,6 +208,7 @@ def test_sample_rows_tfs_off_keeps_min_token():
     assert seen == {0, 1, 2, 3}, seen  # nothing masked at high temperature
 
 
+@pytest.mark.slow
 def test_greedy_penalized_fast_path_exact():
     """greedy_penalized's argmax-shortcut must equal the full penalty path in
     every regime: argmax outside the window (fast branch), argmax inside the

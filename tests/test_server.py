@@ -213,6 +213,7 @@ def test_stop_string_truncates_and_frees_slot(served):
     assert server.engine.n_active == 0
 
 
+@pytest.mark.slow
 def test_concurrent_clients_match_solo(served):
     _, port, model, g = served
     prompts = ["alpha", "bravo bravo", "c", "delta prompt four"]
@@ -235,6 +236,7 @@ def test_concurrent_clients_match_solo(served):
         assert st == 200 and text == want[i], (i, results[i], want[i])
 
 
+@pytest.mark.slow
 def test_per_request_sampling_params(served):
     """Seeded sampling through the HTTP layer is reproducible, and distinct
     seeds diverge (pins the per-row sampler wiring end-to-end)."""
@@ -433,6 +435,7 @@ def test_embeddings_endpoint(served):
     assert status3 == 400
 
 
+@pytest.mark.slow
 def test_logprobs_align_with_stop_truncated_text(served):
     """A stop-string cut truncates the response text mid-stream; the
     logprobs arrays must describe exactly the returned text (no suppressed
@@ -528,6 +531,7 @@ def served_vlm():
     server.close()
 
 
+@pytest.mark.slow
 def test_chat_image_url_matches_engine_vlm(served_vlm):
     """An OpenAI image_url chat request returns exactly what the library VLM
     path (encode + splice + solo Engine) produces for the same image."""

@@ -53,6 +53,7 @@ def test_batched_greedy_matches_single():
         assert r.finish_reason == "length"
 
 
+@pytest.mark.slow
 def test_chunked_admission_interleaves_with_decode():
     """A long-prompt admission must NOT stall the running batch: while it
     prefills (one chunk per tick), active slots keep emitting one token per
@@ -91,6 +92,7 @@ def test_chunked_admission_interleaves_with_decode():
     assert rb.output_ids == list(want_b)
 
 
+@pytest.mark.slow
 def test_per_request_sampling_single_compile():
     """Mixed per-request configs (greedy, hot, top_k=1) run through ONE
     compiled row-sampler — no recompile per distinct config (VERDICT r1
@@ -209,6 +211,7 @@ def test_tick_batching_paged_matches_dense():
 
 
 @pytest.mark.parametrize("version", [1, 2])
+@pytest.mark.slow
 def test_per_request_mirostat(version):
     """Per-request mirostat v1/v2 (Generate.cc:138,176): a mirostat request
     in a mixed batch produces EXACTLY the tokens it produces alone in the
@@ -244,6 +247,7 @@ def test_per_request_mirostat(version):
     assert len(rh.output_ids) == 10
 
 
+@pytest.mark.slow
 def test_mirostat_tick_burst_matches_per_tick():
     """mu is carried through the device-side K-tick scan identically to the
     host per-tick path."""
@@ -328,6 +332,7 @@ def test_paged_batched_greedy_matches_single():
     assert srv.allocator.n_free == srv.page_cache.n_pages - 1
 
 
+@pytest.mark.slow
 def test_paged_with_per_request_sampling():
     """Paged KV × per-request sampling compose: a greedy-configured request
     inside a hot-sampling engine, under block-table paging, still matches
@@ -435,6 +440,7 @@ def test_serving_with_tensor_parallel_forward():
         assert r1.output_ids == r4.output_ids
 
 
+@pytest.mark.slow
 def test_paged_preemption_preserves_outputs():
     """A pool too small for all sequences forces preemption; preempted
     requests resume with progress folded into the prompt, and greedy outputs
@@ -468,6 +474,7 @@ def test_paged_pool_too_small_raises():
         srv.run()
 
 
+@pytest.mark.slow
 def test_paged_serving_with_tensor_parallel():
     """Paged KV + block tables + TP shard_map forward: tokens match the
     single-device paged engine exactly."""
@@ -501,6 +508,7 @@ def test_paged_serving_with_tensor_parallel():
         assert a.output_ids == b.output_ids
 
 
+@pytest.mark.slow
 def test_speculative_serving_exact_and_fewer_ticks():
     """PLD-eligible (greedy) requests through speculative serving: tokens
     IDENTICAL to the plain serving engine, in fewer decode dispatches
@@ -614,6 +622,7 @@ def test_prefix_cache_exact_across_shared_header():
     assert srv.prefix_stats["hit_tokens"] == 100
 
 
+@pytest.mark.slow
 def test_prefix_cache_partial_and_shorter_prompt():
     """A new prompt that is a strict PREFIX of a stored one still hits
     (causal KV[0:m) depends only on tokens[0:m)), capped at n-1 so the final
@@ -653,6 +662,7 @@ def test_prefix_cache_lru_eviction():
     assert srv.prefix_stats["stores"] == 3
 
 
+@pytest.mark.slow
 def test_prefix_cache_paged_and_int8_kv():
     """Prefix reuse composes with the paged pool and the int8 KV cache."""
     shared = np.arange(10, 110, dtype=np.int32)
@@ -746,6 +756,7 @@ def _lse(x):
     return m + np.log(np.sum(np.exp(x - m)))
 
 
+@pytest.mark.slow
 def test_logprobs_match_forward_oracle():
     """OpenAI-style logprobs: the engine's per-token chosen-logprob and
     top-k records must equal log_softmax of the raw forward chain — across
@@ -864,6 +875,7 @@ def test_embeds_request_matches_engine():
         srv.submit(ids, input_embeds=emb[:3])
 
 
+@pytest.mark.slow
 def test_embeds_chunked_admission_exact():
     """A long multimodal prompt admits through the chunked prefill path
     (intermediate chunks slice the embeds; the fused final chunk pads them)."""

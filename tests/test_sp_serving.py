@@ -7,6 +7,7 @@ microbatch slot grouping — outputs must equal the plain engine exactly
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tinychatengine_tpu.core.config import (GenerationConfig, ModelConfig,
                                             QuantConfig)
@@ -36,6 +37,7 @@ def _prompts(cfg, rng):
     ]
 
 
+@pytest.mark.slow
 def test_sp_admission_matches_plain_greedy():
     cfg, qcfg, params = _tiny()
     g = GenerationConfig(temp=0.0, n_predict=8, repeat_penalty=1.0,
@@ -56,6 +58,7 @@ def test_sp_admission_matches_plain_greedy():
     assert srv.sp_stats == {"admissions": 2, "tokens": 128}, srv.sp_stats
 
 
+@pytest.mark.slow
 def test_sp_admission_paged_and_quant_int8kv():
     """SP admission must compose with the paged cache and int8 KV — the
     ring writes a bf16 prefill cache in the same storage as scratch."""
@@ -138,6 +141,7 @@ def test_sp_admission_with_tp_decode_golden():
     assert srv.sp_stats == {"admissions": 1, "tokens": 32}, srv.sp_stats
 
 
+@pytest.mark.slow
 def test_pp_serving_decode_golden():
     """ServingEngine decoding THROUGH the pipeline-parallel forward
     (VERDICT r3 #5 stretch: PP decode with microbatch>1 slot grouping so

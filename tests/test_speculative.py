@@ -1,6 +1,7 @@
 """Prompt-lookup speculative decoding: exactness + acceptance."""
 
 import numpy as np
+import pytest
 
 from tinychatengine_tpu.core.config import GenerationConfig, ModelConfig, QuantConfig
 from tinychatengine_tpu.generation.engine import Engine
@@ -57,6 +58,7 @@ def test_pld_multi_turn_cache_continuation():
     np.testing.assert_array_equal(t2, want)
 
 
+@pytest.mark.slow
 def test_pld_multi_turn_no_overshoot_luck():
     """Continuation must match a fresh run even when the final verify step
     does NOT overshoot (the final token's K/V must be written explicitly) —

@@ -116,9 +116,29 @@ def greedy_penalized(logits: jax.Array, last_tokens, gcfg) -> jax.Array:
     if gcfg.repeat_penalty < 1.0 or gcfg.frequency_penalty < 0.0 \
             or gcfg.presence_penalty < 0.0:
         return slow(None)  # boosting penalties can promote a window token
-    tok0 = greedy(logits)
-    hit = jnp.any(last_tokens == tok0[:, None])
-    return jax.lax.cond(hit, slow, lambda _: tok0, None)
+
+    # lowering-only penalties: the penalized argmax provably lies in the raw
+    # top-(1+T) candidates (at most T window tokens can drop, every other
+    # token keeps its value), so penalize and argmax in the CANDIDATE domain
+    # — no [B, T, V] one-hot, no full-vocab second argmax. The r1-r4 version
+    # guarded a full-vocab slow path behind a "argmax in window" lax.cond;
+    # on random/repetitive text the guard fires most steps at batch > 1
+    # (any row's hit runs the slow path for all rows), which the r5 batched
+    # ladder billed at ~3 ms/tick at B=8-16.
+    b, v = logits.shape
+    t = last_tokens.shape[1]
+    c = min(1 + t, v)
+    cvals, cidx = jax.lax.top_k(logits, c)                 # [B, C]
+    cnt = jnp.sum((cidx[:, :, None] == last_tokens[:, None, :])
+                  & (last_tokens[:, None, :] >= 0), axis=-1
+                  ).astype(jnp.float32)
+    pen = jnp.where(cvals > 0, cvals / gcfg.repeat_penalty,
+                    cvals * gcfg.repeat_penalty)
+    cvals = jnp.where(cnt > 0, pen, cvals)
+    cvals = (cvals - cnt * gcfg.frequency_penalty
+             - (cnt > 0) * gcfg.presence_penalty)
+    amax = jnp.argmax(cvals, axis=-1)
+    return jnp.take_along_axis(cidx, amax[:, None], 1)[:, 0].astype(jnp.int32)
 
 
 def apply_temperature(logits: jax.Array, temp: float) -> jax.Array:

@@ -102,6 +102,7 @@ def paged_update_layer(cache: PagedKVCache, layer_k, layer_v, layer_idx,
     position lengths[b] — page page_table[b, lengths[b] // page] offset
     lengths[b] % page. One scatter per buffer (in place under donation)."""
     p = cache.page_size
+    b = layer_k.shape[0]
     lengths = jnp.asarray(lengths, jnp.int32)
     page_ids = jnp.take_along_axis(
         jnp.asarray(page_table, jnp.int32), (lengths // p)[:, None],
@@ -110,19 +111,36 @@ def paged_update_layer(cache: PagedKVCache, layer_k, layer_v, layer_idx,
     kq = layer_k[:, 0].astype(cache.k.dtype)                  # [B, H, D]
     vq = layer_v[:, 0].astype(cache.v.dtype)
 
-    def scatter(buf, val):  # buf [L, P, H, page, D]
-        return buf.at[layer_idx, page_ids, :, offs, :].set(val)
+    # One tiny [1, 1, H, 1, D] dynamic_update_slice PER ROW (B is the slot
+    # count — small and static), same as the dense _update_layer_per_slot.
+    # The r1-r4 form was a batched `.at[layer, pages, :, offs].set` scatter
+    # across rows, which TPU lowers to a SERIALIZED full-buffer
+    # read-modify-write per row — the r5 paged probe billed it ~200 ms/tick
+    # (34.7 tok/s on bench_serving --paged vs 576 dense).
+    def write(buf, val):  # buf [L, P, H, page, D]; val [B, H, D]
+        for r in range(b):
+            buf = jax.lax.dynamic_update_slice(
+                buf, val[r][None, None, :, None, :],
+                (layer_idx, page_ids[r], 0, offs[r], 0))
+        return buf
+
+    def write_scale(buf, val):  # buf [L, P, H, page]; val [B, H]
+        for r in range(b):
+            buf = jax.lax.dynamic_update_slice(
+                buf, val[r][None, None, :, None],
+                (layer_idx, page_ids[r], 0, offs[r]))
+        return buf
 
     if cache.quantized:
         from tinychatengine_tpu.generation.kv_cache import _quantize_kv
         kq8, ks = _quantize_kv(layer_k.transpose(0, 2, 1, 3))  # [B,H,1,D]
         vq8, vs = _quantize_kv(layer_v.transpose(0, 2, 1, 3))
         return PagedKVCache(
-            k=scatter(cache.k, kq8[:, :, 0, :]),
-            v=scatter(cache.v, vq8[:, :, 0, :]),
-            k_scale=cache.k_scale.at[layer_idx, page_ids, :, offs].set(ks[:, :, 0]),
-            v_scale=cache.v_scale.at[layer_idx, page_ids, :, offs].set(vs[:, :, 0]))
-    return PagedKVCache(k=scatter(cache.k, kq), v=scatter(cache.v, vq),
+            k=write(cache.k, kq8[:, :, 0, :]),
+            v=write(cache.v, vq8[:, :, 0, :]),
+            k_scale=write_scale(cache.k_scale, ks[:, :, 0]),
+            v_scale=write_scale(cache.v_scale, vs[:, :, 0]))
+    return PagedKVCache(k=write(cache.k, kq), v=write(cache.v, vq),
                         k_scale=cache.k_scale, v_scale=cache.v_scale)
 
 
@@ -132,20 +150,37 @@ def insert_prefix(cache: PagedKVCache, scratch_k, scratch_v, page_ids,
 
     scratch_k/v: [L, H, S_bucket, D] (one sequence's prefix, S_bucket a
     multiple of page_size); page_ids: [n] int32 device array with
-    n = S_bucket // page_size. One scatter per buffer."""
+    n = S_bucket // page_size. One [L, 1, H, p, D] dynamic_update_slice per
+    PAGE (n is static) — the r1-r4 `.at[:, page_ids].set` scatter lowered to
+    a serialized full-buffer read-modify-write per page on TPU (the same
+    class as the paged_update_layer scatter the r5 probe caught)."""
     L, H, S, D = scratch_k.shape
     p = cache.page_size
     n = S // p
     pages_k = scratch_k.reshape(L, H, n, p, D).transpose(0, 2, 1, 3, 4)
     pages_v = scratch_v.reshape(L, H, n, p, D).transpose(0, 2, 1, 3, 4)
-    k = cache.k.at[:, page_ids].set(pages_k.astype(cache.k.dtype))
-    v = cache.v.at[:, page_ids].set(pages_v.astype(cache.v.dtype))
+
+    def put(buf, pages):  # pages [L, n, H, p, D]
+        for i in range(n):
+            buf = jax.lax.dynamic_update_slice(
+                buf, pages[:, i:i + 1].astype(buf.dtype),
+                (0, page_ids[i], 0, 0, 0))
+        return buf
+
+    def put_scale(buf, pages):  # pages [L, n, H, p]
+        for i in range(n):
+            buf = jax.lax.dynamic_update_slice(
+                buf, pages[:, i:i + 1], (0, page_ids[i], 0, 0))
+        return buf
+
+    k = put(cache.k, pages_k)
+    v = put(cache.v, pages_v)
     ks = vs = None
     if cache.quantized:
-        ks = cache.k_scale.at[:, page_ids].set(
-            scratch_k_scale.reshape(L, H, n, p).transpose(0, 2, 1, 3))
-        vs = cache.v_scale.at[:, page_ids].set(
-            scratch_v_scale.reshape(L, H, n, p).transpose(0, 2, 1, 3))
+        ks = put_scale(cache.k_scale,
+                       scratch_k_scale.reshape(L, H, n, p).transpose(0, 2, 1, 3))
+        vs = put_scale(cache.v_scale,
+                       scratch_v_scale.reshape(L, H, n, p).transpose(0, 2, 1, 3))
     return PagedKVCache(k=k, v=v, k_scale=ks, v_scale=vs)
 
 

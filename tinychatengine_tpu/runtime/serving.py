@@ -711,7 +711,20 @@ class ServingEngine:
                     self._prefix_match(req.prompt_ids) is not None:
                 break  # cached-prefix reuse beats a batched fresh prefill
             out.append(req)
-        return out
+        if len(out) < 2:
+            return []
+        # group by the HEAD request's prefill bucket: a mixed-length group
+        # pads every row to the max bucket (8 prompts averaging ~176 tokens
+        # padded to 512 tripled the wave's prefill FLOPs — measured on the
+        # r5 24-req bench), and same-bucket groups keep one executable per
+        # (R, bucket). Other-bucket requests admit on the next loop
+        # iterations (still within this same scheduler tick).
+        b0 = _bucket(len(out[0].prompt_ids))
+        group = [r for r in out if _bucket(len(r.prompt_ids)) == b0]
+        # R rounded DOWN to a power of two bounds the executable set;
+        # stragglers ride the next group or the single fused path
+        r = 1 << (len(group).bit_length() - 1)
+        return group[:r] if r >= 2 else []
 
     def _admit_batch(self, reqs: list):
         """Admit R queue-head requests in ONE device dispatch
