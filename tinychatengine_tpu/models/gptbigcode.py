@@ -78,12 +78,19 @@ def forward(params: GPTBigCodeParams, cfg: ModelConfig, input_ids: jax.Array,
             cache: kvc.KVCache, start: jax.Array,
             full_logits: bool = False, true_len: Optional[jax.Array] = None,
             tp_axis: Optional[str] = None, input_embeds=None,
-            ctx_cap: Optional[int] = None, page_table=None):
+            ctx_cap: Optional[int] = None, page_table=None,
+            return_hidden: bool = False):
     """page_table: optional [B, max_pages] int32 — paged serving decode
     (S == 1): the cache is a page pool [L, n_pages, 1, page_size, D] and
     attention runs flash_decode_paged with the MQA single KV head shared by
     every query head (r5: paged KV extended beyond the llama family —
-    VERDICT r4 weak #3)."""
+    VERDICT r4 weak #3).
+
+    input_embeds: optional [B, S, E] replacing the wte+wpe lookup ENTIRELY
+    (the caller supplies position-included embeddings — the pipeline-
+    parallel stage contract, parallel/pp.py; pre-r5 this argument was
+    accepted and silently ignored). return_hidden: pre-final-LN hidden
+    states [B, S, E] instead of logits (same contract as llama/opt)."""
     b, s = input_ids.shape
     d = cfg.head_dim
 
@@ -91,7 +98,11 @@ def forward(params: GPTBigCodeParams, cfg: ModelConfig, input_ids: jax.Array,
     start_col = start[:, None] if start.ndim == 1 else start[None, None]
     positions = start_col + jnp.arange(s, dtype=jnp.int32)[None, :]
     positions = jnp.broadcast_to(positions, (b, s))
-    x = (params.wte[input_ids] + params.wpe[positions]).astype(jnp.bfloat16)
+    if input_embeds is not None:
+        x = input_embeds.astype(jnp.bfloat16)
+    else:
+        x = (params.wte[input_ids]
+             + params.wpe[positions]).astype(jnp.bfloat16)
 
     layers = params.layers  # stacked [L, ...]; indexed INSIDE the step so
     # the int4 kernels stream tiles from the stacked HBM buffers (scan-xs
@@ -248,6 +259,9 @@ def forward(params: GPTBigCodeParams, cfg: ModelConfig, input_ids: jax.Array,
     n_new = jnp.asarray(s, jnp.int32) if true_len is None else true_len
     if page_table is None:
         cache = kvc.advance(cache, n_new)  # paged: lengths live host-side
+
+    if return_hidden:
+        return x, cache
 
     if not full_logits:
         x = jax.lax.dynamic_slice_in_dim(x, n_new - 1, 1, axis=1)

@@ -104,12 +104,19 @@ def forward(params: OPTParams, cfg: ModelConfig, input_ids: jax.Array,
     dense O(S_max) attention, Int8OPTAttention.cc:27-58 — the int8 path here
     keeps those requant semantics exactly, quantized probs and all)."""
     b, s = input_ids.shape
-    x = params.embed_tokens[input_ids].astype(jnp.float32)
     start = jnp.asarray(start, jnp.int32)
     start_col = start[:, None] if start.ndim == 1 else start[None, None]
     positions = start_col + jnp.arange(s, dtype=jnp.int32)[None, :]
     positions = jnp.broadcast_to(positions, (b, s))
-    x = x + params.embed_positions[positions + POS_OFFSET].astype(jnp.float32)
+    if input_embeds is not None:
+        # caller-supplied position-included embeddings (the PP stage
+        # contract, parallel/pp.py; pre-r5 this argument was silently
+        # ignored)
+        x = input_embeds.astype(jnp.float32)
+    else:
+        x = (params.embed_tokens[input_ids].astype(jnp.float32)
+             + params.embed_positions[positions + POS_OFFSET]
+             .astype(jnp.float32))
 
     d = cfg.head_dim
     layers = params.layers  # stacked [L, ...]; indexed INSIDE the step

@@ -81,6 +81,69 @@ def llama_pp_param_specs(params: llama.LlamaParams,
     )
 
 
+def generic_pp_param_specs(params):
+    """Family-agnostic pipe specs (r5, VERDICT r4 weak #5): the ``layers``
+    subtree (every family stacks per-layer leaves on axis 0) shards over
+    "pipe"; everything else replicates. TP composition within stages stays
+    llama-only (llama_pp_param_specs) — OPT/BigCode ride pure PP here and
+    scale columns via parallel/tp.py separately."""
+    import dataclasses as dc
+    pipe = lambda leaf: P("pipe", *(None,) * (leaf.ndim - 1))
+    repl = lambda leaf: P(*(None,) * leaf.ndim)
+    out = {}
+    for f in dc.fields(params):
+        val = getattr(params, f.name)
+        out[f.name] = jax.tree.map(pipe if f.name == "layers" else repl, val)
+    return type(params)(**out)
+
+
+def _pp_family(params):
+    """Per-family hooks for the stage-local program: embedding (stage 0),
+    head (last stage), activation dtype, and whether in-stage Megatron TP
+    specs exist."""
+    from tinychatengine_tpu.models import gptbigcode as G
+    from tinychatengine_tpu.models import opt as O
+
+    if isinstance(params, llama.LlamaParams):
+        def embed(p, ids, positions):
+            return p.embed[ids].astype(jnp.bfloat16)
+
+        def head(p, h, cfg):  # h [B, 1, E] → logits [B, 1, Vpad] f32
+            hn = ref.rms_norm_ref(h, p.final_norm, cfg.rms_norm_eps)
+            return apply_linear(p.lm_head, hn).astype(jnp.float32)
+
+        return embed, head, jnp.bfloat16, True
+    if isinstance(params, G.GPTBigCodeParams):
+        def embed(p, ids, positions):
+            return (p.wte[ids] + p.wpe[positions]).astype(jnp.bfloat16)
+
+        def head(p, h, cfg):
+            hn = ref.layer_norm_ref(h, p.lnf_w, p.lnf_b)
+            return apply_linear(p.lm_head, hn).astype(jnp.float32)
+
+        return embed, head, jnp.bfloat16, False
+    if isinstance(params, O.OPTParams):
+        def embed(p, ids, positions):
+            return (p.embed_tokens[ids].astype(jnp.float32)
+                    + p.embed_positions[positions + O.POS_OFFSET]
+                    .astype(jnp.float32))
+
+        def head(p, h, cfg):
+            hn = ref.layer_norm_ref(h, p.final_ln_w, p.final_ln_b)
+            return apply_linear(p.lm_head,
+                                hn.astype(jnp.bfloat16)).astype(jnp.float32)
+
+        return embed, head, jnp.float32, False
+    raise TypeError(f"no PP adapter for {type(params).__name__}")
+
+
+def _pp_param_specs(params, tp: bool = False):
+    if isinstance(params, llama.LlamaParams):
+        return llama_pp_param_specs(params, tp=tp)
+    assert not tp, "in-stage TP under PP is llama-only (generic specs)"
+    return generic_pp_param_specs(params)
+
+
 def _pp_cache_specs(cache: KVCache, tp: bool = False) -> KVCache:
     h = "model" if tp else None
     cs = P("pipe", None, h, None, None)         # [L, B, H_kv, S, D]
@@ -93,7 +156,7 @@ def _pp_cache_specs(cache: KVCache, tp: bool = False) -> KVCache:
 
 def shard_pp(params, cache, mesh: Mesh):
     tp = mesh.shape.get("model", 1) > 1
-    ps = llama_pp_param_specs(params, tp=tp)
+    ps = _pp_param_specs(params, tp=tp)
     put = lambda x, s: None if x is None else jax.device_put(
         x, NamedSharding(mesh, s))
     return (jax.tree.map(put, params, ps, is_leaf=lambda x: x is None),
@@ -132,6 +195,9 @@ def make_pp_forward(mesh: Mesh, n_micro: int, forward=llama.forward):
         m = math.gcd(n_micro, b)
         assert cfg.num_layers % n_pipe == 0, (cfg.num_layers, n_pipe)
         bm = b // m
+        embed_f, head_f, act_dtype, tp_ok = _pp_family(params)
+        assert tp_ok or not tp, \
+            "in-stage TP under PP is llama-only; use a pure pipe mesh"
         cfg_local = dataclasses.replace(
             cfg, num_layers=cfg.num_layers // n_pipe)
         start_ = jnp.asarray(start, jnp.int32)
@@ -140,12 +206,17 @@ def make_pp_forward(mesh: Mesh, n_micro: int, forward=llama.forward):
 
         def local(params, input_ids, cache, start, *rest):
             stage = jax.lax.axis_index("pipe")
-            e = params.embed.shape[1]
+            e = cfg.embed_dim
             rest = list(rest)
             if input_embeds is not None:
-                embeds = rest.pop(0).astype(jnp.bfloat16)       # [B, S, E]
+                embeds = rest.pop(0).astype(act_dtype)          # [B, S, E]
             else:
-                embeds = params.embed[input_ids].astype(jnp.bfloat16)
+                start_col = (start[:, None] if start.ndim == 1
+                             else start[None, None])
+                positions = jnp.broadcast_to(
+                    start_col + jnp.arange(s, dtype=jnp.int32)[None, :],
+                    (b, s))
+                embeds = embed_f(params, input_ids, positions)
             tl = rest.pop(0) if true_len is not None else None
             last_ix = (jnp.int32(s - 1) if tl is None
                        else jnp.clip(tl - 1, 0, s - 1))
@@ -191,10 +262,7 @@ def make_pp_forward(mesh: Mesh, n_micro: int, forward=llama.forward):
                 # last stage: head on the final REAL position, collect by
                 # exit tick
                 h_last = jax.lax.dynamic_slice_in_dim(hidden, last_ix, 1, 1)
-                h = ref.rms_norm_ref(h_last, params.final_norm,
-                                     cfg.rms_norm_eps)
-                logits_mb = apply_linear(params.lm_head, h).astype(
-                    jnp.float32)
+                logits_mb = head_f(params, h_last, cfg)
                 if tp:  # column-parallel lm_head → full vocab
                     logits_mb = jax.lax.all_gather(logits_mb, "model",
                                                    axis=-1, tiled=True)
@@ -212,7 +280,7 @@ def make_pp_forward(mesh: Mesh, n_micro: int, forward=llama.forward):
                 return (x_next, k_all, v_all, ks_all, vs_all, acc), None
 
             acc0 = jnp.zeros((b, cfg.vocab_size), jnp.float32)
-            x0 = jnp.zeros((bm, s, e), jnp.bfloat16)
+            x0 = jnp.zeros((bm, s, e), act_dtype)
             carry = (x0, cache.k, cache.v, cache.k_scale, cache.v_scale, acc0)
             (x_, k_all, v_all, ks_all, vs_all, acc), _ = jax.lax.scan(
                 tick, carry, jnp.arange(m + n_pipe - 1, dtype=jnp.int32))
@@ -223,7 +291,7 @@ def make_pp_forward(mesh: Mesh, n_micro: int, forward=llama.forward):
                                 k_scale=ks_all, v_scale=vs_all)
             return logits, out_cache
 
-        in_specs = [llama_pp_param_specs(params, tp=tp), P(None, None),
+        in_specs = [_pp_param_specs(params, tp=tp), P(None, None),
                     _pp_cache_specs(cache, tp=tp),
                     P(None) if ragged else P()]
         args = [params, input_ids, cache, start_]
