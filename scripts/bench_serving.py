@@ -231,13 +231,31 @@ def main_http():
     run_batch("warmup")
     print(f"  warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    # instrument the scheduler thread: how much of the wall is engine.step()
+    # (device work + dispatch) vs REST-layer scheduling gaps
+    acc = [0.0, 0]
+    orig_step = srv.step
+
+    def timed_step():
+        t0 = time.perf_counter()
+        orig_step()
+        acc[0] += time.perf_counter() - t0
+        acc[1] += 1
+    srv.step = timed_step
+    for k in srv.tick_stats:
+        srv.tick_stats[k] = 0
+
     total, wall = run_batch("timed")
+    print(f"  tick mix: {srv.tick_stats}", file=sys.stderr)
+    print(f"  step() time: {acc[0]:.2f}s over {acc[1]} calls "
+          f"(wall {wall:.2f}s)", file=sys.stderr)
     print(json.dumps({
         "metric": name + "_serving_http_tokens_per_s",
         "value": round(total / wall, 1),
         "unit": "tokens/s",
         "requests": 24, "slots": 8,
         "total_tokens": total, "wall_s": round(wall, 2),
+        "step_s": round(acc[0], 2), "step_calls": acc[1],
     }))
     server.close()
 

@@ -48,7 +48,7 @@ def main():
                 logits, dn = llama.forward(params, cfg, toks[:, None], dn,
                                            lengths, ctx_cap=512)
             else:
-                cache = kvc.KVCache(k=ck, v=cv, length=jnp.int32(0))
+                cache = pg.PagedKVCache(k=ck, v=cv)
                 logits, cache = llama.forward(params, cfg, toks[:, None],
                                               cache, lengths,
                                               page_table=tables)
