@@ -713,18 +713,15 @@ class ServingEngine:
             out.append(req)
         if len(out) < 2:
             return []
-        # group by the HEAD request's prefill bucket: a mixed-length group
-        # pads every row to the max bucket (8 prompts averaging ~176 tokens
-        # padded to 512 tripled the wave's prefill FLOPs — measured on the
-        # r5 24-req bench), and same-bucket groups keep one executable per
-        # (R, bucket). Other-bucket requests admit on the next loop
-        # iterations (still within this same scheduler tick).
-        b0 = _bucket(len(out[0].prompt_ids))
-        group = [r for r in out if _bucket(len(r.prompt_ids)) == b0]
-        # R rounded DOWN to a power of two bounds the executable set;
-        # stragglers ride the next group or the single fused path
-        r = 1 << (len(group).bit_length() - 1)
-        return group[:r] if r >= 2 else []
+        # R rounded DOWN to a power of two and the COMMON max bucket keep
+        # the executable space tiny ((R, bucket) pairs compile in 20-240 s
+        # over this tunnel — a bucket-GROUPED variant was measured and
+        # reverted: it saved ~0.2 s/wave of padded prefill but novel
+        # (R, bucket) combos compiling mid-run cost 17 s of TTFT on the
+        # 24-req bench). Stragglers ride the next loop iteration or the
+        # single fused path.
+        r = 1 << (len(out).bit_length() - 1)
+        return out[:r] if r >= 2 else []
 
     def _admit_batch(self, reqs: list):
         """Admit R queue-head requests in ONE device dispatch
