@@ -406,6 +406,7 @@ def test_paged_pool_smaller_than_dense():
     assert all(r.finished for r in reqs)
 
 
+@pytest.mark.slow
 def test_serving_with_tensor_parallel_forward():
     """Continuous batching through the shard_map TP forward (multi-device
     serving): tokens must match the single-device slot engine exactly."""
@@ -1027,7 +1028,7 @@ def test_kmax_bucketing_bounds_executables():
                          repeat_last_n=1)
     srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g)
     seen = set()
-    for i, k in enumerate([3, 5, 9, 13, 40, 41, 77, 100]):
+    for i, k in enumerate([3, 9, 40, 77]):
         srv.submit(PROMPTS[i % len(PROMPTS)], n_predict=4,
                    gcfg=GenerationConfig(temp=0.8, top_k=k, seed=i,
                                          n_predict=4, repeat_penalty=1.0,
@@ -1037,7 +1038,7 @@ def test_kmax_bucketing_bounds_executables():
         seen.add(srv._row_features()[3])
     srv.run()
     assert seen <= set(_KMAX_BUCKETS) | {0}
-    assert len(seen) <= 3  # 8 distinct top_k values → at most {8, 64, 256}
+    assert len(seen) <= 3  # 4 distinct top_k values → at most {8, 64, 256}
 
 
 def test_paged_gptbigcode_matches_dense():
