@@ -49,8 +49,16 @@ def main():
     if int8_kv:
         qcfg = QuantConfig(scheme="w4a8", group_size=128,
                            kv_cache_dtype="int8")
+    long_ctx = "--long" in sys.argv  # long-context serving load: ~3-4k-token
+    # prompts so the per-tick KV stream rivals the weight stream — the regime
+    # where int8-KV's halved bytes should beat its requant VPU cost (the
+    # short-context row shows it LOSING at ctx<=512; this row tests the
+    # "long-context is its case" disposition at the serving level).
+    max_len = 4608 if long_ctx else 2048
+    if long_ctx and n_requests == 24 and "--requests" not in sys.argv:
+        n_requests = 16
     tb = _flag("--tick-batch", 16)
-    srv = ServingEngine(params, cfg, qcfg, slots=slots, max_len=2048,
+    srv = ServingEngine(params, cfg, qcfg, slots=slots, max_len=max_len,
                         gcfg=gcfg, admission_chunk=512, tick_batch=tb,
                         paged=paged)
 
@@ -66,7 +74,8 @@ def main():
     def submit_all():
         reqs = []
         for i in range(n_requests):
-            plen = int(rng.integers(32, 320))
+            plen = (int(rng.integers(3072, 3968)) if long_ctx
+                    else int(rng.integers(32, 320)))
             ids = rng.integers(100, cfg.vocab_size - 100, plen)
             reqs.append(srv.submit(ids, n_predict=128,
                                    gcfg=variants[i % len(variants)]))
@@ -89,6 +98,8 @@ def main():
     total = sum(len(r.output_ids) for r in reqs)
     ttfts = sorted(r.first_token_t - r.submit_t for r in reqs)
     tag = "_paged" if paged else ("_int8kv" if int8_kv else "")
+    if long_ctx:
+        tag += "_long"
     if tb != 16:
         tag += f"_tb{tb}"
     out = {
@@ -101,7 +112,7 @@ def main():
         "ttft_s_p95": round(ttfts[int(len(ttfts) * 0.95)], 2),
     }
     print(json.dumps(out))
-    if paged or int8_kv:
+    if paged or int8_kv or long_ctx:
         return  # variant rows measure the main load only
 
     # -- speculative serving on PLD-friendly prompts -------------------------
