@@ -25,7 +25,27 @@ def _flag(name: str, default: int) -> int:
     return default
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (same default as serve.py): repeat
+    bench runs skip the 20-240s-per-executable tunnel compiles. Measured
+    phases are unaffected (warmup is separated; timed loops re-dispatch
+    cached executables either way). TCE_BENCH_NO_CACHE=1 opts out."""
+    import os
+
+    import jax
+    if os.environ.get("TCE_BENCH_NO_CACHE") == "1":
+        return
+    try:
+        path = os.path.expanduser("~/.cache/tce_tpu/xla")
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception as exc:
+        print(f"compilation cache disabled: {exc}", file=sys.stderr)
+
+
 def main():
+    _enable_compile_cache()
     from tinychatengine_tpu.core.config import (GenerationConfig, QuantConfig,
                                                 get_model_config)
     from tinychatengine_tpu.models import llama

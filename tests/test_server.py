@@ -648,3 +648,17 @@ def test_image_caps_reject_oversize():
     # a normal small image still decodes
     arr = _decode_image_data_url(_png_data_url(seed=1, size=20))
     assert arr.shape == (20, 20, 3)
+
+
+def test_serve_cli_tick_batch_plumbing():
+    """The serve CLI's --tick-batch flag reaches the engine (r5: 64 measured
+    best on the 24-req bench; the flag is the documented throughput knob)."""
+    from tinychatengine_tpu.serve import build_demo_serving, build_parser
+
+    args = build_parser().parse_args(["--demo"])
+    assert args.tick_batch == 16  # serve default (engine ctor default is 8)
+    args = build_parser().parse_args(["--demo", "--tick-batch", "64"])
+    assert args.tick_batch == 64
+
+    engine, tok = build_demo_serving(slots=2, tick_batch=4)
+    assert engine.tick_batch == 4

@@ -69,7 +69,7 @@ def build_serving(model: str, precision: str, checkpoint: str,
     return engine, tok
 
 
-def main(argv=None):
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         description="TinyChatEngine-TPU OpenAI-compatible server")
     ap.add_argument("--model", default="llama3_8b")
@@ -90,6 +90,11 @@ def main(argv=None):
                     help="KV prefix-cache entries (0 = off)")
     ap.add_argument("--speculative", action="store_true",
                     help="prompt-lookup speculative decoding in tick bursts")
+    ap.add_argument("--tick-batch", type=int, default=16, metavar="K",
+                    help="decode ticks fused into one device dispatch when "
+                    "the queue is idle (throughput knob: 64 measured best "
+                    "on the 24-req bench; streamed tokens arrive in bursts "
+                    "of up to K; 1 = latency-first)")
     ap.add_argument("--vision", action="store_true",
                     help="enable image_url chat content parts (VLM): loads "
                     "the checkpoint's CLIP encoder (or a tiny random one "
@@ -98,6 +103,11 @@ def main(argv=None):
                     metavar="DIR", help="persistent XLA compilation cache "
                     "(server restarts skip the 20-240s cold compiles; "
                     "'' disables)")
+    return ap
+
+
+def main(argv=None):
+    ap = build_parser()
     args = ap.parse_args(argv)
 
     if args.compilation_cache:
@@ -113,7 +123,7 @@ def main(argv=None):
             print(f"compilation cache disabled: {exc}")
 
     kw = dict(paged=args.paged, max_len=args.max_len,
-              speculative=args.speculative,
+              speculative=args.speculative, tick_batch=args.tick_batch,
               prefix_cache_entries=args.prefix_cache)
     clip_params = clip_cfg = None
     if args.demo:
