@@ -1103,3 +1103,48 @@ def test_batched_admission_exact():
         assert r.output_logprobs == w.output_logprobs
         assert r.output_top_logprobs == w.output_top_logprobs
         assert r.finish_reason == w.finish_reason
+
+
+@pytest.mark.slow
+def test_admission_phase_decode_stays_single_tick():
+    """While a long prompt admits chunk-by-chunk, decode ticks stay SINGLE
+    (no bursts) — a measured scheduling decision, not an accident: decode
+    bursts during the admission phase were tried twice on the long-context
+    bench (unconditional burst-4 and full-occupancy-gated burst-4) and both
+    LOST to the single-tick throttle (47.4 / 45.8 vs 52.8 tok/s — bursting
+    front-loads decode into lower-occupancy dispatches). This pins the
+    policy so a refactor doesn't silently re-introduce it."""
+    cfg, qcfg, params = _tiny()
+    g = GenerationConfig(temp=0.0, n_predict=24, repeat_penalty=1.0,
+                         repeat_last_n=1)
+    long_prompt = np.arange(10, 74, dtype=np.int32)  # 64 tokens → 4 chunks
+
+    eng = Engine(params, cfg, qcfg, batch=1, max_len=cfg.max_sqlen)
+    want_a = list(eng.generate(PROMPTS[0][None, :], g).tokens[0])
+    want_b = list(eng.generate(long_prompt[None, :], GenerationConfig(
+        temp=0.0, n_predict=8, repeat_penalty=1.0,
+        repeat_last_n=1)).tokens[0])
+
+    srv = ServingEngine(params, cfg, qcfg, slots=2, gcfg=g,
+                        admission_chunk=16, tick_batch=8)
+    ra = srv.submit(PROMPTS[0], n_predict=24)
+    srv.step()  # admit A + first decode
+    rb = srv.submit(long_prompt, n_predict=8)
+
+    steps = 0
+    mid_admission_bursts = 0
+    saw_mid_admission_single = False
+    while srv._pending is not None or not any(
+            s.request is rb and not s.admitting for s in srv.slots):
+        b0, s0 = srv.tick_stats["bursts"], srv.tick_stats["single_ticks"]
+        srv.step()
+        if srv._pending is not None:  # still mid-admission AFTER the step
+            mid_admission_bursts += srv.tick_stats["bursts"] - b0
+            saw_mid_admission_single |= srv.tick_stats["single_ticks"] > s0
+        steps += 1
+        assert steps < 20, "admission never finished"
+    assert mid_admission_bursts == 0, srv.tick_stats
+    assert saw_mid_admission_single, srv.tick_stats
+    srv.run()
+    assert ra.output_ids == want_a
+    assert rb.output_ids == want_b

@@ -579,6 +579,13 @@ class ServingEngine:
         NOT disable bursting — waiting requests admit at the next burst
         boundary (admission delay bounded by tick_batch-1 ticks; set
         tick_batch=1 for a latency-first engine)."""
+        # NOTE (r5, measured): while a chunked admission is in flight,
+        # decode stays SINGLE-tick on purpose. Small decode bursts during
+        # the admission phase were tried twice on the long-context bench
+        # (unconditional burst-4: 47.4 tok/s; full-occupancy-gated burst-4:
+        # 45.8) and both LOST to the single-tick throttle (52.8) — bursting
+        # front-loads decode into lower-occupancy dispatches and stretches
+        # the admission phase, which outweighs the RTT amortization.
         if self.tick_batch < 2 or not self._per_row \
                 or self._pending is not None:
             return 1
