@@ -22,6 +22,15 @@ import sys
 
 import numpy as np
 
+# self-sufficient import path: the parent AND the spawned workers must find
+# the package whether or not the caller exported PYTHONPATH (the test-suite
+# runner invokes this script as a bare subprocess)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get(
+    "PYTHONPATH", "")
+
 N_PROC, LOCAL_DEV = 2, 4
 
 
