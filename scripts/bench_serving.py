@@ -181,6 +181,7 @@ def main_http():
     (runtime/server.py) with pre-tokenized prompts — measures the REST
     layer's overhead (thread handoff + per-token detok + JSON) on top of the
     continuous-batching engine."""
+    _enable_compile_cache()
     import http.client
     import threading
 
@@ -203,7 +204,8 @@ def main_http():
     gcfg = GenerationConfig(temp=0.0, n_predict=n_pred, repeat_penalty=1.1,
                             repeat_last_n=64, seed=0)
     srv = ServingEngine(params, cfg, qcfg, slots=8, max_len=max_len,
-                        gcfg=gcfg, admission_chunk=512, tick_batch=16)
+                        gcfg=gcfg, admission_chunk=512,
+                        tick_batch=_flag("--tick-batch", 16))
     # ByteTokenizer is a stand-in detokenizer (random weights → ids >= 256
     # decode to ""); prompts go in PRE-TOKENIZED so vocab ids are exercised
     server = InferenceServer(srv, ByteTokenizer(), model_name=name,

@@ -116,7 +116,15 @@ class InferenceServer:
     def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
         """Bind + serve; returns the bound port (port=0 picks a free one)."""
         handler = _make_handler(self)
-        self._httpd = ThreadingHTTPServer((host, port), handler)
+
+        class _Server(ThreadingHTTPServer):
+            # socketserver's default accept backlog is 5: a burst of
+            # concurrent clients (the 24-client bench connects all at once)
+            # overflows the accept queue and the kernel RSTs the overflow —
+            # clients see ConnectionResetError before a single byte of HTTP.
+            request_queue_size = 128
+
+        self._httpd = _Server((host, port), handler)
         self._httpd.daemon_threads = True
         self.port = self._httpd.server_address[1]
         t_sched = threading.Thread(target=self._scheduler_loop,
