@@ -73,6 +73,12 @@ KNOWN_FLAGS: dict[str, tuple[str, str, str]] = {
         "smoke-test trace",
         "testing the trace harness without a TPU",
     ),
+    "TCE_BENCH_NO_CACHE": (
+        "0",
+        "scripts/bench_serving.py only: skip the persistent XLA "
+        "compilation cache (force cold compiles)",
+        "isolating compile-cache effects in bench runs",
+    ),
 }
 
 
